@@ -1,0 +1,21 @@
+from .rounding import r2, r4, r6, rn, sql_rn
+from .text import TOKEN_SPLIT_RE, tokens, tokens_lower, sql_tokens
+from .hashing import md5_int, sql_md5_int
+from .vectors import cosine, dot, to_double_vec
+
+__all__ = [
+    "r2",
+    "r4",
+    "r6",
+    "rn",
+    "sql_rn",
+    "TOKEN_SPLIT_RE",
+    "tokens",
+    "tokens_lower",
+    "sql_tokens",
+    "md5_int",
+    "sql_md5_int",
+    "cosine",
+    "dot",
+    "to_double_vec",
+]

@@ -1,0 +1,17 @@
+"""Query registry — one entry per operator from SURVEY.md §2.
+
+Importing this package registers every query; ``REGISTRY`` then backs
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from .registry import REGISTRY, Query, register  # noqa: F401
+
+# Import for side effect: each module registers its queries.
+from . import apps  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+from . import text_ops  # noqa: E402,F401
+from . import dedup_ops  # noqa: E402,F401
+from . import similarity_ops  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,274 @@
+"""Deduplication operators — LLM-pipeline tier C.
+
+Three tiers of dedup, all designed so that at 100 TB no document text is ever
+shuffled — only hashes, signatures and doc ids move:
+
+- exact_dedup:    content hash (sha256) → groupBy hash.  The winner is
+  min(doc_id), a deterministic choice (dropDuplicates alone would be
+  partition-order-dependent).
+- near_dedup:     MinHash + LSH banding over 3-token shingles with exact
+  Jaccard verification of candidates.  Hashing is md5-derived
+  (functions/hashing.py) so the *entire* pipeline — signatures, bands,
+  candidate pairs, verification — is reproducible in ANSI SQL and the driver
+  verifies it against DuckDB, not just row counts.
+- simhash:        32-bit SimHash fingerprint per document (frequency-weighted
+  bit votes), again md5-based and oracle-checkable.
+
+Scale notes: LSH banding turns the O(n²) pair space into groupBy(band_key)
+buckets; candidate verification joins arrays of shingles only for candidate
+pairs.  Skewed buckets (boilerplate-heavy corpora) are handled by AQE skew
+join; the band table is ~num_bands× the doc count of (bigint, string) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PRIME, minhash_params
+from ..functions.rounding import sql_rn
+from ..functions.text import sql_tokens, tokens
+from ..sources.tables import load_table
+from .registry import register
+
+EXACT_DEDUP_ORACLE = """
+SELECT sha256(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register("exact_dedup", EXACT_DEDUP_ORACLE, tags=("dedup",))
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash → deterministic winner + multiplicity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# near_dedup: MinHash/LSH with exact verification
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32          # signature length
+BAND_ROWS = 4          # rows per band → 8 bands; P(candidate) = 1-(1-j^4)^8
+SHINGLE_K = 3          # 3-token shingles
+JACCARD_THRESHOLD_NUM = 1  # keep pairs with jaccard >= 1/2 (integer compare)
+JACCARD_THRESHOLD_DEN = 2
+
+_SHINGLE_CASE = f"""
+CASE WHEN size(toks) >= {SHINGLE_K}
+     THEN transform(sequence(1, size(toks) - {SHINGLE_K - 1}),
+                    i -> array_join(slice(toks, i, {SHINGLE_K}), ' '))
+     WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
+     ELSE array('') END
+"""
+
+_SQL_SHINGLE_CASE = f"""
+CASE WHEN len(toks) >= {SHINGLE_K}
+     THEN list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                         i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+     ELSE [''] END
+"""
+
+
+def _perms_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(NUM_PERM))
+    )
+    return f"(VALUES {rows}) AS perms(i, a, b)"
+
+
+NEAR_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+shs AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_CASE}) AS shset FROM t),
+shx AS (SELECT doc_id, unnest(shset) AS shingle FROM shs),
+h AS (SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_PRIME}) AS h0
+      FROM shx),
+mh AS (SELECT doc_id, perms.i AS i,
+              min((perms.a * h0 + perms.b) % {MINHASH_PRIME}) AS mh
+       FROM h CROSS JOIN {_perms_values_sql()}
+       GROUP BY doc_id, perms.i),
+bands AS (SELECT doc_id, i // {BAND_ROWS} AS band,
+                 string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+          FROM mh GROUP BY doc_id, i // {BAND_ROWS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key
+          AND x.doc_id < y.doc_id),
+verified AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shset, sb.shset)) AS inter,
+           len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+    FROM cand
+    JOIN shs sa ON sa.doc_id = doc_a
+    JOIN shs sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, {sql_rn('inter * 1.0 / uni', 4)} AS jaccard
+FROM verified
+WHERE inter * {JACCARD_THRESHOLD_DEN} >= uni * {JACCARD_THRESHOLD_NUM}
+"""
+
+
+@register("near_dedup", NEAR_DEDUP_ORACLE, tags=("dedup",))
+def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (jaccard >= 0.5), exact-verified.
+
+    Signatures are computed *map-side* as pure array expressions — a
+    document's shingles never leave their input partition; only (doc_id,
+    band, band_key) rows shuffle into the LSH buckets.  That is the plan
+    that survives 100 TB: shuffle volume is O(docs × num_bands × ~40 bytes)
+    regardless of document size.  The threshold compare is integer
+    (inter*2 >= uni) so no float boundary can disagree with the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shs = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
+        ).alias("shset"),
+    )
+    # 32-bit md5-derived hash per shingle, then all NUM_PERM affine
+    # permutations folded per-row: sig[i] = min over shingles of (a_i*h+b_i)%P.
+    a_arr = "array(" + ",".join(str(a) for a, _ in minhash_params(NUM_PERM)) + ")"
+    b_arr = "array(" + ",".join(str(b) for _, b in minhash_params(NUM_PERM)) + ")"
+    sig_expr = f"""
+        transform(sequence(0, {NUM_PERM - 1}), i ->
+            array_min(transform(hl, h ->
+                (element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1))
+                % {MINHASH_PRIME})))
+    """
+    band_expr = f"""
+        transform(sequence(0, {NUM_PERM // BAND_ROWS - 1}), b ->
+            struct(b AS band,
+                   array_join(transform(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}),
+                                        x -> CAST(x AS STRING)), '-')
+                   AS band_key))
+    """
+    bands = (
+        shs.withColumn(
+            "hl",
+            F.transform(
+                "shset",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+                % MINHASH_PRIME,
+            ),
+        )
+        .withColumn("sig", F.expr(sig_expr))
+        .select("doc_id", F.explode(F.expr(band_expr)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    left = bands.alias("x")
+    right = bands.alias("y")
+    cand = (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+        )
+    )
+    from ..functions.rounding import rn
+
+    return (
+        verified.filter(
+            F.col("inter") * JACCARD_THRESHOLD_DEN >= F.col("uni") * JACCARD_THRESHOLD_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            rn(F.col("inter") * F.lit(1.0) / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
+
+
+def _spark_toks_expr() -> str:
+    """Spark SQL expression string for the token array of ``text``."""
+    return "filter(split(text, '[^\\\\p{L}]+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _build_simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h0 // {1 << b}) % 2 = 1 THEN cnt ELSE -cnt END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY doc_id, tok),
+h AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h0 FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits)
+SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+
+@register("simhash", _build_simhash_oracle(), tags=("dedup",))
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc: frequency-weighted bit votes over md5-hashed
+    tokens; docs with no tokens fingerprint to 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h = tf.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h0"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h0").bitwiseAND(1 << b)) != 0, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    fp = bits.select("doc_id", fingerprint.cast("long").alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+    )

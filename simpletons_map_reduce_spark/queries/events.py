@@ -1,0 +1,117 @@
+"""Event-stream-shaped queries over the ``events`` table.
+
+The reference is batch-only (SURVEY §2.C: streaming entirely absent) — these
+are the tier-C extension ops.  Both run here as *batch* DataFrames so the
+DuckDB oracle applies; streaming/ holds the Structured Streaming variants of
+the same logic (withWatermark + window / session_window).
+
+Timestamps: events.ts is parquet timestamp[ns]; sources/tables.py reads it as
+epoch-nanos and exposes ``ts_us`` (bigint) + ``ts`` (microsecond instant).
+Outputs use epoch-microsecond bigints — integer arithmetic that is identical
+across Spark, DuckDB, and any session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..sources.tables import load_table
+from .registry import register
+
+EVENTS_TUMBLING_ORACLE = f"""
+SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, ts)) AS w_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rn('sum(value)', 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling", EVENTS_TUMBLING_ORACLE, tags=("events",))
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window aggregate (F.window, epoch-aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), rn(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+EVENTS_SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, value,
+           epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {_SESSION_GAP_US}
+                   THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+numbered AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       min(ts_us) AS session_start,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rn('sum(value)', 2)} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", EVENTS_SESSIONIZE_ORACLE, tags=("events",))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + cumulative session ids.
+
+    One shuffle on user_id serves both window functions and the final
+    aggregate (same partitioning reused across stages).  The streaming twin
+    is session_window + watermark in streaming/events_stream.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts_us"), F.col("event_id")]
+    by_user = Window.partitionBy("user_id").orderBy(*order)
+    new_session = (
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ev.select("user_id", "event_id", "value", "ts_us")
+        .withColumn("prev_us", F.lag("ts_us").over(by_user))
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.count("*").alias("n_events"),
+            rn(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,344 @@
+"""Tier-C relational battery over the TPC-H-ish driver tables.
+
+The reference has *no* joins, windows, set-ops, limits or rollups anywhere
+(SURVEY §2.C — its only relational shape is sort-based group-aggregate,
+mr/worker.go:212-236).  These queries close every gap category with built-in
+DataFrame ops so Catalyst/Tungsten own the physical strategy:
+
+- scans push filters/projections into parquet (PushedFilters / ReadSchema);
+- small dims are broadcast (`F.broadcast`) — no shuffle of the fact table;
+- aggregations get automatic partial+final HashAggregate (the map-side
+  combine the reference lacks);
+- AQE re-plans partition counts and skew at runtime, which is the strategy
+  that survives 1000 executors × 100 TB.
+
+Every query aliases its columns identically to its DuckDB oracle, rounds
+doubles with the cross-engine-stable floor idiom (functions/rounding.py), and
+casts count-like ints to BIGINT on both sides (DuckDB sum(INTEGER) would
+otherwise widen to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..sources.tables import load_table, load_tables
+from .registry import register
+
+FILTER_SCAN_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       {sql_rn('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount > 0.05
+"""
+
+
+@register("filter_scan", FILTER_SCAN_ORACLE, tags=("relational",))
+def filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate — both push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        rn(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+    )
+
+
+PRICING_SUMMARY_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_rn('sum(l_quantity)', 2)} AS sum_qty,
+       {sql_rn('sum(l_extendedprice)', 2)} AS sum_base_price,
+       {sql_rn('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {sql_rn('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+       {sql_rn('avg(l_quantity)', 4)} AS avg_qty,
+       {sql_rn('avg(l_extendedprice)', 4)} AS avg_price,
+       {sql_rn('avg(l_discount)', 4)} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", PRICING_SUMMARY_ORACLE, tags=("relational",))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide group-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rn(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rn(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rn(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rn(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rn(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rn(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rn(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+HASH_JOIN_ORACLE = """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+@register("hash_join", HASH_JOIN_ORACLE, tags=("relational",))
+def hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join orders ⋈ customer; Catalyst/AQE pick broadcast vs shuffle
+    by size (customer ≪ orders at every SF, so this broadcasts)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+BROADCAST_JOIN_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register("broadcast_join", BROADCAST_JOIN_ORACLE, tags=("relational",))
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the 5-row dim — zero shuffle at any scale."""
+    nation, region = load_tables(spark, sf_dir, "nation", "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name", "r_name")
+    )
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("semi_join", SEMI_JOIN_ORACLE, tags=("relational",))
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("anti_join", ANTI_JOIN_ORACLE, tags=("relational",))
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+@register("window_rank", WINDOW_RANK_ORACLE, tags=("relational",))
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — deterministic tiebreak on o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ROLLUP_AGG_ORACLE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_rn('sum(l_quantity)', 2)} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_agg", ROLLUP_AGG_ORACLE, tags=("relational",))
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), rn(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+CUBE_AGG_ORACLE = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_rn('sum(o_totalprice)', 2)} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_agg", CUBE_AGG_ORACLE, tags=("relational",))
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), rn(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+UNION_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("union_except", UNION_EXCEPT_ORACLE, tags=("relational",))
+def union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set semantics: UNION (distinct) then EXCEPT (distinct)."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return rich.union(finished).distinct().subtract(building)
+
+
+TOPK_ORDERS_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("topk_orders", TOPK_ORDERS_ORACLE, tags=("relational",))
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full sort of the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+DISTINCT_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("distinct_agg", DISTINCT_AGG_ORACLE, tags=("relational",))
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+REGION_REVENUE_ORACLE = f"""
+SELECT n_name, {sql_rn('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("region_revenue", REGION_REVENUE_ORACLE, tags=("relational",))
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join + filtered region + group agg.
+
+    The tiny dims (region, nation) are broadcast into customer; customer
+    itself scales with SF, so customer⋈orders and lineitem⋈orders stay
+    shuffle joins on their keys and AQE upgrades them to broadcast only when
+    the filtered side is genuinely small.
+    """
+    li, orders, customer, nation, region = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table — LLM-pipeline tier C.
+
+- similarity_topk:  brute-force cosine top-k.  The query set is broadcast;
+  the corpus streams once per partition, so at 100 TB the cost is one scan ×
+  |queries| dot products, no corpus shuffle except the final per-query top-k
+  (tiny: |queries| × k rows survive).
+- embedding_dedup:  near-duplicate embedding pairs, blocked by ``label`` —
+  the exact-blocking analog of IVF-style clustering: candidates only within a
+  block, so the pair space is Σ|block|² instead of n².
+- ann_ivf:          IVF-flat approximate search (deterministic md5-free
+  variant: centroids are a fixed modular sample, assignment is exact argmax
+  cosine).  Approximate by construction → rows-only check; the pytest suite
+  measures recall against similarity_topk instead.
+
+All cosine math is sequential-fold double arithmetic mirrored exactly by the
+oracle (functions/vectors.py), never a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..functions.vectors import cosine, sql_cosine, to_double_vec
+from ..sources.tables import load_table
+from .registry import register
+
+TOPK_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+SIMILARITY_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {sql_rn(sql_cosine('q.qv', 'e.v'), 6)} AS score
+    FROM q CROSS JOIN e
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOPK_K}
+"""
+
+
+@register("similarity_topk", SIMILARITY_TOPK_ORACLE, tags=("similarity",))
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a broadcast query set."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rn(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+#: The synthetic embeddings have no true near-dups (within-label cosine tops
+#: out ≈0.45), so the threshold sits at the 99.9th percentile of the
+#: within-label distribution to exercise the operator with non-empty output.
+DUP_COS_THRESHOLD = 0.35
+
+EMBEDDING_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.v', 'b.v')} AS cos_raw
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {sql_rn('cos_raw', 6)} AS cos_sim
+FROM pairs WHERE cos_raw >= {DUP_COS_THRESHOLD}
+"""
+
+
+@register("embedding_dedup", EMBEDDING_DEDUP_ORACLE, tags=("similarity",))
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) blocked by label.
+
+    The equi-join on label is the blocking step — the 100 TB version swaps
+    `label` for an LSH/IVF cluster id with identical plan shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("v")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    cos_raw = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", rn(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+CENTROID_MOD = 29  # vec_id % 29 == 0 → deterministic centroid sample
+NPROBE = 3
+
+
+@register("ann_ivf", None, tags=("similarity",))
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (approximate → rows-only driver check).
+
+    Build: centroids = deterministic modular sample; every vector is
+    assigned to its argmax-cosine centroid (one broadcast pass).
+    Search: each query probes its NPROBE nearest centroids and brute-forces
+    only vectors assigned there.  Same output schema as similarity_topk;
+    tests measure recall against the exact answer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def argmax_cents(df: DataFrame, id_col: str, vec_col: str, topn: int, out: str):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cent_id",
+            cosine(F.col(vec_col), F.col("cv")).alias("c_score"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_score").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= topn)
+            .select(id_col, vec_col, F.col("cent_id").alias(out))
+        )
+
+    assigned = argmax_cents(emb, "vec_id", "v", 1, "cluster")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = argmax_cents(queries, "query_id", "qv", NPROBE, "cluster")
+    scored = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rn(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+BINARY_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+@register("binary_meta", BINARY_META_ORACLE, tags=("multimodal",))
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: byte length + content hash over the
+    utf-8 encoding of each document (the multimodal data model of
+    operators/multimodal.py, exercised on a column both engines can build)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha"),
+    )

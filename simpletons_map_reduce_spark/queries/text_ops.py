@@ -1,0 +1,356 @@
+"""Text-analysis operators over ``documents`` — LLM-pipeline tier C.
+
+Generalizes the reference's text surface (tokenizer mrapps/wc.go:19-32,
+per-file length stats mrapps/crash.go:34-43) into the analysis battery a
+training-data pipeline needs: per-doc stats, n-grams, TF-IDF, BPE-ish token
+counting, heuristic language ID, quality scoring, and shingle fingerprints.
+
+Everything is built-in column expressions (split/filter/transform/aggregate
+over arrays) — no Python UDFs — so the per-document work is embarrassingly
+parallel, shuffle-free until the final aggregate, and survives 100 TB by
+construction: a document never leaves its input partition until it has been
+reduced to a handful of scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..functions.text import sql_tokens, tokens, tokens_lower
+from ..sources.tables import load_table
+from .registry import register
+
+TEXT_STATS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks, length(text) AS n_chars
+           FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE {sql_rn("CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)"
+                         " / len(toks)", 4)}
+       END AS avg_word_len
+FROM t
+"""
+
+
+@register("text_stats", TEXT_STATS_ORACLE, tags=("text",))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document counts (chars/words/distinct words/mean word length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    total_len = F.aggregate(
+        F.col("toks"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_words = F.size("toks")
+    return t.select(
+        "doc_id",
+        "n_chars",
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.when(
+            n_words > 0, rn(total_len.cast("double") / n_words, 4)
+        ).alias("avg_word_len"),
+    )
+
+
+NGRAM_COUNTS_ORACLE = f"""
+WITH t AS (SELECT lang, {sql_tokens('text')} AS toks FROM documents),
+grams AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+    FROM t
+)
+SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams
+GROUP BY lang, ngram
+HAVING count(*) >= 3
+"""
+
+
+@register("ngram_counts", NGRAM_COUNTS_ORACLE, tags=("text",))
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequencies per language (count >= 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", tokens(F.col("text")).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return (
+        t.select("lang", F.explode(bigrams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH terms AS (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           {sql_rn('tf.tf * ln((n.n_docs * 1.0) / dfreq.df)', 6)} AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("tfidf_topterms", TFIDF_ORACLE, tags=("text",))
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    Document frequency is a second aggregate over the tf table (already one
+    row per doc×term); the one-row corpus count joins in via broadcast, so
+    the only large shuffles are the two hash aggregations on (doc_id, term)
+    and (term) — both map-side combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            rn(
+                F.col("tf") * F.log((F.col("n_docs") * F.lit(1.0)) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single other non-space.
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+TOKEN_COUNT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {sql_rn('n_chars * 1.0 / greatest(n_tokens, 1)', 4)} AS chars_per_token
+FROM t
+"""
+
+
+@register("token_count", TOKEN_COUNT_ORACLE, tags=("text",))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        rn(
+            F.length("text") * F.lit(1.0) / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+#: Tiny per-language stopword lists for the heuristic language detector.
+#: The *same* constants are compiled into the Spark plan and the oracle SQL;
+#: CASE order is fixed, ties broken by (hits DESC, lang ASC).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "nicht", "ein", "ist"),
+    "es": ("el", "los", "las", "una", "y", "en", "que"),
+    "fr": ("le", "la", "les", "et", "des", "un", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+
+def _sql_lang_case() -> str:
+    whens = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        whens.append(f"WHEN tok IN ({lst}) THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+LANG_ID_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok FROM documents
+),
+hits AS (
+    SELECT doc_id, lang_guess, count(*) AS hits
+    FROM (SELECT doc_id, {_sql_lang_case()} AS lang_guess FROM toks)
+    WHERE lang_guess IS NOT NULL
+    GROUP BY doc_id, lang_guess
+),
+best AS (
+    SELECT doc_id, lang_guess,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang_guess) AS rk
+    FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang_guess, 'und') AS pred_lang
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang_guess FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+@register("lang_id", LANG_ID_ORACLE, tags=("text",))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID ('und' when no stopword hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_lower(F.col("text"))).alias("tok")
+    )
+    guess = None
+    for lang, words in LANG_STOPWORDS.items():
+        cond = F.col("tok").isin(*words)
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    hits = (
+        toks.select("doc_id", guess.alias("lang_guess"))
+        .filter(F.col("lang_guess").isNotNull())
+        .groupBy("doc_id", "lang_guess")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang_guess"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang_guess")
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("lang_guess", F.lit("und")).alias("pred_lang")
+    )
+
+
+_ALL_STOPWORDS = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+
+QUALITY_SCORE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space,
+           {sql_tokens('text', lower=True)} AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END AS alpha_ratio,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE (n_chars - n_alpha - n_space) * 1.0 / n_chars END AS punct_ratio,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks, x -> list_contains(
+                         [{", ".join(f"'{w}'" for w in _ALL_STOPWORDS)}], x)))
+                     * 1.0 / len(toks) END AS stop_ratio
+    FROM t
+)
+SELECT doc_id,
+       {sql_rn('alpha_ratio', 4)} AS alpha_ratio,
+       {sql_rn('punct_ratio', 4)} AS punct_ratio,
+       {sql_rn('stop_ratio', 4)} AS stop_ratio,
+       {sql_rn('0.35 * alpha_ratio + 0.15 * (1.0 - punct_ratio)'
+               ' + 0.2 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio', 4)} AS quality
+FROM m
+"""
+
+
+@register("quality_score", QUALITY_SCORE_ORACLE, tags=("text",))
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: letter/punctuation/stopword ratios plus a
+    length prior, combined into one score in [0, 1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^\p{L}]", ""))
+    n_space = F.length(F.regexp_replace("text", r"[^\s]", ""))
+    toks = tokens_lower(F.col("text"))
+    n_words = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_ALL_STOPWORDS)))
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_alpha * F.lit(1.0) / n_chars
+    )
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_chars - n_alpha - n_space) * F.lit(1.0) / n_chars
+    )
+    stop_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        stop_hits * F.lit(1.0) / n_words
+    )
+    quality = (
+        F.lit(0.35) * alpha_ratio
+        + F.lit(0.15) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        rn(alpha_ratio, 4).alias("alpha_ratio"),
+        rn(punct_ratio, 4).alias("punct_ratio"),
+        rn(stop_ratio, 4).alias("stop_ratio"),
+        rn(quality, 4).alias("quality"),
+    )
+
+
+_SHINGLE_CASE = """
+CASE WHEN size(toks) >= 5
+     THEN transform(sequence(1, size(toks) - 4),
+                    i -> array_join(slice(toks, i, 5), ' '))
+     WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
+     ELSE array('') END
+"""
+
+_SQL_SHINGLE_CASE = """
+CASE WHEN len(toks) >= 5
+     THEN list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))
+     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+     ELSE [''] END
+"""
+
+DOC_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_CASE}) AS shingle FROM t)
+SELECT doc_id, min(md5(shingle)) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", DOC_FINGERPRINT_ORACLE, tags=("text",))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-token-shingle fingerprint: min(md5(shingle)) per document —
+    the single-hash MinHash special case, stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return (
+        t.select("doc_id", F.explode(F.expr(_SHINGLE_CASE)).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    )

@@ -1,0 +1,69 @@
+"""Readers for the driver test tables and for wholetext corpora.
+
+The reference's only source is "one whole text file per map task", served as
+raw bytes by the coordinator (mr/coordinator.go:167-183, mr/worker.go:67-71).
+Spark-side that is ``spark.read.text(..., wholetext=True)`` with
+``input_file_name()`` — no single-process byte-server bottleneck.
+
+The driver tables (TESTDATA.md) are plain parquet; the only special case is
+``events``, whose ``ts`` column is parquet ``timestamp[ns]``.  Spark rejects
+nanosecond parquet timestamps by default, so we read nanos as long
+(``legacy.parquet.nanosAsLong``) and convert to a microsecond timestamp —
+exactly the ns→us truncation DuckDB applies, keeping the oracle comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes the events timestamp column.
+
+    ``events`` gains:
+      ts     — TimestampType instant, microsecond precision (ns truncated)
+      ts_us  — epoch microseconds as bigint (timezone-free arithmetic)
+    """
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division: float division would lose precision at 2^60 and
+        # disagree with DuckDB's ns→us truncation by ±1us.
+        ts_us = F.expr("ts div 1000")
+        df = df.withColumn("ts_us", ts_us).withColumn("ts", F.timestamp_micros(ts_us))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
+    """(filename, content) per file — the reference's input model.
+
+    Mirrors mr/worker.go:67-71 where the map UDF receives the file name and
+    the entire contents as one string; each file is one input row and Spark
+    schedules them across executors instead of streaming every byte through a
+    coordinator process.
+    """
+    df = spark.read.format("text").option("wholetext", "true").load(path)
+    return df.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+        F.col("value").alias("content"),
+    )
