@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MINHASH_PRIME, minhash_params
 from ..functions.rounding import sql_rn
 from ..functions.text import sql_tokens, tokens
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .registry import register
 
 EXACT_DEDUP_ORACLE = """
@@ -131,30 +131,36 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size.  The threshold compare is integer
     (inter*2 >= uni) so no float boundary can disagree with the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shs = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
         ).alias("shset"),
     )
-    # 32-bit md5-derived hash per shingle, then all NUM_PERM affine
-    # permutations folded per-row: sig[i] = min over shingles of (a_i*h+b_i)%P.
-    a_arr = "array(" + ",".join(str(a) for a, _ in minhash_params(NUM_PERM)) + ")"
-    b_arr = "array(" + ",".join(str(b) for _, b in minhash_params(NUM_PERM)) + ")"
-    sig_expr = f"""
-        transform(sequence(0, {NUM_PERM - 1}), i ->
-            array_min(transform(hl, h ->
-                (element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1))
-                % {MINHASH_PRIME})))
-    """
-    band_expr = f"""
-        transform(sequence(0, {NUM_PERM // BAND_ROWS - 1}), b ->
-            struct(b AS band,
-                   array_join(transform(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}),
-                                        x -> CAST(x AS STRING)), '-')
-                   AS band_key))
-    """
+    # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
+    # permutations as its OWN constant-inlined expression: higher-order
+    # functions are interpreted (not codegen'd), so a nested
+    # transform(sequence(..), i -> ...) that re-reads a literal perm array
+    # per element is ~100× slower than NUM_PERM flat min-fold expressions.
+    def perm_min(a: int, b: int):
+        # factory: pyspark counts lambda params (default args included), so
+        # the permutation constants must be closed over, not defaulted.
+        return F.array_min(F.transform("hl", lambda h: (a * h + b) % MINHASH_PRIME))
+
+    sig_cols = [
+        perm_min(a, b).cast("string").alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(NUM_PERM))
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            ).alias("band_key"),
+        )
+        for band in range(NUM_PERM // BAND_ROWS)
+    ]
     bands = (
         shs.withColumn(
             "hl",
@@ -164,8 +170,8 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % MINHASH_PRIME,
             ),
         )
-        .withColumn("sig", F.expr(sig_expr))
-        .select("doc_id", F.explode(F.expr(band_expr)).alias("bk"))
+        .select("doc_id", *sig_cols)
+        .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
     left = bands.alias("x")

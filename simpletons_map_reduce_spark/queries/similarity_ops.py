@@ -125,7 +125,9 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENTROID_MOD = 29  # vec_id % 29 == 0 → deterministic centroid sample
-NPROBE = 3
+#: The synthetic embeddings are near-isotropic (no real cluster structure),
+#: so recall needs a wider probe than a clustered corpus would.
+NPROBE = 6
 
 
 @register("ann_ivf", None, tags=("similarity",))

@@ -54,6 +54,20 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the source
+    has fewer partitions than cores.
+
+    Small local parquet files arrive as one partition, serializing any
+    compute-heavy per-row operator; at production scale the scan already
+    yields thousands of partitions and this is a no-op (no extra shuffle).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
     """(filename, content) per file — the reference's input model.
 

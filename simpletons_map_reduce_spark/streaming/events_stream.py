@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the event queries.
+
+The reference is batch-only (SURVEY §2.C); these are the tier-C streaming
+extensions: the same tumbling/session aggregations as queries/events.py,
+expressed as ``readStream`` → watermark → windowed agg.  Late data beyond
+the watermark is dropped by Spark's state store; in batch mode (the oracle
+path) every row is on time, so the two agree on the test data — pinned by
+tests/test_streaming.py.
+
+The parquet file source drives local tests (one batch per file set via
+``processAllAvailable``); production swaps in kafka with the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import ensure_confs
+
+#: events.parquet physical schema (ts as raw nanos; file streams require an
+#: explicit schema — no inference pass).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with ts normalized to a
+    microsecond timestamp (same convention as sources/tables.py)."""
+    ensure_confs(spark)
+    # The file stream source requires a *directory*; select just the events
+    # file out of the sf dir with a glob filter.
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of queries/events.py::events_tumbling."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (streaming-native sessionization).
+
+    Uses ``session_window`` — Spark's stateful merging-window operator —
+    rather than the lag/cumsum formulation of the batch query (window
+    functions over unbounded history don't stream)."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming DF to completion into an in-memory table and return
+    the result as a batch DataFrame (local test harness)."""
+    q = (
+        df.writeStream.outputMode("complete" if _has_agg(df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, Arrow batch shape, deterministic fake
+decode, and the strict path raising as documented."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.operators import multimodal as mm
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(50)
+    return mm.documents_as_media(docs)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "mime",
+        "payload",
+        "meta",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "map"
+
+
+def test_feature_extraction_shape_and_determinism(media):
+    feats = mm.extract_features(media)
+    rows1 = {r.media_id: r.feature for r in feats.collect()}
+    rows2 = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    assert rows1.keys() == rows2.keys()
+    for mid in rows1:
+        assert len(rows1[mid]) == mm.FEATURE_DIM
+        assert rows1[mid] == rows2[mid]  # content-seeded, not random
+
+
+def test_fake_decode_is_content_dependent():
+    a = mm.fake_decode(b"payload-a", "image/png")
+    b = mm.fake_decode(b"payload-b", "image/png")
+    assert a.shape == (8, 8)
+    assert (a != b).any()
+
+
+def test_strict_decode_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG", "image/png")
+
+
+def test_strict_pipeline_raises_at_action(media):
+    feats = mm.extract_features(media, strict=True)
+    with pytest.raises(Exception):  # PythonException wrapping NotImplementedError
+        feats.collect()
+
+
+def test_frame_sample(media):
+    sampled = mm.frame_sample(media, every_n=10)
+    ids = [r.media_id for r in sampled.select("media_id").collect()]
+    assert ids and all(i % 10 == 0 for i in ids)

@@ -1,0 +1,84 @@
+"""Physical-plan pins — the 100 TB properties, asserted.
+
+A query that silently loses predicate pushdown or broadcasts a fact table
+still passes correctness at sf0.01; these tests make the *plan* part of the
+contract (see plans/checks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.plans import (
+    count_exchanges,
+    has_pushed_filters,
+    has_whole_stage_codegen,
+    physical_plan,
+    reads_only_columns,
+    uses_broadcast_join,
+)
+from simpletons_map_reduce_spark.queries import REGISTRY
+from tests.conftest import SF0001
+
+
+def test_filter_scan_pushdown(spark):
+    df = REGISTRY["filter_scan"].fn(spark, SF0001)
+    # discount predicate reaches the parquet reader
+    assert has_pushed_filters(df, "l_discount")
+    # only the needed columns are read — no full-row materialization
+    assert reads_only_columns(
+        df,
+        "lineitem",
+        {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"},
+    )
+
+
+def test_wordcount_column_pruning(spark):
+    df = REGISTRY["wordcount"].fn(spark, SF0001)
+    assert reads_only_columns(df, "documents", {"text"})
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = REGISTRY["broadcast_join"].fn(spark, SF0001)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) == 0, "dim⋈dim must not shuffle"
+
+
+def test_pricing_summary_single_exchange(spark):
+    """Partial+final hash agg ⇒ exactly one shuffle for TPC-H Q1."""
+    df = REGISTRY["pricing_summary"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+    assert has_whole_stage_codegen(df)
+
+
+def test_topk_orders_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global sort."""
+    df = REGISTRY["topk_orders"].fn(spark, SF0001)
+    assert "TakeOrderedAndProject" in physical_plan(df, "simple")
+
+
+def test_semi_join_no_aggregation(spark):
+    """left_semi compiles to a semi join, not distinct+inner."""
+    plan = physical_plan(REGISTRY["semi_join"].fn(spark, SF0001), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_sessionize_single_shuffle_for_windows_and_agg(spark):
+    """lag + cumsum + groupBy(user,session) reuse ONE hash partitioning on
+    user_id — the partitioning-reuse property that matters at scale."""
+    df = REGISTRY["events_sessionize"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_near_dedup_signature_is_map_side(spark):
+    """MinHash signatures must not shuffle shingles: the only exchanges are
+    the band self-join and candidate-verification joins."""
+    df = REGISTRY["near_dedup"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    # no exchange may carry the exploded shingle rows; signature computation
+    # happens in the scan-side projection. Heuristic: 'hl' / 'sig' never
+    # appear as exchange keys.
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "shingle" not in line and "hl" not in line, line

@@ -1,0 +1,59 @@
+"""Similarity-search semantics: exact self-similarity, ANN recall vs the
+exact answer, and cross-engine vector-math parity."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.functions.vectors import (
+    cosine,
+    sql_cosine,
+    to_double_vec,
+)
+from simpletons_map_reduce_spark.queries import REGISTRY
+from tests.conftest import SF0001
+
+
+def test_cosine_self_similarity_is_one(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet").limit(20)
+    v = to_double_vec(F.col("embedding"))
+    rows = emb.select(cosine(v, v).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-12 for r in rows)
+
+
+def test_vector_fold_matches_duckdb_bit_for_bit(spark):
+    """The Spark sequential fold and the oracle's list_reduce fold must
+    produce the *same double*, not just a close one."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") == 1).select(
+        to_double_vec(F.col("embedding")).alias("v")
+    ).collect()[0].v
+    b = emb.filter(F.col("vec_id") == 2).select(
+        to_double_vec(F.col("embedding")).alias("v")
+    ).collect()[0].v
+    spark_cos = (
+        spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+        .select(cosine(F.col("a"), F.col("b")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    duck_cos = duckdb.sql(
+        f"SELECT {sql_cosine('$a', '$b')} AS c", params={"a": a, "b": b}
+    ).fetchone()[0]
+    assert spark_cos == duck_cos  # exact equality, same fold order
+
+
+def test_ann_recall_vs_exact(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["similarity_topk"].fn(spark, SF0001).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf"].fn(spark, SF0001).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # IVF with nprobe=3 over ~18 centroids should recover most true
+    # neighbors on this data; the exact floor is pinned so regressions show.
+    assert recall >= 0.5, f"ann_ivf recall {recall:.2f}"

@@ -1,0 +1,45 @@
+"""Streaming ≡ batch on bounded input.
+
+With every row on time (no late data in a replayed file), the streaming
+tumbling aggregate must produce exactly the batch query's answer, and
+session_window must agree with the batch lag/cumsum sessionization on
+session boundaries."""
+
+from __future__ import annotations
+
+from simpletons_map_reduce_spark.queries.registry import REGISTRY
+from simpletons_map_reduce_spark.streaming import (
+    run_to_memory,
+    sessionize_stream,
+    tumbling_stream,
+)
+from tests.conftest import SF0001
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream_rows = {
+        (r.w_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in run_to_memory(tumbling_stream(spark, SF0001), "t_tumble").collect()
+    }
+    batch_rows = {
+        (r.w_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in REGISTRY["events_tumbling"].fn(spark, SF0001).collect()
+    }
+    # batch sum_value is floor-rounded to 2dp; compare counts exactly and
+    # sums loosely
+    assert stream_rows.keys() == batch_rows.keys()
+    for k in batch_rows:
+        assert stream_rows[k][0] == batch_rows[k][0]
+        assert abs(stream_rows[k][1] - batch_rows[k][1]) < 0.02
+
+
+def test_session_stream_matches_batch_sessionization(spark):
+    stream = {
+        (r.user_id, r.session_start): r.n_events
+        for r in run_to_memory(sessionize_stream(spark, SF0001), "t_sess").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in REGISTRY["events_sessionize"].fn(spark, SF0001).collect()
+    }
+    assert stream == batch
