@@ -10,6 +10,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 from . import apps  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
 from . import text_ops  # noqa: E402,F401
 from . import dedup_ops  # noqa: E402,F401
 from . import similarity_ops  # noqa: E402,F401

@@ -22,7 +22,7 @@ join; the band table is ~num_bands× the doc count of (bigint, string) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_PRIME, minhash_params
@@ -215,6 +215,143 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spark_toks_expr() -> str:
     """Spark SQL expression string for the token array of ``text``."""
     return "filter(split(text, '[^\\\\p{L}]+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard: token-n-gram Jaccard with prefix filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+NGRAM_K = 3            # token trigrams (same gram space as near_dedup, so the
+                       # two candidate strategies — lossless prefix join vs
+                       # probabilistic LSH — are directly comparable)
+NJ_THRESHOLD_NUM = 8   # keep pairs with jaccard >= 8/10 (integer compare)
+NJ_THRESHOLD_DEN = 10
+
+#: prefix size for Jaccard >= t over a set of size sz: sz - ceil(t*sz) + 1
+#: (two sets with jaccard >= t MUST share an element within each other's
+#: prefix under a global element ordering — the prefix-filter principle).
+#: Integer form of ceil(NUM*sz/DEN): (NUM*sz + DEN - 1) div DEN.
+_NJ_PREFIX = (
+    f"sz - (({NJ_THRESHOLD_NUM} * sz + {NJ_THRESHOLD_DEN - 1})"
+    f" DIV {NJ_THRESHOLD_DEN}) + 1"
+)
+_NJ_PREFIX_SQL = (
+    f"sz - (({NJ_THRESHOLD_NUM} * sz + {NJ_THRESHOLD_DEN - 1})"
+    f" // {NJ_THRESHOLD_DEN}) + 1"
+)
+
+_BIGRAM_CASE = f"""
+CASE WHEN size(toks) >= {NGRAM_K}
+     THEN transform(sequence(1, size(toks) - {NGRAM_K - 1}),
+                    i -> array_join(slice(toks, i, {NGRAM_K}), ' '))
+     WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
+     ELSE array('') END
+"""
+
+_SQL_BIGRAM_CASE = f"""
+CASE WHEN len(toks) >= {NGRAM_K}
+     THEN list_transform(range(1, len(toks) - {NGRAM_K - 2}),
+                         i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))
+     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+     ELSE [''] END
+"""
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+ng AS (SELECT doc_id, list_distinct({_SQL_BIGRAM_CASE}) AS ngset FROM t),
+x AS (SELECT doc_id, len(ngset) AS sz, unnest(ngset) AS g FROM ng),
+df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g),
+ranked AS (
+    SELECT x.doc_id, x.sz, x.g,
+           row_number() OVER (PARTITION BY x.doc_id ORDER BY df.dfreq, x.g) AS rn
+    FROM x JOIN df USING (g)
+),
+pref AS (SELECT doc_id, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+verified AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(na.ngset, nb.ngset)) AS inter,
+           len(list_distinct(list_concat(na.ngset, nb.ngset))) AS uni
+    FROM cand
+    JOIN ng na ON na.doc_id = doc_a
+    JOIN ng nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, {sql_rn('inter * 1.0 / uni', 4)} AS jaccard
+FROM verified
+WHERE inter * {NJ_THRESHOLD_DEN} >= uni * {NJ_THRESHOLD_NUM}
+"""
+
+
+@register("ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("dedup",))
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram Jaccard near-dup pairs (>= 0.8) via prefix filtering.
+
+    The scale story is the PPJoin family rather than LSH: order every n-gram
+    by ascending global document frequency, keep only each set's
+    ``sz - ceil(t*sz) + 1`` rarest n-grams as its *prefix*, and generate
+    candidates by equi-joining prefixes.  Any pair with true Jaccard >= t is
+    guaranteed to collide on a prefix element, so the join is lossless
+    (unlike MinHash-LSH's probabilistic recall in ``near_dedup``), yet the
+    join input shrinks to ~(1-t)·|set| of the exploded n-grams, and because
+    prefixes hold the *rarest* grams the equi-join buckets stay tiny —
+    boilerplate n-grams ("of the") never enter the join.  Exact
+    verification then runs only on candidates.  All joins are equi-joins on
+    hashed keys; shuffle volume is O(docs · prefix) + O(candidates).
+    The threshold compare is integer (inter*10 >= uni*8), float-free.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ng = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(_BIGRAM_CASE.replace("toks", _spark_toks_expr()))
+        ).alias("ngset"),
+    )
+    x = ng.select(
+        "doc_id", F.size("ngset").alias("sz"), F.explode("ngset").alias("g")
+    )
+    dfreq = x.groupBy("g").agg(F.count("*").alias("dfreq"))
+    ranked = x.join(dfreq, "g").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("dfreq", "g")
+        ),
+    )
+    pref = ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}")).select("doc_id", "g")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    na = ng.select(F.col("doc_id").alias("doc_a"), F.col("ngset").alias("set_a"))
+    nb = ng.select(F.col("doc_id").alias("doc_b"), F.col("ngset").alias("set_b"))
+    verified = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+        )
+    )
+    from ..functions.rounding import rn
+
+    return (
+        verified.filter(
+            F.col("inter") * NJ_THRESHOLD_DEN >= F.col("uni") * NJ_THRESHOLD_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            rn(F.col("inter") * F.lit(1.0) / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Temporal join operators the reference (and stock Spark SQL) lack.
+
+The reference has no joins at all (SURVEY §2.C: "Joins: absent"), so these
+are tier-C extension operators, implemented as *compositions of built-in
+DataFrame ops* — no UDFs, no driver-side loops — per the custom-operator
+policy (composition first, Pandas UDF only when semantics demand it).
+
+- asof_join:  for every left event, the most recent right event at-or-before
+  it (same key).  Spark has no ASOF JOIN; the classic shuffle-efficient
+  formulation is union-tag-then-window: ONE shuffle on the key, no join
+  operator at all, no range explosion.  At 100 TB this beats any
+  join-then-filter plan because state per key is a single "last seen right
+  row" carried by a running window — the same trick a stream-stream as-of
+  join would use.
+- range_join: all same-key pairs within a time band.  A naive theta-join is
+  O(n²) per key; bucketing ts into band-width buckets turns it into an
+  equi-join on (key, bucket) with each left row probing exactly two buckets
+  — shuffle volume 2·|rows|, and Catalyst plans a plain hash join.
+
+Timestamps follow the events.py convention: epoch-microsecond bigints in all
+outputs (timezone-free, oracle-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# asof_join: click → latest prior purchase per user
+# ---------------------------------------------------------------------------
+
+ASOF_JOIN_ORACLE = f"""
+WITH clicks AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+purchases_dedup AS (
+    -- one row per (user, instant): deterministic ASOF target
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           max(event_id) AS p_event_id,
+           max_by(value, event_id) AS p_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts_us AS click_ts_us,
+       p.p_event_id AS purchase_id,
+       {sql_rn('p.p_value', 2)} AS purchase_value,
+       c.ts_us - p.ts_us AS lag_us
+FROM clicks c
+ASOF LEFT JOIN purchases_dedup p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+@register("asof_join", ASOF_JOIN_ORACLE, tags=("temporal",))
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest prior purchase.
+
+    Union both sides tagged (right rows sort before left rows at equal ts so
+    ``>=`` semantics hold), then a running ``last(ignorenulls)`` window per
+    user carries the most recent purchase forward onto every click row.
+    Exactly one shuffle (on user_id); no join operator; state per key is one
+    struct.  DuckDB's native ASOF LEFT JOIN is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast(
+            "struct<p_event_id:bigint,p_value:double,p_ts_us:bigint>"
+        ).alias("p"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        # one row per (user, instant) → deterministic match under ties
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("bigint").alias("click_id"),
+            F.lit(0).alias("side"),
+            F.struct(
+                F.col("p_event_id"),
+                F.col("p_value"),
+                F.col("ts_us").alias("p_ts_us"),
+            ).alias("p"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_p", F.last("p", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts_us").alias("click_ts_us"),
+            F.col("last_p.p_event_id").alias("purchase_id"),
+            rn(F.col("last_p.p_value"), 2).alias("purchase_value"),
+            (F.col("ts_us") - F.col("last_p.p_ts_us")).alias("lag_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# range_join: same-user event pairs within a 1-day band
+# ---------------------------------------------------------------------------
+
+BAND_US = 86_400_000_000  # 1 day in microseconds
+
+RANGE_JOIN_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+SELECT a.user_id,
+       a.event_id AS a_id,
+       b.event_id AS b_id,
+       b.ts_us - a.ts_us AS gap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.ts_us >= a.ts_us
+ AND b.ts_us - a.ts_us <= {BAND_US}
+ AND (b.ts_us > a.ts_us OR b.event_id > a.event_id)
+"""
+
+
+@register("range_join", RANGE_JOIN_ORACLE, tags=("temporal",))
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: unordered same-user event pairs at most one day apart.
+
+    Each pair is emitted once, (earlier, later); ties on ts break by
+    event_id.  Bucketing: the *earlier* row probes buckets {d, d+1} of width
+    BAND_US, the later row sits in its own bucket — any pair within the band
+    collides in exactly one bucket, so the theta-join becomes a hash
+    equi-join on (user_id, bucket) with a residual band filter.  The oracle
+    is the plain inequality join DuckDB can afford at sf0.01.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    bucket = (F.col("ts_us") / F.lit(BAND_US)).cast("long")
+    a = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts_us").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts_us").alias("b_ts"),
+        bucket.alias("bkt"),
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") - F.col("a_ts") <= BAND_US)
+            & (
+                (F.col("b_ts") > F.col("a_ts"))
+                | (F.col("b_id") > F.col("a_id"))
+            )
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (F.col("b_ts") - F.col("a_ts")).alias("gap_us"),
+        )
+    )
