@@ -1,3 +1,23 @@
-from .tables import TABLES, load_table, load_tables, read_wholetext
+from .tables import TABLES, load_table, load_tables, read_wholetext, spread
+from .sinks import (
+    read_jsonl,
+    read_kv_text,
+    write_jsonl,
+    write_kv_text,
+    write_kv_text_sorted,
+    write_parquet,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_wholetext"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_wholetext",
+    "spread",
+    "read_jsonl",
+    "read_kv_text",
+    "write_jsonl",
+    "write_kv_text",
+    "write_kv_text_sorted",
+    "write_parquet",
+]

@@ -1,0 +1,115 @@
+"""File sinks — the reference's output formats as distributed writers.
+
+Reference sinks (SURVEY §1.3):
+- final output  "<key> <value>\\n" per line in ``mr-out-<p>``, one file per
+  reduce partition (mr/worker.go:187-191,233);
+- result assembly: the harness reads the *sorted union* of all partition
+  files (``sort mr-out-* | grep .``, main/test-mr.sh:103);
+- intermediates: JSON-Lines ``mr-i-<p>`` (mr/worker.go:92-126) — in Spark
+  these are internal shuffle files, but the format survives as an explicit
+  checkpoint/export sink.
+
+Spark-side, "one file per partition" falls out of the one-file-per-task
+commit protocol, and the exactly-once OutputCommitter replaces the
+reference's append-on-retry duplication hazard (mr/worker.go:95, SURVEY
+§4.3.1).  Writers take ``num_files`` to control output fan-in explicitly
+instead of relying on whatever the upstream partitioning happened to be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_kv_text(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """mr-out sink: "<key> <value>" lines, one file per partition (A10).
+
+    ``df`` must have (key, value)-shaped first two columns; everything is
+    cast to string exactly like the reference's ``fmt.Fprintf("%v %v\\n")``.
+    """
+    k, v = df.columns[0], df.columns[1]
+    out = df.select(
+        F.concat_ws(
+            " ", F.col(k).cast("string"), F.col(v).cast("string")
+        ).alias("value")
+    )
+    if num_files is not None:
+        out = out.repartition(num_files)
+    out.write.mode("overwrite").text(path)
+
+
+def write_kv_text_sorted(df: DataFrame, path: str, num_files: int = 1) -> None:
+    """Globally sorted text output ≙ ``sort mr-out-* | grep .`` (A11).
+
+    A global ``orderBy`` range-partitions into ``num_files`` sorted,
+    non-overlapping files whose concatenation in filename order is the
+    fully sorted result — the distributed form of the harness's driver-side
+    sort.  num_files=1 reproduces the single sorted stream for small
+    results; leave it >1 at scale.
+    """
+    k, v = df.columns[0], df.columns[1]
+    out = (
+        df.select(
+            F.concat_ws(
+                " ", F.col(k).cast("string"), F.col(v).cast("string")
+            ).alias("value")
+        )
+        .filter(F.col("value") != "")
+        .orderBy("value")
+    )
+    if num_files == 1:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
+def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read an mr-out-format directory back to (key, value) strings.
+
+    Split on the FIRST space only — values may contain spaces (the
+    indexer's "<count> <doc,list>" output, mrapps/indexer.go:36-39)."""
+    lines = spark.read.text(path).where(F.instr("value", " ") > 0)
+    return lines.select(
+        F.expr("substring(value, 1, instr(value, ' ') - 1)").alias("key"),
+        F.expr("substring(value, instr(value, ' ') + 1)").alias("value"),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """JSON-Lines export ≙ the mr-i-* intermediate format (A6), as an
+    explicit checkpoint (Spark's shuffle replaces it as an internal)."""
+    out = df if num_files is None else df.repartition(num_files)
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Read a JSON-Lines directory; pass ``schema`` to skip the inference
+    scan (mandatory at 100 TB — inference reads the whole input twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Production columnar sink. ``partition_by`` creates hive-style
+    directory partitions (enables partition pruning for downstream readers);
+    ``num_files`` bounds files per partition via repartition on the
+    partition columns (avoids the many-small-files failure mode when
+    upstream parallelism is high)."""
+    out = df
+    if num_files is not None:
+        out = (
+            df.repartition(num_files, *partition_by)
+            if partition_by
+            else df.repartition(num_files)
+        )
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -88,11 +88,14 @@ def sessionize_stream(
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DF to completion into an in-memory table and return
-    the result as a batch DataFrame (local test harness)."""
+    the result as a batch DataFrame (local test harness).
+
+    ``mode`` overrides the inferred output mode (stateful operators declare
+    their own — applyInPandasWithState's "update" must match the sink's)."""
     q = (
-        df.writeStream.outputMode("complete" if _has_agg(df) else "append")
+        df.writeStream.outputMode(mode or ("complete" if _has_agg(df) else "append"))
         .format("memory")
         .queryName(name)
         .start()

@@ -1,0 +1,78 @@
+"""Sink round-trips: the reference's output formats written and read back
+distributed, with the sorted-union assembly reproduced exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.queries.registry import REGISTRY
+from simpletons_map_reduce_spark.sources import (
+    read_jsonl,
+    read_kv_text,
+    write_jsonl,
+    write_kv_text,
+    write_kv_text_sorted,
+    write_parquet,
+)
+from tests.conftest import SF0001
+
+
+def _wordcount_kv(spark):
+    return REGISTRY["wordcount"].fn(spark, SF0001)
+
+
+def test_kv_text_roundtrip(spark, tmp_path):
+    df = _wordcount_kv(spark)
+    path = str(tmp_path / "out")
+    write_kv_text(df, path, num_files=4)
+    back = read_kv_text(spark, path)
+    want = sorted((r[0], str(r[1])) for r in df.collect())
+    got = sorted((r.key, r.value) for r in back.collect())
+    assert got == want
+
+
+def test_kv_text_sorted_is_global_sorted_union(spark, tmp_path):
+    """mr-out assembly contract (main/test-mr.sh:103): the concatenated
+    output must equal `sort` over all "<key> <value>" lines."""
+    df = _wordcount_kv(spark)
+    path = str(tmp_path / "sorted")
+    write_kv_text_sorted(df, path)
+    lines = [r.value for r in spark.read.text(path).collect()]
+    want = sorted(f"{r[0]} {r[1]}" for r in df.collect())
+    assert lines == want
+
+
+def test_kv_value_with_spaces_survives(spark, tmp_path):
+    """Indexer-style values ("<count> <doc,list>") must round-trip: only the
+    first space separates key from value (mrapps/indexer.go:36-39)."""
+    df = spark.createDataFrame(
+        [("word", "3 doc1,doc2,doc3"), ("zeta", "1 doc9")], "key string, value string"
+    )
+    path = str(tmp_path / "idx")
+    write_kv_text(df, path)
+    got = sorted((r.key, r.value) for r in read_kv_text(spark, path).collect())
+    assert got == [("word", "3 doc1,doc2,doc3"), ("zeta", "1 doc9")]
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    df = _wordcount_kv(spark)
+    cols = df.columns
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path, num_files=2)
+    back = read_jsonl(spark, path, schema=f"{cols[0]} string, {cols[1]} bigint")
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_parquet_partitioned_sink_prunes(spark, tmp_path):
+    """partitionBy must produce hive dirs a reader can prune on."""
+    docs = REGISTRY["lang_id"].fn(spark, SF0001)
+    path = str(tmp_path / "pq")
+    write_parquet(docs, path, partition_by=["pred_lang"], num_files=2)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("pred_lang") == back.select("pred_lang").first().pred_lang)
+    # partition pruning: the pushed plan reads only the chosen directory
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred_lang" in plan
+    assert one.count() > 0
