@@ -24,7 +24,8 @@ from simpletons_map_reduce_spark.queries import REGISTRY  # noqa: E402
 from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 
 #: Headline set: one per operator family (scan, agg, star join, window,
-#: sessionization, dedup exact/near, text, tf-idf, similarity).
+#: sessionization, dedup exact/near/set-similarity, temporal joins, text,
+#: tf-idf, similarity).
 HEADLINE = [
     "wordcount",
     "pricing_summary",
@@ -33,6 +34,9 @@ HEADLINE = [
     "events_sessionize",
     "exact_dedup",
     "near_dedup",
+    "ngram_jaccard",
+    "asof_join",
+    "range_join",
     "tfidf_topterms",
     "similarity_topk",
     "token_count",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import MINHASH_PRIME, minhash_params
 from ..functions.rounding import sql_rn
@@ -132,12 +133,17 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inter*2 >= uni) so no float boundary can disagree with the oracle.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # The shingle-set relation feeds three consumers (band generation + both
+    # sides of candidate verification); persist so tokenize/shingle/distinct
+    # runs once instead of three times.  MEMORY_AND_DISK: at cluster scale
+    # the sets spill rather than OOM, and eviction just falls back to
+    # lineage recompute.
     shs = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
         ).alias("shset"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
     # permutations as its OWN constant-inlined expression: higher-order
     # functions are interpreted (not codegen'd), so a nested
@@ -301,12 +307,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare is integer (inter*10 >= uni*8), float-free.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # gram sets feed dfreq, ranking, and both verification sides — persist
+    # (same rationale as near_dedup's shingle sets).
     ng = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(_BIGRAM_CASE.replace("toks", _spark_toks_expr()))
         ).alias("ngset"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     x = ng.select(
         "doc_id", F.size("ngset").alias("sz"), F.explode("ngset").alias("g")
     )
@@ -317,7 +325,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy("dfreq", "g")
         ),
     )
-    pref = ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}")).select("doc_id", "g")
+    # both sides of the candidate self-join re-derive the prefix relation
+    # (scan → dfreq join → window); persist the small (doc_id, g) result.
+    pref = (
+        ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}"))
+        .select("doc_id", "g")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         pref.alias("a")
         .join(
