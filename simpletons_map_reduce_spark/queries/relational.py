@@ -250,6 +250,32 @@ def union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.union(finished).distinct().subtract(building)
 
 
+INTERSECT_ORACLE = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+@register("intersect_op", INTERSECT_ORACLE, tags=("relational",))
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — completes the set-op family with union/except.
+
+    Catalyst plans intersect as a left-semi join over distinct inputs; the
+    year predicates push into one shared parquet scan per branch.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return y96.intersect(y97)
+
+
 TOPK_ORDERS_ORACLE = """
 SELECT o_orderkey, o_totalprice
 FROM orders
