@@ -76,29 +76,26 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.lit(1).alias("side"),
         F.lit(None).cast(
-            "struct<p_event_id:bigint,p_value:double,p_ts_us:bigint>"
+            "struct<p_ts_us:bigint,p_event_id:bigint,p_value:double>"
         ).alias("p"),
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        # one row per (user, instant) → deterministic match under ties
-        .groupBy("user_id", "ts_us")
-        .agg(
-            F.max("event_id").alias("p_event_id"),
-            F.max_by("value", "event_id").alias("p_value"),
-        )
-        .select(
-            "user_id",
-            "ts_us",
-            F.lit(None).cast("bigint").alias("click_id"),
-            F.lit(0).alias("side"),
-            F.struct(
-                F.col("p_event_id"),
-                F.col("p_value"),
-                F.col("ts_us").alias("p_ts_us"),
-            ).alias("p"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(0).alias("side"),
+        F.struct(
+            F.col("ts_us").alias("p_ts_us"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+        ).alias("p"),
     )
+    # Running max of the (ts, id, value) struct IS the as-of state: struct
+    # ordering is lexicographic, so the max over all prior purchase rows is
+    # the latest one, ties on instant resolved to max event_id — the same
+    # dedup the oracle does with max_by, but without a separate pre-agg
+    # shuffle.  max() skips nulls, so click rows pass through untouched and
+    # the whole operator costs exactly ONE exchange (on user_id).
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "side")
@@ -106,7 +103,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         clicks.unionByName(purchases)
-        .withColumn("last_p", F.last("p", ignorenulls=True).over(w))
+        .withColumn("last_p", F.max("p").over(w))
         .filter(F.col("side") == 1)
         .select(
             "click_id",
@@ -151,7 +148,8 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the plain inequality join DuckDB can afford at sf0.01.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
-    bucket = (F.col("ts_us") / F.lit(BAND_US)).cast("long")
+    # integer division: a double-precision divide loses exactness past 2^53
+    bucket = F.expr(f"ts_us div {BAND_US}")
     a = ev.select(
         F.col("user_id"),
         F.col("event_id").alias("a_id"),

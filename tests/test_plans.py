@@ -82,3 +82,37 @@ def test_near_dedup_signature_is_map_side(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "shingle" not in line and "hl" not in line, line
+
+
+def test_asof_join_single_exchange(spark):
+    """union + running max(struct) window = ONE shuffle on the key; no join
+    operator, no pre-dedup aggregation exchange."""
+    df = REGISTRY["asof_join"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+    assert "Join" not in physical_plan(df, "simple")
+
+
+def test_range_join_is_equi_join_not_cartesian(spark):
+    """Band bucketing must plan a hash equi-join on (user, bucket) — never
+    a nested-loop/cartesian over the theta condition."""
+    plan = physical_plan(REGISTRY["range_join"].fn(spark, SF0001), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """Expand + one partial/final aggregate pair — not unioned re-scans."""
+    df = REGISTRY["grouping_sets"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_events_hopping_single_scan(spark):
+    """The slide expansion happens before the partial agg — one scan, one
+    shuffle of pre-combined partials."""
+    df = REGISTRY["events_hopping"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert count_exchanges(df) == 1
