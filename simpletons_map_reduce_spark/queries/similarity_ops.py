@@ -13,7 +13,11 @@
   measures recall against similarity_topk instead.
 
 All cosine math is sequential-fold double arithmetic mirrored exactly by the
-oracle (functions/vectors.py), never a Python UDF.
+oracle (functions/vectors.py), never a Python UDF.  Each vector's norm is
+computed ONCE per row (cosine_from_parts), so pair scoring costs one fold,
+not three.  (Unrolling the 64-dim fold into flat expression chains was
+measured SLOWER — ~200-node trees push the generated code past JIT-friendly
+sizes — so the fold stays a higher-order function; see SCALE.md.)
 """
 
 from __future__ import annotations
@@ -23,12 +27,27 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.rounding import rn, sql_rn
-from ..functions.vectors import cosine, sql_cosine, to_double_vec
+from ..functions.vectors import (
+    cosine_from_parts,
+    dot,
+    norm2,
+    sql_cosine,
+    to_double_vec,
+)
 from ..sources.tables import load_table
 from .registry import register
 
 TOPK_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
+EMB_DIM = 64    # embeddings dimensionality (FIXTURES.md)
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v double-array, nv) — norm precomputed per vector."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_vec(F.col("embedding")).alias("v")
+    )
+    return emb.withColumn("nv", norm2(F.col("v")))
 
 SIMILARITY_TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -53,11 +72,11 @@ FROM ranked WHERE rk <= {TOPK_K}
 @register("similarity_topk", SIMILARITY_TOPK_ORACLE, tags=("similarity",))
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a broadcast query set."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_vec(F.col("embedding")).alias("v")
-    )
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -65,7 +84,14 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            rn(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            rn(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")),
+                    F.col("nq"),
+                    F.col("nv"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -102,18 +128,22 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equi-join on label is the blocking step — the 100 TB version swaps
     `label` for an LSH/IVF cluster id with identical plan shape.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_vec(F.col("embedding")).alias("v")
-    )
+    emb = _emb_with_norm(spark, sf_dir)
     a = emb.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = emb.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
-    cos_raw = cosine(F.col("va"), F.col("vb"))
+    cos_raw = cosine_from_parts(
+        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
     return (
         a.join(
             b,
@@ -141,19 +171,23 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only vectors assigned there.  Same output schema as similarity_topk;
     tests measure recall against the exact answer.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_vec(F.col("embedding")).alias("v")
-    )
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("ncv"),
     )
 
-    def argmax_cents(df: DataFrame, id_col: str, vec_col: str, topn: int, out: str):
+    def argmax_cents(df: DataFrame, id_col: str, cols: list, topn: int, out: str):
+        vec_col, norm_col = cols[-2], cols[-1]
         scored = df.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
+            *cols,
             "cent_id",
-            cosine(F.col(vec_col), F.col("cv")).alias("c_score"),
+            cosine_from_parts(
+                dot(F.col(vec_col), F.col("cv")),
+                F.col(norm_col),
+                F.col("ncv"),
+            ).alias("c_score"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("c_score").desc(), F.col("cent_id")
@@ -161,21 +195,30 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             scored.withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") <= topn)
-            .select(id_col, vec_col, F.col("cent_id").alias(out))
+            .select(*cols, F.col("cent_id").alias(out))
         )
 
-    assigned = argmax_cents(emb, "vec_id", "v", 1, "cluster")
+    assigned = argmax_cents(emb, "vec_id", ["vec_id", "v", "nv"], 1, "cluster")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    probes = argmax_cents(queries, "query_id", "qv", NPROBE, "cluster")
+    probes = argmax_cents(queries, "query_id", ["query_id", "qv", "nq"], NPROBE, "cluster")
     scored = (
         probes.join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            rn(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            rn(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")),
+                    F.col("nq"),
+                    F.col("nv"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -285,9 +328,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on broadcast-free equi-joins; the corpus is scanned once for
     signatures and once per probe-bucket match for scoring.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_vec(F.col("embedding")).alias("v")
-    )
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     # (vec_id, band, bkey) only — signatures are computed once and persisted;
     # vectors are re-joined by id AFTER candidate dedup so the bucket join
     # and the distinct never shuffle 64-dim payloads, just ids and 4-char
@@ -310,7 +351,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         cand.join(F.broadcast(qvecs), "query_id")
@@ -318,7 +361,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            rn(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            rn(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")),
+                    F.col("nq"),
+                    F.col("nv"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
