@@ -407,3 +407,74 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+PROMO_REVENUE_ORACLE = f"""
+SELECT {sql_rn("100.0 * sum(CASE WHEN p_type = 'PROMO' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+               "/ sum(l_extendedprice * (1 - l_discount))", 4)} AS promo_pct,
+       {sql_rn('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@register("promo_revenue", PROMO_REVENUE_ORACLE, tags=("relational",))
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dimension with conditional aggregation.
+
+    ``part`` scales with SF but stays dimension-small relative to lineitem;
+    broadcast is declared explicitly, and only (p_partkey, p_type) is read
+    from the part scan (column pruning pinned in test_plans).
+    """
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            rn(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            rn(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+SUPPLIER_REVENUE_ORACLE = f"""
+SELECT n_name,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       {sql_rn('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("supplier_revenue", SUPPLIER_REVENUE_ORACLE, tags=("relational",))
+def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and active-supplier count per supplier nation (Q9-lite).
+
+    supplier⋈nation reduces to a broadcast pair; the fact join carries only
+    (l_suppkey, revenue) into the aggregate, and the distinct-count rides
+    the same (n_name) shuffle as the sum.
+    """
+    li, supplier, nation = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    dims = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select("l_suppkey", rev.alias("rev"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            rn(F.sum("rev"), 2).alias("revenue"),
+        )
+    )

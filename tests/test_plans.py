@@ -116,3 +116,9 @@ def test_events_hopping_single_scan(spark):
     plan = physical_plan(df, "simple")
     assert plan.count("FileScan") == 1
     assert count_exchanges(df) == 1
+
+
+def test_promo_revenue_prunes_part_columns(spark):
+    df = REGISTRY["promo_revenue"].fn(spark, SF0001)
+    assert uses_broadcast_join(df)
+    assert reads_only_columns(df, "part", {"p_partkey", "p_type"})
