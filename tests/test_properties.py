@@ -1,0 +1,90 @@
+"""Property-based and adversarial-input tests.
+
+The tokenizer contract (maximal runs of Unicode letters, mrapps/wc.go:19-32)
+must hold for the Python map-fn and the DuckDB oracle on *arbitrary* text,
+not just the fixtures — hypothesis explores the space cheaply (no JVM in the
+loop; Spark-side parity is pinned by test_tokenizer.py on fixed fixtures).
+
+The MapReduce framework must satisfy run_job ≡ run_sequential on adversarial
+key/value data (empty strings, unicode keys, whitespace, duplicate keys) —
+the reference's differential-testing idea pushed to hostile inputs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simpletons_map_reduce_spark.functions.text import sql_tokens
+from simpletons_map_reduce_spark.mapreduce import (
+    _letters_split,
+    run_job,
+    run_sequential,
+)
+
+# Broad-but-sane alphabet: latin+accents, greek, cyrillic, CJK, digits,
+# punctuation, whitespace.  Deliberately excludes exotic Unicode categories
+# (combining marks, compatibility forms) where regex engines legitimately
+# disagree and which the reference's Gutenberg corpus never contains.
+ALPHABET = (
+    "abcXYZ àéîõü ÇÅØ αβγΩ жзй 漢字仮名 0123456789"
+    " .,!?'\"-_()[]{}@#$%&*+=/\\\t\n"
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=ALPHABET, max_size=200))
+def test_tokenizer_python_duckdb_parity(text):
+    py = _letters_split(text)
+    sql = duckdb.sql(
+        f"SELECT {sql_tokens('$t')} AS toks", params={"t": text}
+    ).fetchone()[0]
+    assert py == sql
+
+
+def _adversarial_kv(n=300):
+    prng = random.Random(42)
+    keys = [
+        "",
+        " ",
+        "k with spaces",
+        "line\nbreak",
+        "unicode·键·κλειδί",
+        "dup",
+        "DUP",
+        "0",
+        "k" * 200,
+    ]
+    rows = []
+    for i in range(n):
+        k = prng.choice(keys) + (str(i % 7) if prng.random() < 0.5 else "")
+        v = prng.choice(["", "x", "value v", "π≈3.14159", str(i)])
+        rows.append((k, v))
+    return rows
+
+
+def test_run_job_equals_sequential_on_adversarial_kv(spark):
+    rows = _adversarial_kv()
+    inputs = spark.createDataFrame(rows, "key string, value string")
+
+    def mapf(k, v):
+        # 1→N expansion with key rewriting; exercises empty keys/values
+        return [(k, v), (v, k)] if v else [(k, "∅")]
+
+    def reducef(key, values):
+        return "|".join(values)  # values arrive sorted (B7 idiom)
+
+    dist = {
+        (r.key, r.value)
+        for r in run_job(spark, mapf, reducef, inputs, num_partitions=7).collect()
+    }
+    seq = {
+        (r.key, r.value)
+        for r in run_sequential(spark, mapf, reducef, inputs).collect()
+    }
+    assert dist == seq
+    # one output row per distinct intermediate key
+    assert len({k for k, _ in dist}) == len(dist)
