@@ -1,4 +1,12 @@
-from .tables import TABLES, load_table, load_tables, read_wholetext, spread
+from .tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_wholetext,
+    register_views,
+    spread,
+    sql,
+)
 from .sinks import (
     read_jsonl,
     read_kv_text,
@@ -13,7 +21,9 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_wholetext",
+    "register_views",
     "spread",
+    "sql",
     "read_jsonl",
     "read_kv_text",
     "write_jsonl",

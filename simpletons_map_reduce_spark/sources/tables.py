@@ -81,3 +81,20 @@ def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
         F.col("value").alias("content"),
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view so raw ``spark.sql``
+    works against the same normalized schemas the DataFrame queries use
+    (events keeps its ts/ts_us normalization — the views and the query
+    library can never disagree on timestamp semantics)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ANSI SQL over the driver tables (convenience wrapper: views are
+    (re)registered first, then the statement is planned by Catalyst like
+    any DataFrame query)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

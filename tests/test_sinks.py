@@ -76,3 +76,21 @@ def test_parquet_partitioned_sink_prunes(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pred_lang" in plan
     assert one.count() > 0
+
+
+def test_sql_surface_matches_dataframe_query(spark):
+    """spark.sql over the registered views ≡ the DataFrame query library."""
+    from simpletons_map_reduce_spark.sources.tables import sql
+
+    got = sql(
+        spark,
+        SF0001,
+        """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2
+        """,
+    ).collect()
+    li = REGISTRY["pricing_summary"].fn(spark, SF0001).collect()
+    by_key_sql = {(r.l_returnflag, r.l_linestatus): r.n for r in got}
+    by_key_df = {(r.l_returnflag, r.l_linestatus): r.count_order for r in li}
+    assert by_key_sql == by_key_df
