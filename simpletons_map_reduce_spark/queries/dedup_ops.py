@@ -167,6 +167,10 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(NUM_PERM // BAND_ROWS)
     ]
+    # persist: both sides of the LSH bucket self-join consume this relation,
+    # and the md5 + NUM_PERM min-folds over every shingle are the dominant
+    # map-side cost — computing them once matters more than the shset cache.
+    # Tiny payload: (doc_id, band, 4-hash key) × num_bands rows per doc.
     bands = (
         shs.withColumn(
             "hl",
@@ -179,6 +183,7 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *sig_cols)
         .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = bands.alias("x")
     right = bands.alias("y")
