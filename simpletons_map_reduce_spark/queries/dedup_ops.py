@@ -434,3 +434,81 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fp, "doc_id", "left")
         .select("doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def _build_clusters_oracle() -> str:
+    """Recursive-CTE twin of the iterative label propagation: cluster id =
+    min doc_id reachable through near-dup pairs.  Reuses NEAR_DEDUP_ORACLE's
+    CTE list verbatim so the two queries can never disagree on the graph."""
+    body = NEAR_DEDUP_ORACLE.strip()
+    assert body.startswith("WITH ")
+    idx = body.rindex("SELECT doc_a")
+    ctes = body[len("WITH "):idx].rstrip().rstrip(",")
+    final_select = body[idx:]
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final_select}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)
+SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
+"""
+
+
+MAX_CC_ITERATIONS = 20
+
+
+@register("dedup_clusters", _build_clusters_oracle(), tags=("dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: hash-to-min label propagation.
+
+    The scalable connected-components formulation (no driver-side graph):
+    every node starts labeled with its own id; each round, labels flow
+    across edges and every node keeps the min of (own, neighbors'); stop
+    when a round changes nothing.  Rounds = graph diameter — near-dup
+    clusters are tiny cliques, so 2-3 rounds in practice.  Each round is
+    one join + one partial/final min-aggregate; ``localCheckpoint`` cuts
+    lineage so plans don't grow with iteration count (the standard Spark
+    iterative-algorithm discipline).  The convergence check is a count
+    action per round — the data never collects to the driver.
+    """
+    pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        msgs = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            msgs.union(labels.select("doc_id", "cluster_id"))
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
