@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn, sql_rn
+from ..operators.skew import salted_topk
 from ..sources.tables import load_table, load_tables
 from .registry import register
 
@@ -176,6 +177,35 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+SALTED_WINDOW_RANK_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk
+FROM (
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_extendedprice DESC,
+                                       l_orderkey, l_linenumber) AS rk
+    FROM lineitem
+)
+WHERE rk <= 5
+"""
+
+
+@register("salted_window_rank", SALTED_WINDOW_RANK_ORACLE, tags=("relational", "skew"))
+def salted_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient top-5 lineitems per supplier via two-phase salted
+    ranking (operators/skew.py).  Result-identical to a plain window — the
+    oracle is the plain-window SQL — but a hot supplier's rows are split
+    ``salt`` ways in phase 1, so no single task ever sees a whole hot key.
+    This is the shape `window_rank` degrades into at 100 TB with skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_topk(
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=5,
     )
 
 

@@ -1,0 +1,56 @@
+"""salted_topk (operators/skew.py) must be result-identical to a plain
+window top-k, including on pathologically skewed keys and ties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.operators.skew import salted_topk
+
+
+def _plain_topk(df, part_keys, order_by, k):
+    w = Window.partitionBy(*part_keys).orderBy(*order_by)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key "hot": 5000 rows; keys k0..k9: 3 rows each; key "one": 1 row.
+    rows = [("hot", i, float(i % 97)) for i in range(5000)]
+    rows += [(f"k{j}", i, float(i)) for j in range(10) for i in range(3)]
+    rows += [("one", 0, 42.0)]
+    return spark.createDataFrame(rows, "key string, id int, score double").cache()
+
+
+@pytest.mark.parametrize("k", [1, 5, 100])
+def test_salted_matches_plain_window(spark, skewed, k):
+    order = [F.col("score").desc(), F.col("id")]
+    got = sorted(
+        map(tuple, salted_topk(skewed, ["key"], order, k=k, salt=7).collect())
+    )
+    want = sorted(map(tuple, _plain_topk(skewed, ["key"], order, k).collect()))
+    assert got == want
+
+
+def test_salt_one_degenerates_to_plain(spark, skewed):
+    order = [F.col("score").desc(), F.col("id")]
+    got = sorted(
+        map(tuple, salted_topk(skewed, ["key"], order, k=3, salt=1).collect())
+    )
+    want = sorted(map(tuple, _plain_topk(skewed, ["key"], order, 3).collect()))
+    assert got == want
+
+
+def test_ties_broken_deterministically(spark):
+    # All scores equal — the id tiebreaker alone decides the top-k.
+    df = spark.createDataFrame(
+        [("a", i, 1.0) for i in range(200)], "key string, id int, score double"
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    got = salted_topk(df, ["key"], order, k=4, salt=5).orderBy("rk").collect()
+    assert [(r.id, r.rk) for r in got] == [(0, 1), (1, 2), (2, 3), (3, 4)]
