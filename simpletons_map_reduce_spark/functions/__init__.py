@@ -1,6 +1,6 @@
 from .rounding import r2, r4, r6, rn, sql_rn
 from .text import TOKEN_SPLIT_RE, tokens, tokens_lower, sql_tokens
-from .hashing import md5_int, sql_md5_int
+from .hashing import md5_mod_prime, sql_md5_mod_prime
 from .vectors import cosine, dot, to_double_vec
 
 __all__ = [
@@ -13,8 +13,8 @@ __all__ = [
     "tokens",
     "tokens_lower",
     "sql_tokens",
-    "md5_int",
-    "sql_md5_int",
+    "md5_mod_prime",
+    "sql_md5_mod_prime",
     "cosine",
     "dot",
     "to_double_vec",

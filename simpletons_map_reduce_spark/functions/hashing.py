@@ -5,10 +5,13 @@ lands in never changes query *results* (SURVEY §2.A A5), so we do not need
 FNV parity — we need a hash both Spark and DuckDB can compute identically so
 that MinHash / fingerprint operators are oracle-checkable.
 
-``md5_int``: first 15 hex chars of md5 → 60-bit non-negative bigint.  md5 is
-byte-identical across engines; 15 nibbles keep the value < 2^60 so affine
-permutations ``(a*h + b) % p`` with a,b,h < 2^31 stay inside signed-64
-arithmetic on both sides (no overflow divergence).
+The live convention (near_dedup, simhash) is the first 8 hex chars of md5 →
+32-bit non-negative bigint; MinHash call sites additionally reduce it mod
+``MINHASH_PRIME`` *before* the affine permutation ``(a*h + b) % p`` so that
+with a, b, h < 2^31 the product stays < 2^62 — inside signed-64 arithmetic
+on both engines (no overflow divergence).  ``md5_mod_prime`` /
+``sql_md5_mod_prime`` package exactly that convention; do not feed a wider
+hash into the permutations.
 """
 
 from __future__ import annotations
@@ -20,13 +23,17 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 2_147_483_647
 
 
-def md5_int(col: Column) -> Column:
-    """60-bit bigint from md5(col) — identical in Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+def md5_mod_prime(col: Column) -> Column:
+    """32-bit md5 prefix reduced mod MINHASH_PRIME — safe input for the
+    affine MinHash permutations; identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MINHASH_PRIME
+    )
 
 
-def sql_md5_int(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+def sql_md5_mod_prime(expr: str) -> str:
+    """DuckDB twin of :func:`md5_mod_prime`."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {MINHASH_PRIME})"
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.hashing import MINHASH_PRIME, minhash_params
+from ..functions.hashing import (
+    MINHASH_PRIME,
+    md5_mod_prime,
+    minhash_params,
+    sql_md5_mod_prime,
+)
 from ..functions.rounding import sql_rn
 from ..functions.text import sql_tokens, tokens
 from ..sources.tables import load_table, spread
@@ -93,8 +98,7 @@ NEAR_DEDUP_ORACLE = f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
 shs AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_CASE}) AS shset FROM t),
 shx AS (SELECT doc_id, unnest(shset) AS shingle FROM shs),
-h AS (SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_PRIME}) AS h0
+h AS (SELECT doc_id, {sql_md5_mod_prime('shingle')} AS h0
       FROM shx),
 mh AS (SELECT doc_id, perms.i AS i,
               min((perms.a * h0 + perms.b) % {MINHASH_PRIME}) AS mh
@@ -172,14 +176,7 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side cost — computing them once matters more than the shset cache.
     # Tiny payload: (doc_id, band, 4-hash key) × num_bands rows per doc.
     bands = (
-        shs.withColumn(
-            "hl",
-            F.transform(
-                "shset",
-                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-                % MINHASH_PRIME,
-            ),
-        )
+        shs.withColumn("hl", F.transform("shset", md5_mod_prime))
         .select("doc_id", *sig_cols)
         .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
@@ -251,7 +248,7 @@ _NJ_PREFIX_SQL = (
     f" // {NJ_THRESHOLD_DEN}) + 1"
 )
 
-_BIGRAM_CASE = f"""
+_TRIGRAM_CASE = f"""
 CASE WHEN size(toks) >= {NGRAM_K}
      THEN transform(sequence(1, size(toks) - {NGRAM_K - 1}),
                     i -> array_join(slice(toks, i, {NGRAM_K}), ' '))
@@ -259,7 +256,7 @@ CASE WHEN size(toks) >= {NGRAM_K}
      ELSE array('') END
 """
 
-_SQL_BIGRAM_CASE = f"""
+_SQL_TRIGRAM_CASE = f"""
 CASE WHEN len(toks) >= {NGRAM_K}
      THEN list_transform(range(1, len(toks) - {NGRAM_K - 2}),
                          i -> array_to_string(toks[i:i+{NGRAM_K - 1}], ' '))
@@ -269,7 +266,7 @@ CASE WHEN len(toks) >= {NGRAM_K}
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
-ng AS (SELECT doc_id, list_distinct({_SQL_BIGRAM_CASE}) AS ngset FROM t),
+ng AS (SELECT doc_id, list_distinct({_SQL_TRIGRAM_CASE}) AS ngset FROM t),
 x AS (SELECT doc_id, len(ngset) AS sz, unnest(ngset) AS g FROM ng),
 df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g),
 ranked AS (
@@ -296,7 +293,7 @@ WHERE inter * {NJ_THRESHOLD_DEN} >= uni * {NJ_THRESHOLD_NUM}
 
 @register("ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("dedup",))
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-bigram Jaccard near-dup pairs (>= 0.8) via prefix filtering.
+    """Token-trigram Jaccard near-dup pairs (>= 0.8) via prefix filtering.
 
     The scale story is the PPJoin family rather than LSH: order every n-gram
     by ascending global document frequency, keep only each set's
@@ -317,7 +314,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = docs.select(
         "doc_id",
         F.array_distinct(
-            F.expr(_BIGRAM_CASE.replace("toks", _spark_toks_expr()))
+            F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
         ).alias("ngset"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     x = ng.select(
@@ -470,17 +467,26 @@ MAX_CC_ITERATIONS = 20
 
 @register("dedup_clusters", _build_clusters_oracle(), tags=("dedup",))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup PAIRS: hash-to-min label propagation.
+    """Duplicate CLUSTERS from near-dup PAIRS: hash-to-min label propagation
+    with pointer jumping.
 
     The scalable connected-components formulation (no driver-side graph):
-    every node starts labeled with its own id; each round, labels flow
-    across edges and every node keeps the min of (own, neighbors'); stop
-    when a round changes nothing.  Rounds = graph diameter — near-dup
-    clusters are tiny cliques, so 2-3 rounds in practice.  Each round is
-    one join + one partial/final min-aggregate; ``localCheckpoint`` cuts
-    lineage so plans don't grow with iteration count (the standard Spark
-    iterative-algorithm discipline).  The convergence check is a count
-    action per round — the data never collects to the driver.
+    every node starts labeled with its own id; each round, (1) labels flow
+    across edges and every node keeps the min of (own, neighbors'), then
+    (2) a *pointer-jumping* step replaces each node's label with its label's
+    label (every label value is itself a node id, so the doc_id→cluster_id
+    relation doubles as a parent-pointer table).  Shortcutting halves the
+    remaining path each round, so convergence takes ~log2(diameter) rounds —
+    a diameter-2^20 chain finishes inside MAX_CC_ITERATIONS=20, where plain
+    one-hop propagation would silently stop at diameter 20.  If the labels
+    still change after the last round we *raise* rather than return a
+    partially-propagated (wrong) clustering.
+
+    Each round is two equi-joins + one partial/final min-aggregate;
+    ``localCheckpoint`` cuts lineage so plans don't grow with iteration
+    count (the standard Spark iterative-algorithm discipline).  The
+    convergence check is a count action per round — the data never collects
+    to the driver.
     """
     pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -492,23 +498,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(MAX_CC_ITERATIONS):
-        msgs = edges.join(
-            labels, edges.src == labels.doc_id
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new_labels = (
-            msgs.union(labels.select("doc_id", "cluster_id"))
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    try:
+        converged = False
+        for _ in range(MAX_CC_ITERATIONS):
+            msgs = edges.join(
+                labels, edges.src == labels.doc_id
+            ).select(F.col("dst").alias("doc_id"), "cluster_id")
+            hopped = (
+                msgs.union(labels.select("doc_id", "cluster_id"))
+                .groupBy("doc_id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            # pointer jump: label := label(label).  Inner join is safe —
+            # every cluster_id is the id of a node present in `labels`.
+            parents = labels.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("grand"),
+            )
+            new_labels = (
+                hopped.join(parents, "cluster_id")
+                .select("doc_id", F.least("cluster_id", "grand").alias("cluster_id"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"dedup_clusters: label propagation did not converge within "
+                f"{MAX_CC_ITERATIONS} rounds — component diameter exceeds "
+                f"2^{MAX_CC_ITERATIONS}; raise MAX_CC_ITERATIONS"
+            )
+    finally:
+        edges.unpersist()
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))

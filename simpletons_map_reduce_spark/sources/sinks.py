@@ -49,17 +49,16 @@ def write_kv_text_sorted(df: DataFrame, path: str, num_files: int = 1) -> None:
     results; leave it >1 at scale.
     """
     k, v = df.columns[0], df.columns[1]
-    out = (
-        df.select(
-            F.concat_ws(
-                " ", F.col(k).cast("string"), F.col(v).cast("string")
-            ).alias("value")
-        )
-        .filter(F.col("value") != "")
-        .orderBy("value")
-    )
-    if num_files == 1:
-        out = out.coalesce(1)
+    lines = df.select(
+        F.concat_ws(
+            " ", F.col(k).cast("string"), F.col(v).cast("string")
+        ).alias("value")
+    ).filter(F.col("value") != "")
+    # repartitionByRange gives num_files non-overlapping sorted ranges (the
+    # same sampling-based range partitioner a global orderBy uses), so the
+    # parameter actually bounds the file count instead of leaving it at
+    # whatever spark.sql.shuffle.partitions the sort happened to produce.
+    out = lines.repartitionByRange(num_files, "value").sortWithinPartitions("value")
     out.write.mode("overwrite").text(path)
 
 

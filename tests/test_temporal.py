@@ -86,7 +86,7 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     """Prefix filtering must find EVERY pair above threshold (the guarantee
     LSH lacks) — compare against the all-pairs verification at sf0.001."""
     from simpletons_map_reduce_spark.queries.dedup_ops import (
-        _BIGRAM_CASE,
+        _TRIGRAM_CASE,
         _spark_toks_expr,
     )
 
@@ -94,7 +94,7 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     ng = docs.select(
         "doc_id",
         F.array_distinct(
-            F.expr(_BIGRAM_CASE.replace("toks", _spark_toks_expr()))
+            F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
         ).alias("s"),
     )
     na = ng.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))

@@ -52,7 +52,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
-    ap.add_argument("--skip-no-oracle", action="store_true", default=True)
+    ap.add_argument(
+        "--skip-no-oracle",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="skip queries without an oracle instead of running their "
+        "rows-only check",
+    )
     args = ap.parse_args()
 
     spark = get_session("check-oracle")
@@ -66,6 +72,8 @@ def main() -> int:
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         q = REGISTRY[name]
+        if q.oracle is None and args.skip_no_oracle:
+            continue
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
