@@ -69,6 +69,16 @@ BAND_ROWS = 4          # rows per band → 8 bands; P(candidate) = 1-(1-j^4)^8
 SHINGLE_K = 3          # 3-token shingles
 JACCARD_THRESHOLD_NUM = 1  # keep pairs with jaccard >= 1/2 (integer compare)
 JACCARD_THRESHOLD_DEN = 2
+#: Hot-bucket cap: band buckets with more than this many members are dropped
+#: before the candidate self-join.  A bucket of B docs contributes B(B-1)/2
+#: candidate pairs, so one boilerplate-heavy bucket is the only O(B²) left in
+#: the pipeline — AQE skew-join splits the physical task but cannot shrink
+#: the logical pair explosion.  Recall argument: a capped bucket only loses a
+#: true dup pair if EVERY band the pair shares is hot; genuinely unique
+#: near-dup pairs still collide in their other (up to 7) bands, and
+#: fully-identical boilerplate is exact_dedup's job, not LSH's.  The cap is
+#: mirrored in the oracle SQL so correctness comparison is exact either way.
+MAX_BAND_BUCKET = 256
 
 _SHINGLE_CASE = f"""
 CASE WHEN size(toks) >= {SHINGLE_K}
@@ -107,8 +117,13 @@ mh AS (SELECT doc_id, perms.i AS i,
 bands AS (SELECT doc_id, i // {BAND_ROWS} AS band,
                  string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
           FROM mh GROUP BY doc_id, i // {BAND_ROWS}),
+counted AS (SELECT doc_id, band, band_key,
+                   count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands),
+kept AS (SELECT doc_id, band, band_key FROM counted
+         WHERE bsz BETWEEN 2 AND {MAX_BAND_BUCKET}),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         FROM bands x JOIN bands y
+         FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
           AND x.doc_id < y.doc_id),
 verified AS (
@@ -127,73 +142,29 @@ WHERE inter * {JACCARD_THRESHOLD_DEN} >= uni * {JACCARD_THRESHOLD_NUM}
 
 @register("near_dedup", NEAR_DEDUP_ORACLE, tags=("dedup",))
 def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over ``documents`` (registry entry)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return near_dedup_pairs(docs)
+
+
+def near_dedup_pairs(
+    docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (jaccard >= 0.5), exact-verified.
 
     Signatures are computed *map-side* as pure array expressions — a
     document's shingles never leave their input partition; only (doc_id,
     band, band_key) rows shuffle into the LSH buckets.  That is the plan
     that survives 100 TB: shuffle volume is O(docs × num_bands × ~40 bytes)
-    regardless of document size.  The threshold compare is integer
+    regardless of document size.  Band buckets hotter than ``bucket_cap``
+    are dropped before the self-join (see MAX_BAND_BUCKET), bounding the
+    candidate set at ~bucket_cap/2 pairs per doc per band instead of O(B²)
+    on boilerplate-heavy corpora; singleton buckets are dropped too (they
+    cannot produce a pair).  The threshold compare is integer
     (inter*2 >= uni) so no float boundary can disagree with the oracle.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    # The shingle-set relation feeds three consumers (band generation + both
-    # sides of candidate verification); persist so tokenize/shingle/distinct
-    # runs once instead of three times.  MEMORY_AND_DISK: at cluster scale
-    # the sets spill rather than OOM, and eviction just falls back to
-    # lineage recompute.
-    shs = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
-        ).alias("shset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
-    # permutations as its OWN constant-inlined expression: higher-order
-    # functions are interpreted (not codegen'd), so a nested
-    # transform(sequence(..), i -> ...) that re-reads a literal perm array
-    # per element is ~100× slower than NUM_PERM flat min-fold expressions.
-    def perm_min(a: int, b: int):
-        # factory: pyspark counts lambda params (default args included), so
-        # the permutation constants must be closed over, not defaulted.
-        return F.array_min(F.transform("hl", lambda h: (a * h + b) % MINHASH_PRIME))
-
-    sig_cols = [
-        perm_min(a, b).cast("string").alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(NUM_PERM))
-    ]
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            ).alias("band_key"),
-        )
-        for band in range(NUM_PERM // BAND_ROWS)
-    ]
-    # persist: both sides of the LSH bucket self-join consume this relation,
-    # and the md5 + NUM_PERM min-folds over every shingle are the dominant
-    # map-side cost — computing them once matters more than the shset cache.
-    # Tiny payload: (doc_id, band, 4-hash key) × num_bands rows per doc.
-    bands = (
-        shs.withColumn("hl", F.transform("shset", md5_mod_prime))
-        .select("doc_id", *sig_cols)
-        .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    left = bands.alias("x")
-    right = bands.alias("y")
-    cand = (
-        left.join(
-            right,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    shs = _shingle_sets(docs)
+    cand = _lsh_candidates(shs, bucket_cap)
     sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
     verified = (
@@ -220,6 +191,89 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dedup_candidates(
+    docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """The UNVERIFIED candidate-pair relation (doc_a, doc_b) the LSH bucket
+    join produces — exposed so tests can pin that candidate volume stays
+    ~linear on boilerplate-heavy corpora (the hot-bucket cap's contract)."""
+    return _lsh_candidates(_shingle_sets(docs), bucket_cap)
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, distinct shingle set).  Persisted: the relation feeds band
+    generation + both sides of candidate verification, so tokenize/shingle/
+    distinct runs once instead of three times.  MEMORY_AND_DISK: at cluster
+    scale the sets spill rather than OOM, and eviction just falls back to
+    lineage recompute."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
+        ).alias("shset"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct candidate pairs from the capped LSH bucket self-join."""
+    # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
+    # permutations as its OWN constant-inlined expression: higher-order
+    # functions are interpreted (not codegen'd), so a nested
+    # transform(sequence(..), i -> ...) that re-reads a literal perm array
+    # per element is ~100× slower than NUM_PERM flat min-fold expressions.
+    def perm_min(a: int, b: int):
+        # factory: pyspark counts lambda params (default args included), so
+        # the permutation constants must be closed over, not defaulted.
+        return F.array_min(F.transform("hl", lambda h: (a * h + b) % MINHASH_PRIME))
+
+    sig_cols = [
+        perm_min(a, b).cast("string").alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(NUM_PERM))
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            ).alias("band_key"),
+        )
+        for band in range(NUM_PERM // BAND_ROWS)
+    ]
+    bands = (
+        shs.withColumn("hl", F.transform("shset", md5_mod_prime))
+        .select("doc_id", *sig_cols)
+        .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    # Hot-bucket cap: count bucket membership with a window on the exact keys
+    # the self-join shuffles on (one exchange, reused by the join), then drop
+    # buckets outside [2, bucket_cap] — singletons can't pair, hot buckets
+    # would explode quadratically.  Persist the surviving relation: both
+    # sides of the self-join consume it, and the md5 + NUM_PERM min-folds
+    # over every shingle are the dominant map-side cost — computing them
+    # once matters more than the shset cache.  Tiny payload: (doc_id, band,
+    # 4-hash key) × num_bands rows per doc.
+    bucket_w = Window.partitionBy("band", "band_key")
+    kept = (
+        bands.withColumn("bsz", F.count("*").over(bucket_w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .select("doc_id", "band", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left = kept.alias("x")
+    right = kept.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _spark_toks_expr() -> str:
     """Spark SQL expression string for the token array of ``text``."""
     return "filter(split(text, '[^\\\\p{L}]+'), x -> x <> '')"
@@ -234,6 +288,14 @@ NGRAM_K = 3            # token trigrams (same gram space as near_dedup, so the
                        # probabilistic LSH — are directly comparable)
 NJ_THRESHOLD_NUM = 8   # keep pairs with jaccard >= 8/10 (integer compare)
 NJ_THRESHOLD_DEN = 10
+#: Prefix-join guard: a gram occurring in more than this many documents is
+#: excluded from every prefix.  Rarest-gram ordering already keeps hot grams
+#: out of prefixes on natural corpora, but a degenerate corpus (thousands of
+#: exact-boilerplate docs) makes EVERY gram hot and the equi-join quadratic;
+#: the cap bounds each gram's join bucket at NJ_MAX_DF rows.  A pair is lost
+#: only when all its shared prefix grams are boilerplate-hot — mirrored in
+#: the oracle SQL, so correctness comparison stays exact.
+NJ_MAX_DF = 10_000
 
 #: prefix size for Jaccard >= t over a set of size sz: sz - ceil(t*sz) + 1
 #: (two sets with jaccard >= t MUST share an element within each other's
@@ -270,11 +332,12 @@ ng AS (SELECT doc_id, list_distinct({_SQL_TRIGRAM_CASE}) AS ngset FROM t),
 x AS (SELECT doc_id, len(ngset) AS sz, unnest(ngset) AS g FROM ng),
 df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g),
 ranked AS (
-    SELECT x.doc_id, x.sz, x.g,
+    SELECT x.doc_id, x.sz, x.g, df.dfreq,
            row_number() OVER (PARTITION BY x.doc_id ORDER BY df.dfreq, x.g) AS rn
     FROM x JOIN df USING (g)
 ),
-pref AS (SELECT doc_id, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
+pref AS (SELECT doc_id, g FROM ranked
+         WHERE rn <= {_NJ_PREFIX_SQL} AND dfreq <= {NJ_MAX_DF}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
 verified AS (
@@ -293,6 +356,13 @@ WHERE inter * {NJ_THRESHOLD_DEN} >= uni * {NJ_THRESHOLD_NUM}
 
 @register("ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("dedup",))
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-trigram Jaccard near-dup pairs over ``documents`` (registry
+    entry)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ngram_jaccard_pairs(docs)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
     """Token-trigram Jaccard near-dup pairs (>= 0.8) via prefix filtering.
 
     The scale story is the PPJoin family rather than LSH: order every n-gram
@@ -306,9 +376,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate n-grams ("of the") never enter the join.  Exact
     verification then runs only on candidates.  All joins are equi-joins on
     hashed keys; shuffle volume is O(docs · prefix) + O(candidates).
-    The threshold compare is integer (inter*10 >= uni*8), float-free.
+    Grams hotter than ``max_df`` documents are excluded from prefixes (see
+    NJ_MAX_DF) so a boilerplate-degenerate corpus cannot make the candidate
+    join quadratic.  The threshold compare is integer (inter*10 >= uni*8),
+    float-free.
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # gram sets feed dfreq, ranking, and both verification sides — persist
     # (same rationale as near_dedup's shingle sets).
     ng = docs.select(
@@ -330,7 +402,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the candidate self-join re-derive the prefix relation
     # (scan → dfreq join → window); persist the small (doc_id, g) result.
     pref = (
-        ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}"))
+        ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}") & (F.col("dfreq") <= max_df))
         .select("doc_id", "g")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -1,0 +1,78 @@
+"""Hot-bucket caps: candidate volume must stay ~linear on boilerplate corpora.
+
+A corpus with B identical (or near-identical) documents puts all B into the
+same LSH band buckets — B(B-1)/2 logical candidate pairs per band before
+verification, which AQE can split physically but never shrink logically.
+MAX_BAND_BUCKET (near_dedup) and NJ_MAX_DF (ngram_jaccard) bound that; these
+tests pin the contract: boilerplate explosion suppressed, genuinely unique
+near-dup pairs still found.
+"""
+
+from __future__ import annotations
+
+from simpletons_map_reduce_spark.queries.dedup_ops import (
+    near_dedup_candidates,
+    near_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+
+N_BOILER = 120  # identical docs → C(120,2) = 7140 would-be candidate pairs
+N_PAIRS = 3     # genuine near-dup pairs with unique vocabulary
+
+_BOILER_TEXT = (
+    "all rights reserved this page is copyright by the site owner and "
+    "may not be reproduced without permission terms of service apply"
+)
+
+
+def _corpus(spark):
+    rows = [(i, _BOILER_TEXT) for i in range(N_BOILER)]
+    did = N_BOILER
+    for j in range(N_PAIRS):
+        base = " ".join(
+            f"{w}{j}"
+            for w in (
+                "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima"
+            ).split()
+        )
+        rows.append((did, base))
+        rows.append((did + 1, base + f" mike{j}"))  # jaccard 10/11 ≈ 0.91
+        did += 2
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    docs = _corpus(spark)
+    uncapped = near_dedup_candidates(docs, bucket_cap=1 << 30).count()
+    capped = near_dedup_candidates(docs, bucket_cap=16).count()
+    # identical docs alone contribute C(120,2) candidates when uncapped
+    assert uncapped >= N_BOILER * (N_BOILER - 1) // 2
+    # capped: the 120-member buckets are dropped; what's left is ~linear
+    # (the genuine pairs and any small accidental collisions)
+    assert capped < N_BOILER
+
+
+def test_lsh_cap_keeps_unique_near_dups(spark):
+    docs = _corpus(spark)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in near_dedup_pairs(docs, bucket_cap=16).collect()
+    }
+    for j in range(N_PAIRS):
+        a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
+        assert (a, b) in found, f"genuine near-dup pair {(a, b)} lost to cap"
+
+
+def test_ngram_prefix_df_guard(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, max_df=8).collect()
+    }
+    # boilerplate grams all have dfreq=120 > 8 → no boilerplate candidates
+    assert all(a >= N_BOILER for a, _ in pairs)
+    # unique-vocabulary near-dups (dfreq <= 2) still found
+    for j in range(N_PAIRS):
+        a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
+        assert (a, b) in pairs, f"genuine pair {(a, b)} lost to df guard"
