@@ -537,6 +537,63 @@ FROM reach GROUP BY doc_id
 MAX_CC_ITERATIONS = 20
 
 
+# ---------------------------------------------------------------------------
+# dedup_apply: materialize the deduplicated corpus
+# ---------------------------------------------------------------------------
+
+def _build_apply_oracle() -> str:
+    """Survivor oracle = exact-dedup winners minus near-dup cluster losers,
+    composed from the SAME recursive-CTE cluster oracle dedup_clusters uses
+    (so the two queries can never disagree on the cluster graph)."""
+    body = _build_clusters_oracle().strip()
+    assert body.startswith("WITH RECURSIVE ")
+    idx = body.rindex("SELECT doc_id")
+    ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
+    final_select = body[idx:]
+    return f"""
+WITH RECURSIVE {ctes},
+clusters AS ({final_select}),
+near_losers AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id),
+exact_keep AS (
+    SELECT doc_id, source, n_chars,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+    FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM exact_keep
+WHERE doc_id = keep_id
+  AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""
+
+
+@register("dedup_apply", _build_apply_oracle(), tags=("dedup",))
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVIVING corpus after dedup — what a pipeline actually writes out.
+
+    exact_dedup yields groups, near_dedup yields pairs, dedup_clusters
+    yields clusters; this operator composes them into the deliverable:
+    every document that is (a) the deterministic min-doc_id winner of its
+    exact-content group and (b) not a loser of its near-dup cluster
+    (cluster_id != doc_id).  Exact winners come from one window over the
+    content hash (no self-join); near losers are removed with a left-anti
+    join — at 100 TB both shuffle only (hash, id)-sized keys, never text,
+    and the anti join's right side (losers) is tiny relative to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    winners = (
+        docs.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+    near_losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return winners.join(near_losers, "doc_id", "left_anti")
+
+
 @register("dedup_clusters", _build_clusters_oracle(), tags=("dedup",))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup PAIRS: hash-to-min label propagation
