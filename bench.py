@@ -20,6 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from simpletons_map_reduce_spark.caching import release_persisted  # noqa: E402
 from simpletons_map_reduce_spark.queries import REGISTRY  # noqa: E402
 from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 
@@ -58,6 +59,7 @@ def main() -> None:
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_persisted()  # cache hygiene: blocks die with their query
 
     total = round(sum(timings.values()), 3)
     print(

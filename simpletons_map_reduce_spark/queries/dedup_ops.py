@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from ..caching import free_checkpoint, track, tracked_persist
 
 from ..functions.hashing import (
     MINHASH_PRIME,
@@ -206,12 +207,14 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     distinct runs once instead of three times.  MEMORY_AND_DISK: at cluster
     scale the sets spill rather than OOM, and eviction just falls back to
     lineage recompute."""
-    return docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
-        ).alias("shset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
+            ).alias("shset"),
+        )
+    )
 
 
 def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
@@ -254,11 +257,10 @@ def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
     # once matters more than the shset cache.  Tiny payload: (doc_id, band,
     # 4-hash key) × num_bands rows per doc.
     bucket_w = Window.partitionBy("band", "band_key")
-    kept = (
+    kept = tracked_persist(
         bands.withColumn("bsz", F.count("*").over(bucket_w))
         .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
         .select("doc_id", "band", "band_key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = kept.alias("x")
     right = kept.alias("y")
@@ -383,12 +385,14 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
     """
     # gram sets feed dfreq, ranking, and both verification sides — persist
     # (same rationale as near_dedup's shingle sets).
-    ng = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
-        ).alias("ngset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ng = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
+            ).alias("ngset"),
+        )
+    )
     x = ng.select(
         "doc_id", F.size("ngset").alias("sz"), F.explode("ngset").alias("g")
     )
@@ -401,10 +405,9 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
     )
     # both sides of the candidate self-join re-derive the prefix relation
     # (scan → dfreq join → window); persist the small (doc_id, g) result.
-    pref = (
+    pref = tracked_persist(
         ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}") & (F.col("dfreq") <= max_df))
         .select("doc_id", "g")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         pref.alias("a")
@@ -620,7 +623,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges = fwd.union(rev).distinct().persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -655,6 +658,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .count()
             )
+            # round N-1's materialized label blocks are superseded — drop
+            # them now so iteration memory stays O(1) rounds, not O(N)
+            free_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -667,4 +673,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         edges.unpersist()
-    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+    # the final checkpointed labels ARE the result data (no lineage) — they
+    # stay pinned until the caller consumes the result and releases caches
+    track(labels)
+    return labels.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )

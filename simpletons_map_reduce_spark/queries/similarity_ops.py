@@ -24,8 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..caching import tracked_persist
 from ..functions.rounding import rn, sql_rn
 from ..functions.vectors import (
     cosine_from_parts,
@@ -333,13 +333,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors are re-joined by id AFTER candidate dedup so the bucket join
     # and the distinct never shuffle 64-dim payloads, just ids and 4-char
     # keys.
-    bands = (
+    bands = tracked_persist(
         emb.select("vec_id", *_sign_bits("v"))
         .select("vec_id", F.explode(F.array(*_band_structs())).alias("bk"))
         .select(
             "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     probes = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bkey"

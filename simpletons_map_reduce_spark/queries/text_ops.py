@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..caching import tracked_persist
 from ..functions.rounding import rn, sql_rn
 from ..functions.text import sql_tokens, tokens, tokens_lower
 from ..sources.tables import load_table
@@ -131,10 +131,8 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # tf feeds BOTH the document-frequency aggregate and the score join —
     # persist so tokenize/explode/agg runs once (same pattern as dedup_ops).
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tracked_persist(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))

@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
 
+from simpletons_map_reduce_spark.caching import release_persisted  # noqa: E402
 from simpletons_map_reduce_spark.queries import REGISTRY  # noqa: E402
 from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 from simpletons_map_reduce_spark.sources.tables import TABLES  # noqa: E402
@@ -83,6 +84,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            release_persisted()  # cache blocks must not outlive the query
         if q.oracle is None:
             print(f"ROWS  {name}: rows-only check, spark rows={len(srows)} "
                   f"({time.time()-t0:.1f}s)")
