@@ -67,18 +67,24 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined docs; map-side distinct per mrapps/indexer.go:21-25.
     ``sort_array`` before the join is the reference's determinism idiom
     (SURVEY §2.B B7) — output is stable under task retries.
+
+    One shuffle total: ``collect_set`` both deduplicates (the map-side
+    distinct of mrapps/indexer.go:21-25) and gathers the doc list in a
+    single partial+final ObjectHashAggregate, so the raw (word, doc) pairs
+    never shuffle twice (a separate ``distinct()`` would add an exchange).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.col("doc_id").cast("string").alias("doc"),
-            F.explode(tokens(F.col("text"))).alias("word"),
-        )
-        .distinct()
+    words = docs.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.explode(tokens(F.col("text"))).alias("word"),
     )
-    return words.groupBy("word").agg(
-        F.count("*").alias("n_docs"),
-        F.concat_ws(",", F.sort_array(F.collect_set("doc"))).alias("doc_list"),
+    sets = words.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc")).alias("docs")
+    )
+    return sets.select(
+        "word",
+        F.size("docs").cast("long").alias("n_docs"),
+        F.concat_ws(",", "docs").alias("doc_list"),
     )
 
 
@@ -117,13 +123,29 @@ GROUP BY k
 def file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file metadata under fixed tag keys (mrapps/crash.go:34-43:
     'a'→filename, 'b'→len(filename), 'c'→len(contents), 'd'→'xyzzy'),
-    reduced with the canonical sort+space-join (mrapps/crash.go:45-55)."""
+    reduced with the canonical sort+space-join (mrapps/crash.go:45-55).
+
+    Single scan: ``inline(array(struct...))`` expands each document row into
+    its four tagged rows in one projection — a 4-way union would re-scan
+    the table four times (4 FileScans, 4× the I/O at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
-    tagged = (
-        docs.select(F.lit("a").alias("k"), F.col("source").alias("v"))
-        .union(docs.select(F.lit("b"), F.length("source").cast("string")))
-        .union(docs.select(F.lit("c"), F.col("n_chars").cast("string")))
-        .union(docs.select(F.lit("d"), F.lit("xyzzy")))
+    tagged = docs.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("k"), F.col("source").alias("v")
+                ),
+                F.struct(
+                    F.lit("b").alias("k"),
+                    F.length("source").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit("c").alias("k"),
+                    F.col("n_chars").cast("string").alias("v"),
+                ),
+                F.struct(F.lit("d").alias("k"), F.lit("xyzzy").alias("v")),
+            )
+        )
     )
     return tagged.groupBy("k").agg(
         F.count("*").alias("n"),

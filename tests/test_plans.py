@@ -118,6 +118,22 @@ def test_events_hopping_single_scan(spark):
     assert count_exchanges(df) == 1
 
 
+def test_inverted_index_single_shuffle(spark):
+    """collect_set dedups AND gathers in one partial+final agg — a separate
+    distinct() would double the (word, doc) shuffle."""
+    df = REGISTRY["inverted_index"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_file_stats_single_scan(spark):
+    """inline(array(struct...)) expands tags in one projection — the 4-way
+    union shape re-scans documents four times."""
+    df = REGISTRY["file_stats"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan") == 1, plan
+    assert count_exchanges(df) == 1
+
+
 def test_promo_revenue_prunes_part_columns(spark):
     df = REGISTRY["promo_revenue"].fn(spark, SF0001)
     assert uses_broadcast_join(df)
