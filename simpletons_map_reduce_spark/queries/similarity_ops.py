@@ -8,9 +8,10 @@
   the exact-blocking analog of IVF-style clustering: candidates only within a
   block, so the pair space is Σ|block|² instead of n².
 - ann_ivf:          IVF-flat approximate search (deterministic md5-free
-  variant: centroids are a fixed modular sample, assignment is exact argmax
-  cosine).  Approximate by construction → rows-only check; the pytest suite
-  measures recall against similarity_topk instead.
+  variant: centroids learned with sampled Lloyd iterations from a modular
+  init, assignment is exact argmax cosine).  Approximate by construction →
+  rows-only check; the pytest suite measures recall against
+  similarity_topk instead.
 
 All cosine math is sequential-fold double arithmetic mirrored exactly by the
 oracle (functions/vectors.py), never a Python UDF.  Each vector's norm is
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import tracked_persist
+from ..caching import free_checkpoint, track, tracked_persist
 from ..functions.rounding import rn, sql_rn
 from ..functions.vectors import (
     cosine_from_parts,
@@ -155,56 +156,132 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CENTROID_MOD = 29  # vec_id % 29 == 0 → deterministic centroid sample
-#: The synthetic embeddings are near-isotropic (no real cluster structure),
-#: so recall needs a wider probe than a clustered corpus would.
-NPROBE = 6
+K_CAP = 96        # centroid-count ceiling (k = min(⌈√n⌉, K_CAP))
+TRAIN_PER_CENT = 50  # Lloyd trains on ~TRAIN_PER_CENT × k sampled vectors
+MIN_NPROBE = 6
+KMEANS_ITERS = 2  # Lloyd rounds; centroids move little after 2 on this data
+
+
+def _lloyd_centroids(emb: DataFrame, n: int, k: int) -> DataFrame:
+    """Learn IVF centroids: deterministic modular-sample init refined by
+    KMEANS_ITERS Lloyd rounds, entirely in DataFrame ops (no driver-side
+    vectors, no ml.KMeans dependency).
+
+    Scale shape: training runs on a deterministic modular SAMPLE of
+    ~TRAIN_PER_CENT×k vectors (standard IVF practice — centroid quality
+    converges long before the full corpus is seen), so build cost is
+    O(sample × k) per round + ONE full-corpus assignment pass downstream,
+    never O(n × k × rounds).  Each round: (1) assign sampled vectors to
+    their argmax-cosine centroid via broadcast + ``max_by`` hash-agg (no
+    sort-window; partial agg collapses the k candidate rows map-side);
+    (2) recompute each centroid as its members' mean via posexplode →
+    partial+final avg — that shuffle carries only (cent_id, pos, partial
+    sum) scalars, never whole vectors.  Per-round ``localCheckpoint`` cuts
+    the growing lineage (k×64 doubles — eager and cheap); the superseded
+    round's blocks are freed immediately.  Clusters that lose all members
+    drop out (k may shrink; fine for IVF).
+    """
+    train_mod = max(1, n // (TRAIN_PER_CENT * k))
+    train = emb.filter(F.col("vec_id") % train_mod == 0)
+    cent_mod = max(1, n // k)
+    cents = emb.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("ncv"),
+    )
+    for _ in range(KMEANS_ITERS):
+        scored = train.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cent_id",
+            cosine_from_parts(
+                dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
+            ).alias("c_score"),
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("c_score"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.first("v").alias("v"),
+        )
+        members = best.select("cent_id", F.posexplode("v").alias("pos", "x"))
+        means = members.groupBy("cent_id", "pos").agg(F.avg("x").alias("m"))
+        new_cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .withColumn("ncv", norm2(F.col("cv")))
+            .localCheckpoint()
+        )
+        free_checkpoint(cents)  # superseded round — drop its blocks now
+        cents = new_cents
+    return track(cents)  # final centroids feed the lazy result downstream
 
 
 @register("ann_ivf", None, tags=("similarity",))
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k (approximate → rows-only driver check).
 
-    Build: centroids = deterministic modular sample; every vector is
-    assigned to its argmax-cosine centroid (one broadcast pass).
-    Search: each query probes its NPROBE nearest centroids and brute-forces
-    only vectors assigned there.  Same output schema as similarity_topk;
-    tests measure recall against the exact answer.
+    Build: k = min(⌈√n⌉, K_CAP) centroids learned with sampled Lloyd
+    iterations (see _lloyd_centroids); every vector is assigned to its
+    argmax-cosine centroid in ONE broadcast + max_by pass (n is read once
+    via a metadata-cheap count — the only action in the build).
+    Search: each query probes its nprobe = max(MIN_NPROBE, k/5) nearest
+    centroids and brute-forces only vectors assigned there.  Same output
+    schema as similarity_topk; tests measure recall against the exact
+    answer.  K_CAP bounds local build cost; at cluster scale it is the
+    one constant to raise (k≈√n keeps per-cluster scan cost ~√n).
     """
-    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
-    cents = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nv").alias("ncv"),
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     )
+    n = emb.count()
+    k = min(int(n**0.5) + 1, K_CAP)
+    nprobe = max(MIN_NPROBE, k // 5)
+    cents = _lloyd_centroids(emb, n, k)
 
-    def argmax_cents(df: DataFrame, id_col: str, cols: list, topn: int, out: str):
-        vec_col, norm_col = cols[-2], cols[-1]
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            *cols,
-            "cent_id",
-            cosine_from_parts(
-                dot(F.col(vec_col), F.col("cv")),
-                F.col(norm_col),
-                F.col("ncv"),
-            ).alias("c_score"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_score").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= topn)
-            .select(*cols, F.col("cent_id").alias(out))
-        )
-
-    assigned = argmax_cents(emb, "vec_id", ["vec_id", "v", "nv"], 1, "cluster")
+    scored_all = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nv",
+        "cent_id",
+        cosine_from_parts(
+            dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
+        ).alias("c_score"),
+    )
+    assigned = scored_all.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("c_score"), -F.col("cent_id"))
+        ).alias("cluster"),
+        F.first("v").alias("v"),
+        F.first("nv").alias("nv"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    probes = argmax_cents(queries, "query_id", ["query_id", "qv", "nq"], NPROBE, "cluster")
+    q_scored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "nq",
+        "cent_id",
+        cosine_from_parts(
+            dot(F.col("qv"), F.col("cv")), F.col("nq"), F.col("ncv")
+        ).alias("c_score"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("c_score").desc(), F.col("cent_id")
+    )
+    probes = (
+        q_scored.withColumn("crk", F.row_number().over(qw))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "qv", "nq", F.col("cent_id").alias("cluster"))
+    )
     scored = (
         probes.join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
