@@ -1,10 +1,19 @@
-from .events_stream import events_stream, tumbling_stream, sessionize_stream, run_to_memory
-from .stateful import running_user_totals
+from .events_stream import (
+    events_stream,
+    hopping_stream,
+    run_to_memory,
+    sessionize_stream,
+    tumbling_stream,
+)
+from .stateful import running_user_totals, running_user_totals_ttl, totals_ttl_from
 
 __all__ = [
     "events_stream",
+    "hopping_stream",
     "tumbling_stream",
     "sessionize_stream",
     "run_to_memory",
     "running_user_totals",
+    "running_user_totals_ttl",
+    "totals_ttl_from",
 ]

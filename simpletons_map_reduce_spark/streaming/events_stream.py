@@ -66,6 +66,29 @@ def tumbling_stream(
     )
 
 
+def hopping_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of queries/events.py::events_hopping: 10-minute
+    windows sliding every 5 minutes.  Same Expand+partial-agg shape as the
+    batch plan, with the watermark bounding state to ~len/slide live
+    windows per key."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

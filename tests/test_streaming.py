@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from simpletons_map_reduce_spark.queries.registry import REGISTRY
 from simpletons_map_reduce_spark.streaming import (
+    hopping_stream,
     run_to_memory,
     sessionize_stream,
     tumbling_stream,
@@ -30,6 +31,22 @@ def test_tumbling_stream_matches_batch(spark):
     assert stream_rows.keys() == batch_rows.keys()
     for k in batch_rows:
         assert stream_rows[k][0] == batch_rows[k][0]
+        assert abs(stream_rows[k][1] - batch_rows[k][1]) < 0.02
+
+
+def test_hopping_stream_matches_batch(spark):
+    stream_rows = {
+        (r.w_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in run_to_memory(hopping_stream(spark, SF0001), "t_hop").collect()
+    }
+    batch_rows = {
+        (r.w_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in REGISTRY["events_hopping"].fn(spark, SF0001).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    for k in batch_rows:
+        assert stream_rows[k][0] == batch_rows[k][0]
+        # batch sum_value is floor-rounded to 2dp
         assert abs(stream_rows[k][1] - batch_rows[k][1]) < 0.02
 
 
