@@ -36,6 +36,16 @@ def sql_md5_mod_prime(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {MINHASH_PRIME})"
 
 
+#: Spark-side SQL fragment: first 15 hex chars of md5 → 60-bit bigint.
+#: 60 bits fits signed-64 with headroom; NEVER feed this into the MinHash
+#: affine permutations (use md5_mod_prime there — see module docstring).
+#: Used to replace string set-elements with fixed-width ints before
+#: shuffling them (2-3× smaller, long compares): a collision merely makes
+#: both engines see the same merged element, so parity is unaffected.
+SPARK_MD5_INT60 = "CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
+SQL_MD5_INT60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
 def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a_i*(x%p) + b_i) % p.
 

@@ -29,6 +29,8 @@ from ..caching import free_checkpoint, track, tracked_persist
 
 from ..functions.hashing import (
     MINHASH_PRIME,
+    SPARK_MD5_INT60,
+    SQL_MD5_INT60,
     md5_mod_prime,
     minhash_params,
     sql_md5_mod_prime,
@@ -298,6 +300,16 @@ NJ_THRESHOLD_DEN = 10
 #: only when all its shared prefix grams are boilerplate-hot — mirrored in
 #: the oracle SQL, so correctness comparison stays exact.
 NJ_MAX_DF = 10_000
+#: Prefix-BUCKET cap: even grams under NJ_MAX_DF can concentrate in many
+#: documents' prefixes when the corpus vocabulary is small relative to its
+#: size (every bucket of B prefix rows yields C(B,2) candidates — measured
+#: 12M candidates for 250k true pairs on a 50k-doc replica-heavy corpus).
+#: Dropping buckets larger than the cap bounds the join at ~cap/2 pairs per
+#: prefix row; a true pair is lost only if ALL its shared prefix grams are
+#: bucket-hot, which on real corpora means pure boilerplate (mirrored in
+#: the oracle, so cross-engine comparison stays exact).  Singletons are
+#: dropped too — they cannot produce a pair.
+NJ_BUCKET_CAP = 64
 
 #: prefix size for Jaccard >= t over a set of size sz: sz - ceil(t*sz) + 1
 #: (two sets with jaccard >= t MUST share an element within each other's
@@ -330,22 +342,29 @@ CASE WHEN len(toks) >= {NGRAM_K}
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
-ng AS (SELECT doc_id, list_distinct({_SQL_TRIGRAM_CASE}) AS ngset FROM t),
-x AS (SELECT doc_id, len(ngset) AS sz, unnest(ngset) AS g FROM ng),
+ng AS (SELECT doc_id,
+              list_distinct(list_transform({_SQL_TRIGRAM_CASE},
+                  s -> {SQL_MD5_INT60.format(e='s')})) AS ngh
+       FROM t),
+x AS (SELECT doc_id, len(ngh) AS sz, unnest(ngh) AS g FROM ng),
 df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g),
 ranked AS (
     SELECT x.doc_id, x.sz, x.g, df.dfreq,
            row_number() OVER (PARTITION BY x.doc_id ORDER BY df.dfreq, x.g) AS rn
     FROM x JOIN df USING (g)
+    WHERE df.dfreq <= {NJ_MAX_DF}
 ),
-pref AS (SELECT doc_id, g FROM ranked
-         WHERE rn <= {_NJ_PREFIX_SQL} AND dfreq <= {NJ_MAX_DF}),
+pref AS (SELECT doc_id, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
+prefb AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS bsz FROM pref),
+pref2 AS (SELECT doc_id, g FROM prefb
+          WHERE bsz BETWEEN 2 AND {NJ_BUCKET_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+         FROM pref2 a JOIN pref2 b ON a.g = b.g AND a.doc_id < b.doc_id),
 verified AS (
     SELECT doc_a, doc_b,
-           len(list_intersect(na.ngset, nb.ngset)) AS inter,
-           len(list_distinct(list_concat(na.ngset, nb.ngset))) AS uni
+           len(list_intersect(na.ngh, nb.ngh)) AS inter,
+           len(na.ngh) + len(nb.ngh) - len(list_intersect(na.ngh, nb.ngh))
+               AS uni
     FROM cand
     JOIN ng na ON na.doc_id = doc_a
     JOIN ng nb ON nb.doc_id = doc_b
@@ -364,7 +383,94 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
+def ngram_jaccard_candidates(
+    docs: DataFrame,
+    max_df: int = NJ_MAX_DF,
+    bucket_cap: int = NJ_BUCKET_CAP,
+) -> DataFrame:
+    """The UNVERIFIED candidate-pair relation the capped prefix join
+    produces — exposed so tests can pin that candidate volume stays
+    ~linear on small-vocabulary / boilerplate-heavy corpora."""
+    return _prefix_candidates(_ngram_sets(docs), max_df, bucket_cap)
+
+
+def _ngram_sets(docs: DataFrame) -> DataFrame:
+    # gram sets feed dfreq, ranking, and both verification sides — persist
+    # (same rationale as near_dedup's shingle sets).  Grams are md5-hashed
+    # to 60-bit ints at set-construction time: every downstream shuffle
+    # (exploded gram rows, the prefix join, the verification sets) then
+    # moves fixed-width longs instead of ~20-byte strings — 2-3× less
+    # shuffle volume and long-vs-long compares.  The hash is mirrored
+    # verbatim in the oracle, so a (cosmically rare) collision merges the
+    # same two grams in both engines and parity is unaffected.
+    return tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform("
+                    + _TRIGRAM_CASE.replace("toks", _spark_toks_expr())
+                    + ", s -> "
+                    + SPARK_MD5_INT60.format(e="s")
+                    + ")"
+                )
+            ).alias("ngh"),
+        )
+    )
+
+
+def _prefix_candidates(
+    ng: DataFrame, max_df: int, bucket_cap: int
+) -> DataFrame:
+    x = ng.select(
+        "doc_id", F.size("ngh").alias("sz"), F.explode("ngh").alias("g")
+    )
+    dfreq = x.groupBy("g").agg(F.count("*").alias("dfreq"))
+    # dfreq is |vocab| rows — tiny next to the exploded gram relation, so
+    # broadcast it instead of shuffling every gram row.  Filtering hot
+    # grams BEFORE the window is rank-neutral: ORDER BY (dfreq, g) sorts
+    # every dfreq>max_df row strictly after every kept row, so kept rows'
+    # row_numbers (and hence the prefix set) are unchanged — it just keeps
+    # hot-gram rows out of the window sort.
+    ranked = (
+        x.join(F.broadcast(dfreq), "g")
+        .filter(F.col("dfreq") <= max_df)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("dfreq", "g")
+            ),
+        )
+    )
+    # Prefix-bucket cap (see NJ_BUCKET_CAP): count bucket membership with a
+    # window on g — the exact key the self-join shuffles on, so the
+    # exchange is computed once and reused — then drop buckets outside
+    # [2, bucket_cap].  Persist the survivors: both join sides consume them.
+    bucket_w = Window.partitionBy("g")
+    pref = tracked_persist(
+        ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}"))
+        .select("doc_id", "g")
+        .withColumn("bsz", F.count("*").over(bucket_w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .select("doc_id", "g")
+    )
+    return (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    max_df: int = NJ_MAX_DF,
+    bucket_cap: int = NJ_BUCKET_CAP,
+) -> DataFrame:
     """Token-trigram Jaccard near-dup pairs (>= 0.8) via prefix filtering.
 
     The scale story is the PPJoin family rather than LSH: order every n-gram
@@ -378,49 +484,27 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
     boilerplate n-grams ("of the") never enter the join.  Exact
     verification then runs only on candidates.  All joins are equi-joins on
     hashed keys; shuffle volume is O(docs · prefix) + O(candidates).
-    Grams hotter than ``max_df`` documents are excluded from prefixes (see
-    NJ_MAX_DF) so a boilerplate-degenerate corpus cannot make the candidate
-    join quadratic.  The threshold compare is integer (inter*10 >= uni*8),
-    float-free.
+    Two guards keep the candidate join ~linear on degenerate corpora:
+    grams hotter than ``max_df`` documents never enter a prefix (NJ_MAX_DF),
+    and prefix-gram buckets larger than ``bucket_cap`` are dropped whole
+    (NJ_BUCKET_CAP — small-vocabulary corpora concentrate prefixes on few
+    grams even under the df guard).  The threshold compare is integer
+    (inter*10 >= uni*8), float-free.
     """
-    # gram sets feed dfreq, ranking, and both verification sides — persist
-    # (same rationale as near_dedup's shingle sets).
-    ng = tracked_persist(
-        docs.select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
-            ).alias("ngset"),
-        )
+    ng = _ngram_sets(docs)
+    cand = _prefix_candidates(ng, max_df, bucket_cap)
+    na = ng.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ngh").alias("set_a"),
+        F.size("ngh").alias("sz_a"),
     )
-    x = ng.select(
-        "doc_id", F.size("ngset").alias("sz"), F.explode("ngset").alias("g")
+    nb = ng.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ngh").alias("set_b"),
+        F.size("ngh").alias("sz_b"),
     )
-    dfreq = x.groupBy("g").agg(F.count("*").alias("dfreq"))
-    ranked = x.join(dfreq, "g").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("dfreq", "g")
-        ),
-    )
-    # both sides of the candidate self-join re-derive the prefix relation
-    # (scan → dfreq join → window); persist the small (doc_id, g) result.
-    pref = tracked_persist(
-        ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}") & (F.col("dfreq") <= max_df))
-        .select("doc_id", "g")
-    )
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    na = ng.select(F.col("doc_id").alias("doc_a"), F.col("ngset").alias("set_a"))
-    nb = ng.select(F.col("doc_id").alias("doc_b"), F.col("ngset").alias("set_b"))
+    # uni = sz_a + sz_b - inter (arithmetic) — no array_union allocation
+    # per pair; only the intersect walks the two sorted-set arrays.
     verified = (
         cand.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -428,8 +512,9 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NJ_MAX_DF) -> DataFrame:
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
-            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+            (F.col("sz_a") + F.col("sz_b")).alias("szsum"),
         )
+        .withColumn("uni", F.col("szsum") - F.col("inter"))
     )
     from ..functions.rounding import rn
 

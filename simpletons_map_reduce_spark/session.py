@@ -35,6 +35,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # A 64 MB broadcast is cheap on any modern executor, and it converts
+    # the "big candidate relation ⋈ doc-sized side relation" joins (dedup
+    # verification, dimension joins just over the 10 MB default) from
+    # sort-merge — which sorts the *big* side — into map-side hash joins.
+    # AQE applies it from measured sizes, so a genuinely huge side still
+    # gets a shuffle join.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
 }
 
 

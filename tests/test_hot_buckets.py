@@ -13,6 +13,7 @@ from __future__ import annotations
 from simpletons_map_reduce_spark.queries.dedup_ops import (
     near_dedup_candidates,
     near_dedup_pairs,
+    ngram_jaccard_candidates,
     ngram_jaccard_pairs,
 )
 
@@ -62,6 +63,25 @@ def test_lsh_cap_keeps_unique_near_dups(spark):
     for j in range(N_PAIRS):
         a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
         assert (a, b) in found, f"genuine near-dup pair {(a, b)} lost to cap"
+
+
+def test_ngram_prefix_bucket_cap_bounds_candidates(spark):
+    """Boilerplate grams stay under the df guard here (df=120 < 10k), so
+    without the bucket cap every boilerplate doc's prefix collides with all
+    others — C(120,2) candidates.  The cap drops those buckets whole while
+    the genuine pairs' 2-member buckets survive."""
+    docs = _corpus(spark)
+    uncapped = ngram_jaccard_candidates(docs, bucket_cap=1 << 30).count()
+    capped = ngram_jaccard_candidates(docs, bucket_cap=16).count()
+    assert uncapped >= N_BOILER * (N_BOILER - 1) // 2
+    assert capped < N_BOILER
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, bucket_cap=16).collect()
+    }
+    for j in range(N_PAIRS):
+        a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
+        assert (a, b) in found, f"genuine pair {(a, b)} lost to bucket cap"
 
 
 def test_ngram_prefix_df_guard(spark):
