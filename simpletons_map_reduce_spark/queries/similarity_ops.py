@@ -308,6 +308,88 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_dedup_ann", None, tags=("similarity",))
+def embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by LEARNED IVF clusters — the
+    documented 100 TB path for embedding_dedup (approximate → rows-only).
+
+    The exact operator's label blocking is O(Σ|block|²): correct, but a
+    10× block growth costs 100× (measured 96 s at sf1 vs 3.6 s at sf0.1).
+    Here the block key is the learned-IVF cluster id with k ≈ √n
+    clusters, so expected block size is √n and total pair work is
+    O(n^1.5) with k tracking √n (K_CAP bounds k for the local bench — on
+    a real cluster raise it so k keeps tracking √n).  Each vector is
+    assigned to its TOP-2 nearest centroids for candidate generation
+    (standard multi-probe: a dup pair straddling a cluster boundary
+    still collides in one of the four assignment combinations); pairs
+    are deduped on ids only, then verified with the exact cosine, so
+    every emitted pair is truly above threshold — only recall is
+    approximate.  TRUE near-dup groups (cos ≈ 1) collide with certainty
+    (identical vectors share an argmax centroid); recall is pinned on a
+    planted-duplicate corpus in tests/test_similarity.py — far pairs at
+    the 0.35 threshold are where blocking loses pairs, by design.
+    """
+    emb = tracked_persist(_emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"))
+    return embedding_dedup_ann_pairs(emb)
+
+
+def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
+    """IVF-blocked near-dup pairs over a persisted (vec_id, v, nv)
+    relation (exposed so tests can plant duplicate corpora)."""
+    n = emb.count()
+    k = min(int(n**0.5) + 1, K_CAP)
+    cents = _lloyd_centroids(emb, n, k)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_parts(
+            dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
+        ).alias("c_score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_score").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= 2)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    # candidate ids only — vectors re-join after the pair dedup, so the
+    # cluster self-join never shuffles 64-dim payloads
+    cand = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    cos_raw = cosine_from_parts(
+        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", rn(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
 BINARY_META_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

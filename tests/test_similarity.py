@@ -61,6 +61,39 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.6, f"ann_ivf recall {recall:.2f}"
 
 
+def test_embedding_dedup_ann_finds_planted_dups(spark):
+    """IVF-blocked dedup must recover planted near-duplicate groups: true
+    dups (cos ≈ 1) share an argmax centroid, so blocking cannot separate
+    them.  Base vectors come from the driver fixture; each of the first
+    20 gets an identical twin planted at vec_id+10000."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.caching import release_persisted
+    from simpletons_map_reduce_spark.functions.vectors import norm2, to_double_vec
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        embedding_dedup_ann_pairs,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .select("vec_id", to_double_vec(F.col("embedding")).alias("v"))
+    )
+    twins = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "v"
+    )
+    emb = base.union(twins).withColumn("nv", norm2(F.col("v"))).persist()
+    try:
+        found = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_dedup_ann_pairs(emb).collect()
+        }
+    finally:
+        release_persisted()
+        emb.unpersist()
+    for i in range(20):
+        assert (i, i + 10_000) in found, f"planted dup pair {i} missed"
+
+
 def test_ann_lsh_recall_and_candidate_reduction(spark):
     """LSH-bucketed ANN: above-chance recall AND strictly fewer scored
     pairs than brute force (the whole point of the bucketing)."""
