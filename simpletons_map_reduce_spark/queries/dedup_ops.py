@@ -107,7 +107,10 @@ def _perms_values_sql() -> str:
     return f"(VALUES {rows}) AS perms(i, a, b)"
 
 
-NEAR_DEDUP_ORACLE = f"""
+#: Shared SQL front half (shingle sets → MinHash bands → capped buckets);
+#: the symmetric (near_dedup) and asymmetric (dedup_incremental) oracles
+#: append their own cand/verify CTEs.
+_SQL_LSH_KEPT_CTES = f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
 shs AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_CASE}) AS shset FROM t),
 shx AS (SELECT doc_id, unnest(shset) AS shingle FROM shs),
@@ -124,7 +127,10 @@ counted AS (SELECT doc_id, band, band_key,
                    count(*) OVER (PARTITION BY band, band_key) AS bsz
             FROM bands),
 kept AS (SELECT doc_id, band, band_key FROM counted
-         WHERE bsz BETWEEN 2 AND {MAX_BAND_BUCKET}),
+         WHERE bsz BETWEEN 2 AND {MAX_BAND_BUCKET})"""
+
+NEAR_DEDUP_ORACLE = f"""
+{_SQL_LSH_KEPT_CTES},
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
@@ -194,6 +200,89 @@ def near_dedup_pairs(
     )
 
 
+#: dedup_incremental's deterministic batch split: doc_id % 10 == 0 plays
+#: the "newly crawled batch" (~10%), the rest the standing corpus.
+NEW_BATCH_MOD = 10
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+{_SQL_LSH_KEPT_CTES},
+cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         FROM kept x JOIN kept y
+           ON x.band = y.band AND x.band_key = y.band_key
+          AND x.doc_id % {NEW_BATCH_MOD} = 0
+          AND y.doc_id % {NEW_BATCH_MOD} <> 0),
+verified AS (
+    SELECT new_doc, corpus_doc,
+           len(list_intersect(sa.shset, sb.shset)) AS inter,
+           len(list_distinct(list_concat(sa.shset, sb.shset))) AS uni
+    FROM cand
+    JOIN shs sa ON sa.doc_id = new_doc
+    JOIN shs sb ON sb.doc_id = corpus_doc
+)
+SELECT new_doc, corpus_doc, {sql_rn('inter * 1.0 / uni', 4)} AS jaccard
+FROM verified
+WHERE inter * {JACCARD_THRESHOLD_DEN} >= uni * {JACCARD_THRESHOLD_NUM}
+"""
+
+
+@register("dedup_incremental", DEDUP_INCREMENTAL_ORACLE, tags=("dedup",))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: which NEW documents near-duplicate the
+    standing corpus (the decision a crawler makes before appending).
+
+    Asymmetric LSH join: band signatures are computed for both sides (in
+    production the corpus side is precomputed and stored bucketed on
+    (band, band_key), so only the new batch is signed per ingest), then
+    new-batch bucket rows probe corpus bucket rows — candidate volume is
+    O(|new| × bucket), never corpus².  Bucket caps are computed over the
+    combined relation, exactly as the oracle does.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    shs = _shingle_sets(docs)
+    kept = _lsh_kept(shs, MAX_BAND_BUCKET)
+    new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
+    corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
+    cand = (
+        new.join(
+            corp,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa = shs.select(F.col("doc_id").alias("new_doc"), F.col("shset").alias("set_a"))
+    sb = shs.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shset").alias("set_b")
+    )
+    from ..functions.rounding import rn
+
+    verified = (
+        cand.join(sa, "new_doc")
+        .join(sb, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+        )
+    )
+    return (
+        verified.filter(
+            F.col("inter") * JACCARD_THRESHOLD_DEN
+            >= F.col("uni") * JACCARD_THRESHOLD_NUM
+        )
+        .select(
+            "new_doc",
+            "corpus_doc",
+            rn(F.col("inter") * F.lit(1.0) / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
+
+
 def near_dedup_candidates(
     docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:
@@ -221,6 +310,25 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
 
 def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
     """Distinct candidate pairs from the capped LSH bucket self-join."""
+    kept = _lsh_kept(shs, bucket_cap)
+    left = kept.alias("x")
+    right = kept.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _lsh_kept(shs: DataFrame, bucket_cap: int) -> DataFrame:
+    """(doc_id, band, band_key) rows surviving the hot-bucket cap — the
+    shared front half of the symmetric (near_dedup) and asymmetric
+    (dedup_incremental) LSH joins."""
     # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
     # permutations as its OWN constant-inlined expression: higher-order
     # functions are interpreted (not codegen'd), so a nested
@@ -259,22 +367,10 @@ def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
     # once matters more than the shset cache.  Tiny payload: (doc_id, band,
     # 4-hash key) × num_bands rows per doc.
     bucket_w = Window.partitionBy("band", "band_key")
-    kept = tracked_persist(
+    return tracked_persist(
         bands.withColumn("bsz", F.count("*").over(bucket_w))
         .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
         .select("doc_id", "band", "band_key")
-    )
-    left = kept.alias("x")
-    right = kept.alias("y")
-    return (
-        left.join(
-            right,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 

@@ -160,3 +160,61 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+#: Exact distributional quantiles, discrete form: the q-quantile is the
+#: element at rank ceil(q·n) under a total (value, event_id) order, so the
+#: result is an actual data value — no interpolation arithmetic to diverge
+#: between engines.  The scale path for looser needs is approx_percentile
+#: (t-digest, one pass, mergeable); this operator is the exact batch twin.
+_PCTS = (("p50", 50), ("p90", 90), ("p99", 99))
+
+_pct_cases_sql = ", ".join(
+    f"max(CASE WHEN rk = -((-{p} * n) // 100) THEN value END) AS {name}"
+    for name, p in _PCTS
+)
+
+VALUE_PERCENTILES_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events, {_pct_cases_sql}
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles", VALUE_PERCENTILES_ORACLE, tags=("events",))
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type by rank selection.
+
+    One shuffle on event_type serves the ranking window, the count
+    window, and the final aggregate (partitioning reuse); ceil(q·n) is
+    computed with integer arithmetic (-(-a DIV b) = ceil division) so
+    rank selection is bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(w.orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        *[
+            F.expr(
+                f"max(CASE WHEN rk = -((-{p} * n) DIV 100) THEN value END)"
+            ).alias(name)
+            for name, p in _PCTS
+        ],
+    )
