@@ -138,3 +138,24 @@ def test_promo_revenue_prunes_part_columns(spark):
     df = REGISTRY["promo_revenue"].fn(spark, SF0001)
     assert uses_broadcast_join(df)
     assert reads_only_columns(df, "part", {"p_partkey", "p_type"})
+
+
+def test_value_percentiles_single_exchange(spark):
+    """Ranking window, count window, and final agg all reuse ONE
+    event_type partitioning."""
+    df = REGISTRY["value_percentiles"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    """The asymmetric LSH probe must stay an equi-join on (band, key)."""
+    plan = physical_plan(REGISTRY["dedup_incremental"].fn(spark, SF0001), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_filter_no_python_udf(spark):
+    """The composed pipeline stays entirely JVM-side."""
+    plan = physical_plan(REGISTRY["corpus_filter"].fn(spark, SF0001), "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
