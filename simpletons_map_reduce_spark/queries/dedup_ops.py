@@ -657,7 +657,10 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc: frequency-weighted bit votes over md5-hashed
     tokens; docs with no tokens fingerprint to 0."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_frame(docs: DataFrame) -> DataFrame:
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -686,6 +689,108 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .join(fp, "doc_id", "left")
         .select("doc_id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+    )
+
+
+#: simhash_pairs: 4 bands × 8 bits over the 32-bit fingerprint.  By
+#: pigeonhole, any pair within hamming distance ≤ SIMHASH_HAM_MAX = 3 agrees
+#: exactly on at least one band, so the banded candidate join is LOSSLESS
+#: for the emitted distance range.  Band buckets hotter than the cap are
+#: dropped (same contract as the MinHash band cap, mirrored in the oracle).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1
+SIMHASH_BUCKET_CAP = 256
+
+
+def _build_simhash_pairs_oracle() -> str:
+    band_rows = ", ".join(str(b) for b in range(SIMHASH_BANDS))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH fpx AS (SELECT doc_id, simhash AS f FROM ({_build_simhash_oracle()})),
+bands AS (SELECT doc_id, f, b.band,
+                 (f // (1 << ({SIMHASH_BAND_BITS} * b.band))) & {mask} AS bkey
+          FROM fpx CROSS JOIN (SELECT unnest([{band_rows}]) AS band) b),
+counted AS (SELECT doc_id, band, bkey,
+                   count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bands),
+kept AS (SELECT doc_id, band, bkey FROM counted
+         WHERE bsz BETWEEN 2 AND {SIMHASH_BUCKET_CAP}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM kept x JOIN kept y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+scored AS (
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN fpx fa ON fa.doc_id = doc_a
+    JOIN fpx fb ON fb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {SIMHASH_HAM_MAX}
+"""
+
+
+@register("simhash_pairs", _build_simhash_pairs_oracle(), tags=("dedup",))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded fingerprint join + hamming verify.
+
+    The third candidate-generation strategy in the dedup family (after
+    MinHash-LSH and prefix filtering): constant-size per-doc state (one
+    64-bit int), candidates from 4×8-bit band equality — lossless for
+    hamming ≤ 3 — then exact bit_count verification.  Only (doc_id,
+    band, 8-bit key) rows shuffle; fingerprints re-join by id.
+    """
+    return simhash_pairs_from(spark, load_table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Banded-hamming pair pipeline over any (doc_id, text) relation."""
+    fpx = tracked_persist(
+        _simhash_frame(docs).select("doc_id", F.col("simhash").alias("f"))
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("f", SIMHASH_BAND_BITS * b)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = fpx.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bucket_w = Window.partitionBy("band", "bkey")
+    kept = tracked_persist(
+        bands.withColumn("bsz", F.count("*").over(bucket_w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= SIMHASH_BUCKET_CAP))
+        .select("doc_id", "band", "bkey")
+    )
+    cand = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fpx.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    fb = fpx.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
     )
 
 

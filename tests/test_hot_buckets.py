@@ -84,6 +84,24 @@ def test_ngram_prefix_bucket_cap_bounds_candidates(spark):
         assert (a, b) in found, f"genuine pair {(a, b)} lost to bucket cap"
 
 
+def test_simhash_pairs_find_planted_near_dups(spark):
+    """Docs differing by one token out of ~12 flip few fingerprint bits:
+    each genuine pair must appear within the hamming threshold, and every
+    emitted pair must satisfy it."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        SIMHASH_HAM_MAX,
+        simhash_pairs_from,
+    )
+
+    docs = _corpus(spark)
+    rows = simhash_pairs_from(spark, docs).collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    assert all(r.hamming <= SIMHASH_HAM_MAX for r in rows)
+    for j in range(N_PAIRS):
+        a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
+        assert (a, b) in found, f"genuine pair {(a, b)} missed by simhash"
+
+
 def test_ngram_prefix_df_guard(spark):
     docs = _corpus(spark)
     pairs = {
