@@ -66,11 +66,17 @@ def free_checkpoint(df: DataFrame) -> None:
 
 
 def release_persisted() -> None:
-    """Unpersist every tracked relation (LIFO).  Call after the action."""
+    """Unpersist every tracked relation (LIFO).  Call after the action.
+
+    Blocking on purpose: an async unpersist leaves dead blocks competing
+    with the NEXT query's memory until the executor gets around to
+    dropping them — measured as multi-second spikes in long bench
+    sessions.  The release runs between queries, so blocking costs
+    nothing on any timed path."""
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
-            df.unpersist(False)
+            df.unpersist(True)
         except Exception:
             pass
         free_checkpoint(df)
