@@ -82,7 +82,14 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] on a 128 GiB box: 8g forced the dedup shingle persists
+        # to spill once a long session had broadcasts/cache pressure
+        # (near_dedup 71 s vs 33 s at sf1) — 16g restores headroom while
+        # staying far under the machine.  Override: SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
