@@ -104,9 +104,10 @@ def test_ann_lsh_recall_and_candidate_reduction(spark):
     approx_rows = REGISTRY["ann_lsh"].fn(spark, SF0001).collect()
     approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
-    # near-isotropic synthetic embeddings are LSH's worst case; the pinned
-    # floor shows above-random behavior without overfitting the fixture
-    assert recall >= 0.2, f"ann_lsh recall {recall:.2f}"
+    # near-isotropic synthetic embeddings are LSH's worst case; 1-bit
+    # multiprobe measures 0.92 here and at sf0.01 (0.5 without it) — the
+    # floor is pinned just below measured so a probe regression shows
+    assert recall >= 0.8, f"ann_lsh recall {recall:.2f}"
     # every query still returns a full (or capped-by-candidates) top-k
     assert len(approx_rows) > 0
     assert all(r.rk <= 5 for r in approx_rows)
