@@ -359,3 +359,185 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.md5("shingle")).alias("fingerprint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           len(list_distinct(toks)) AS n_dist,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+               AS tri
+    FROM t
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+    FROM t
+),
+top AS (
+    SELECT doc_id, max(c) AS top_cnt
+    FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram)
+    GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(m.n_words AS BIGINT) AS n_words,
+       {sql_rn("CASE WHEN m.n_words = 0 THEN 0.0"
+               " ELSE (m.n_words - m.n_dist) * 1.0 / m.n_words END", 4)}
+           AS dup_word_frac,
+       {sql_rn("CASE WHEN len(m.tri) = 0 THEN 0.0"
+               " ELSE (len(m.tri) - len(list_distinct(m.tri))) * 1.0"
+               "      / len(m.tri) END", 4)} AS dup_trigram_frac,
+       {sql_rn("coalesce(top.top_cnt * 2.0 / m.n_words, 0.0)", 4)}
+           AS top_bigram_frac
+FROM m LEFT JOIN top USING (doc_id)
+"""
+
+
+@register("repetition_stats", REPETITION_ORACLE, tags=("text", "quality"))
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word fraction,
+    duplicate-trigram fraction, and the token share of the most frequent
+    bigram (Rae et al. 2021 §A1.1 use these to drop boilerplate/spam docs).
+
+    dup_word_frac and dup_trigram_frac are pure array expressions (size vs
+    array_distinct size) — zero shuffle, computed in the scan stage.  Only
+    the bigram-mode signal needs an aggregation, and it reduces each doc to
+    a single (doc_id, max_count) row before the join, so shuffle volume is
+    O(distinct bigrams) then O(docs) — never the corpus text.  At 100 TB the
+    explode feeds a partial (map-side combined) HashAggregate keyed on
+    (doc_id, gram), which is as small as this signal can be made.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tracked_persist(
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
+    n_words = F.size("toks")
+    trigrams = F.when(
+        n_words >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+            "             ' ', element_at(toks, i + 2)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    bigrams = F.when(
+        n_words >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    top = (
+        t.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    n_tri = F.size(F.col("tri"))
+    m = t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_dist"),
+        trigrams.alias("tri"),
+    )
+    return (
+        m.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            rn(
+                F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                    (F.col("n_words") - F.col("n_dist")) * F.lit(1.0)
+                    / F.col("n_words")
+                ),
+                4,
+            ).alias("dup_word_frac"),
+            rn(
+                F.when(n_tri == 0, F.lit(0.0)).otherwise(
+                    (n_tri - F.size(F.array_distinct("tri"))) * F.lit(1.0) / n_tri
+                ),
+                4,
+            ).alias("dup_trigram_frac"),
+            rn(
+                F.coalesce(
+                    F.col("top_cnt") * F.lit(2.0) / F.col("n_words"), F.lit(0.0)
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns chosen to behave identically under Java regex (Spark) and RE2
+#: (DuckDB): ASCII classes only, no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[- .]?\d{3}[- .]?\d{4}"
+
+PII_REDACT_ORACLE = f"""
+WITH r1 AS (
+    SELECT doc_id, text,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM documents
+),
+r2 AS (SELECT *, regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM r1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM r2
+"""
+
+
+@register("pii_redact", PII_REDACT_ORACLE, tags=("text", "quality"))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers, with per-kind counts.
+
+    Patterns apply in a fixed order (email -> IP -> phone), each counting on
+    the output of the previous replacement so a digit run inside an email is
+    never double-counted as a phone.  Everything is native ``regexp_replace``
+    / ``regexp_extract_all`` — per-row, shuffle-free, stays in whole-stage
+    codegen, and scales linearly with corpus bytes.  (The synthetic fixture
+    contains no PII, so the registry run proves the no-op path end-to-end;
+    positive matches are pinned by tests/test_text_quality.py.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace("text", EMAIL_RE, "<EMAIL>")
+    r1 = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        t1.alias("t1"),
+    )
+    r2 = r1.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all("t1", F.lit(IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_replace("t1", IPV4_RE, "<IP>").alias("t2"),
+    )
+    return r2.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.size(F.regexp_extract_all("t2", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace("t2", PHONE_RE, "<PHONE>").alias("redacted"),
+    )

@@ -1,0 +1,104 @@
+"""Positive-case pins for the repetition / PII quality operators.
+
+The synthetic fixture contains no PII and little pathological repetition, so
+the registry+oracle run only proves the no-op path; these tests feed crafted
+documents through the same column expressions and assert the signals fire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.queries.text_ops import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+)
+
+
+def _redact(spark, text: str):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    t1 = F.regexp_replace("text", EMAIL_RE, "<EMAIL>")
+    r1 = df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        t1.alias("t1"),
+    )
+    r2 = r1.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all("t1", F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.regexp_replace("t1", IPV4_RE, "<IP>").alias("t2"),
+    )
+    row = r2.select(
+        "n_emails",
+        "n_ips",
+        F.size(F.regexp_extract_all("t2", F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace("t2", PHONE_RE, "<PHONE>").alias("redacted"),
+    ).head()
+    return row
+
+
+def test_pii_redact_positive(spark):
+    row = _redact(
+        spark,
+        "mail a@b.co or admin@example.org, host 10.0.0.1, call 555-123-4567.",
+    )
+    assert row.n_emails == 2
+    assert row.n_ips == 1
+    assert row.n_phones == 1
+    assert row.redacted == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>."
+
+
+def test_pii_email_digits_not_double_counted_as_phone(spark):
+    # the local part is 10 digits shaped like a phone number — the email
+    # replacement runs first so the phone counter must see none.
+    row = _redact(spark, "contact 5551234567@textmail.example now")
+    assert row.n_emails == 1
+    assert row.n_phones == 0
+    assert row.redacted == "contact <EMAIL> now"
+
+
+def test_pii_ip_not_counted_as_phone(spark):
+    row = _redact(spark, "ping 192.168.100.200 then dial +1 555 123 4567")
+    assert row.n_ips == 1
+    # "+1 555 123 4567" — the pattern anchors on 3-3-4 digit groups
+    assert row.n_phones == 1
+    assert "<IP>" in row.redacted and "<PHONE>" in row.redacted
+
+
+def test_repetition_signals_fire_on_boilerplate(spark):
+    """A heavily repeated document scores high on every signal; a
+    no-repeat document scores 0 — run through the registered query against
+    a temp-dir documents table."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+
+    docs = [
+        (0, "spam alert " * 50, "en", "srcX", 550),  # one bigram dominates
+        (1, "a b c d e f g h i j", "en", "srcY", 19),  # all distinct
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "documents.parquet")
+        sdf.coalesce(1).write.mode("overwrite").parquet(path)
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["repetition_stats"].fn(spark, td).collect()
+        }
+    spammy, clean = out[0], out[1]
+    assert spammy.dup_word_frac > 0.9
+    assert spammy.dup_trigram_frac > 0.9
+    assert spammy.top_bigram_frac > 0.9
+    assert clean.dup_word_frac == 0.0
+    assert clean.dup_trigram_frac == 0.0
+    # 10 tokens, every bigram unique: top bigram covers 2/10 tokens
+    assert abs(clean.top_bigram_frac - 0.2) < 1e-9
