@@ -1,0 +1,140 @@
+"""Deterministic sampling operators — LLM-pipeline tier C.
+
+Training-data pipelines sample constantly (corpus downsampling, per-source
+quotas, train/valid/test splits).  ``df.sample()`` is seed-and-partitioning
+dependent, which makes results irreproducible across cluster layouts; these
+operators instead derive every decision from ``md5(key)``, so the sample is
+a pure function of the data — rerunnable, oracle-checkable, and identical on
+1 executor or 1000 (the property the reference gets from deterministic
+map/reduce functions, mr/worker.go:41-45, generalized to sampling).
+
+Scale notes
+-----------
+* ``sample_hash`` / ``split_assign`` are scan-local predicates/projections:
+  zero shuffle, filter evaluated inside whole-stage codegen next to the
+  parquet reader.
+* ``stratified_sample`` is a per-stratum exact-k uniform sample via
+  ``row_number() <= k`` — Spark >= 3.5 rewrites that filter into a
+  WindowGroupLimit, so each input partition forwards at most k candidate
+  rows per stratum into the single shuffle (pinned by tests/test_plans.py);
+  a hot stratum costs O(k · partitions), never O(|stratum|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PRIME, md5_mod_prime, sql_md5_mod_prime
+from ..sources.tables import load_table
+from .registry import register
+
+#: Bernoulli keep-rate for ``sample_hash`` (exact integer threshold so both
+#: engines compare the same way).
+SAMPLE_RATE = 0.2
+SAMPLE_THRESH = int(SAMPLE_RATE * MINHASH_PRIME)
+
+#: Exact per-stratum sample size for ``stratified_sample``.
+STRATUM_K = 10
+
+#: train/valid/test cut points (fractions of MINHASH_PRIME).
+TRAIN_CUT = int(0.8 * MINHASH_PRIME)
+VALID_CUT = int(0.9 * MINHASH_PRIME)
+
+_HASH = "CAST(doc_id AS STRING)"
+_SQL_HASH = sql_md5_mod_prime("CAST(doc_id AS VARCHAR)")
+
+
+SAMPLE_HASH_ORACLE = f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE {_SQL_HASH} < {SAMPLE_THRESH}
+"""
+
+
+@register("sample_hash", SAMPLE_HASH_ORACLE, tags=("sampling",))
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample of ``documents``.
+
+    Keep iff ``md5(doc_id) mod p < 0.2·p`` — reproducible across runs,
+    partitionings, and engines (unlike ``df.sample``), and the predicate is
+    a scan-local expression: at 100 TB this is a full scan with zero shuffle
+    and ~20% of rows surviving into downstream stages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).filter(md5_mod_prime(F.expr(_HASH)) < SAMPLE_THRESH)
+
+
+STRATIFIED_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {_SQL_HASH}, doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {STRATUM_K}
+"""
+
+
+@register("stratified_sample", STRATIFIED_ORACLE, tags=("sampling",))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source uniform sample (deterministic reservoir).
+
+    Ordering each stratum by ``md5(doc_id)`` and keeping the first k is an
+    exact-k uniform sample without replacement — the distributed, rerunnable
+    equivalent of reservoir sampling.  The ``row_number() <= k`` filter
+    becomes a WindowGroupLimit (partial top-k before the exchange), so the
+    shuffle carries at most k rows per stratum per input partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_mod_prime(F.expr(_HASH)), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= STRATUM_K)
+    )
+
+
+SPLIT_ASSIGN_ORACLE = f"""
+WITH assigned AS (
+    SELECT source, n_chars,
+           CASE WHEN {_SQL_HASH} < {TRAIN_CUT} THEN 'train'
+                WHEN {_SQL_HASH} < {VALID_CUT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY source, split
+"""
+
+
+@register("split_assign", SPLIT_ASSIGN_ORACLE, tags=("sampling",))
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assign every document to train/valid/test (80/10/10) and report
+    per-(source, split) document and character counts.
+
+    The assignment is a pure function of doc_id — adding or removing other
+    documents never flips an existing document's split (the stability
+    property training pipelines need for incremental re-crawls).  The only
+    shuffle is the final (source, split) aggregate, map-side combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_mod_prime(F.expr(_HASH))
+    split = (
+        F.when(h < TRAIN_CUT, "train").when(h < VALID_CUT, "valid").otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -159,3 +159,26 @@ def test_corpus_filter_no_python_udf(spark):
     plan = physical_plan(REGISTRY["corpus_filter"].fn(spark, SF0001), "simple")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_sample_hash_scan_local(spark):
+    """Hash sampling is a scan-stage predicate: no shuffle, pruned columns."""
+    df = REGISTRY["sample_hash"].fn(spark, SF0001)
+    assert count_exchanges(df) == 0, physical_plan(df, "simple")
+    assert reads_only_columns(df, "documents", {"doc_id", "source", "n_chars"})
+
+
+def test_stratified_sample_partial_group_limit(spark):
+    """row_number()<=k must become a PARTIAL WindowGroupLimit before the
+    exchange — each input partition forwards at most k rows per stratum,
+    which is what makes exact-k sampling survive a hot stratum at 100 TB."""
+    df = REGISTRY["stratified_sample"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    partial = plan.find("WindowGroupLimit")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1 and exchange != -1, plan
+    # "simple" mode prints top-down: the Final limit appears first, then the
+    # Exchange, then the Partial limit below it (closer to the scan).
+    assert "Partial" in plan[plan.rfind("WindowGroupLimit"):], plan
+    assert plan.rfind("WindowGroupLimit") > exchange, plan
+    assert count_exchanges(df) == 1

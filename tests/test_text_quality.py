@@ -102,3 +102,46 @@ def test_repetition_signals_fire_on_boilerplate(spark):
     assert clean.dup_trigram_frac == 0.0
     # 10 tokens, every bigram unique: top bigram covers 2/10 tokens
     assert abs(clean.top_bigram_frac - 0.2) < 1e-9
+
+
+def test_split_assign_is_stable_under_corpus_growth(spark):
+    """A document's split never changes when other docs are added/removed —
+    the md5 assignment is a pure per-row function (incremental re-crawls
+    keep their holdout sets)."""
+    from simpletons_map_reduce_spark.functions.hashing import MINHASH_PRIME
+    from simpletons_map_reduce_spark.queries.sampling_ops import (
+        TRAIN_CUT,
+        VALID_CUT,
+    )
+    from pyspark.sql import functions as F
+    from simpletons_map_reduce_spark.functions.hashing import md5_mod_prime
+
+    def splits(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        h = md5_mod_prime(F.expr("CAST(doc_id AS STRING)"))
+        s = (
+            F.when(h < TRAIN_CUT, "train")
+            .when(h < VALID_CUT, "valid")
+            .otherwise("test")
+        )
+        return dict(df.select("doc_id", s.alias("s")).collect())
+
+    small = splits(range(100))
+    big = splits(range(1000))
+    assert all(big[k] == v for k, v in small.items())
+    # and the 80/10/10 proportions are roughly honored on 1000 ids
+    from collections import Counter
+
+    c = Counter(big.values())
+    assert 700 < c["train"] < 880
+    assert MINHASH_PRIME > 0  # import used
+
+
+def test_sample_hash_rate_close_to_nominal(spark):
+    """The deterministic Bernoulli sample hits ~20% on the fixture."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from tests.conftest import SF001
+
+    n_all = 500
+    n_sample = REGISTRY["sample_hash"].fn(spark, SF001).count()
+    assert 0.12 * n_all < n_sample < 0.28 * n_all
