@@ -16,5 +16,6 @@ from . import dedup_ops  # noqa: E402,F401
 from . import similarity_ops  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import sampling_ops  # noqa: E402,F401
+from . import sketch_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]
