@@ -13,12 +13,20 @@
   rows-only check; the pytest suite measures recall against
   similarity_topk instead.
 
-All cosine math is sequential-fold double arithmetic mirrored exactly by the
-oracle (functions/vectors.py), never a Python UDF.  Each vector's norm is
-computed ONCE per row (cosine_from_parts), so pair scoring costs one fold,
-not three.  (Unrolling the 64-dim fold into flat expression chains was
-measured SLOWER — ~200-node trees push the generated code past JIT-friendly
-sizes — so the fold stays a higher-order function; see SCALE.md.)
+Cosine arithmetic is split by contract:
+
+* ORACLE-CHECKED ops (similarity_topk, embedding_dedup) use the sequential
+  JVM fold (functions/vectors.py) mirrored exactly by the DuckDB oracle —
+  bitwise parity beats constant factors there.  Each vector's norm is
+  computed ONCE per row (cosine_from_parts), so pair scoring costs one
+  fold, not three.  (Unrolling the 64-dim fold into flat expression chains
+  was measured SLOWER — ~200-node trees push the generated code past
+  JIT-friendly sizes — so the fold stays a higher-order function.)
+* ROWS-ONLY ANN ops vectorize their O(n·k) assignment scans through the
+  Arrow numpy kernel (functions/vectorized.py): one BLAS matmul per batch,
+  same determinism contract, recall pinned in tests instead of an oracle.
+  Measured at sf1: ann_ivf 10.8 s → 7.6 s, embedding_dedup_ann 55 s →
+  17.6 s (SCALE.md).
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..caching import free_checkpoint, track, tracked_persist
 from ..functions.rounding import rn, sql_rn
+from ..functions.vectorized import np_assign_clusters
 from ..functions.vectors import (
     cosine_from_parts,
     dot,
@@ -244,22 +253,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = max(MIN_NPROBE, k // 5)
     cents = _lloyd_centroids(emb, n, k)
 
-    scored_all = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nv",
-        "cent_id",
-        cosine_from_parts(
-            dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
-        ).alias("c_score"),
-    )
-    assigned = scored_all.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("c_score"), -F.col("cent_id"))
-        ).alias("cluster"),
-        F.first("v").alias("v"),
-        F.first("nv").alias("nv"),
-    )
+    # Full-corpus assignment is the O(n·k) term — one BLAS matmul per Arrow
+    # batch instead of n·k interpreted cosine folds (the centroid model is
+    # kilobytes and rides in the kernel closure like a broadcast ML model).
+    # Narrow: vectors pass through the kernel, so no shuffle and no re-join.
+    cent_rows = [(r.cent_id, r.cv, r.ncv) for r in cents.collect()]
+    assigned = np_assign_clusters(emb, cent_rows, top=1, carry_vectors=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -339,20 +338,12 @@ def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
     n = emb.count()
     k = min(int(n**0.5) + 1, K_CAP)
     cents = _lloyd_centroids(emb, n, k)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        cosine_from_parts(
-            dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
-        ).alias("c_score"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_score").desc(), F.col("cent_id")
-    )
-    assigned = (
-        scored.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") <= 2)
-        .select("vec_id", F.col("cent_id").alias("cluster"))
+    # Top-2 assignment vectorized the same way as ann_ivf's argmax pass —
+    # one matmul + stable argsort per Arrow batch, ids-only output (the
+    # candidate join never needs the vectors).
+    cent_rows = [(r.cent_id, r.cv, r.ncv) for r in cents.collect()]
+    assigned = np_assign_clusters(emb, cent_rows, top=2, carry_vectors=False).select(
+        "vec_id", "cluster"
     )
     # candidate ids only — vectors re-join after the pair dedup, so the
     # cluster self-join never shuffles 64-dim payloads
