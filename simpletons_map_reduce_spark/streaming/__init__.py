@@ -5,6 +5,7 @@ from .events_stream import (
     sessionize_stream,
     tumbling_stream,
 )
+from .dedup_stream import dedup_stream, dedup_stream_from, docs_stream
 from .stateful import running_user_totals, running_user_totals_ttl, totals_ttl_from
 
 __all__ = [
@@ -16,4 +17,7 @@ __all__ = [
     "running_user_totals",
     "running_user_totals_ttl",
     "totals_ttl_from",
+    "dedup_stream",
+    "dedup_stream_from",
+    "docs_stream",
 ]
