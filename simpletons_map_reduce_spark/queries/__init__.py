@@ -17,5 +17,6 @@ from . import similarity_ops  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import sampling_ops  # noqa: E402,F401
 from . import sketch_ops  # noqa: E402,F401
+from . import profiling_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -182,3 +182,14 @@ def test_stratified_sample_partial_group_limit(spark):
     assert "Partial" in plan[plan.rfind("WindowGroupLimit"):], plan
     assert plan.rfind("WindowGroupLimit") > exchange, plan
     assert count_exchanges(df) == 1
+
+
+def test_profiling_ops_single_shuffle_no_udf(spark):
+    """props_extract / event_pivot / value_histogram are each ONE map-side
+    combined aggregation: single exchange, no Python eval, JSON parsed in
+    the scan stage."""
+    for name in ("props_extract", "event_pivot", "value_histogram"):
+        df = REGISTRY[name].fn(spark, SF0001)
+        plan = physical_plan(df, "simple")
+        assert count_exchanges(df) == 1, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
