@@ -119,3 +119,168 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.max("value"), 4).alias("bin_max"),
         )
     )
+
+
+CUSTOMER_DECILES_ORACLE = f"""
+WITH spend AS (
+    SELECT o_custkey, sum(o_totalprice) AS total_spend
+    FROM orders GROUP BY o_custkey
+),
+tiled AS (
+    SELECT o_custkey, total_spend,
+           ntile(10) OVER (ORDER BY total_spend, o_custkey) AS decile
+    FROM spend
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {sql_rn('min(total_spend)', 2)} AS min_spend,
+       {sql_rn('max(total_spend)', 2)} AS max_spend,
+       {sql_rn('sum(total_spend)', 2)} AS decile_spend
+FROM tiled GROUP BY decile
+"""
+
+
+#: Range-bucket width for the distributed global ranking (dollars of
+#: customer lifetime spend per bucket).  Bucket count = spend-range / width:
+#: small enough that the bucket-offset relation is trivially broadcastable,
+#: large enough that no bucket holds a meaningful fraction of customers.
+DECILE_BUCKET_WIDTH = 50_000.0
+
+N_TILES = 10
+
+
+@register("customer_deciles", CUSTOMER_DECILES_ORACLE, tags=("profiling",))
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: per-customer spend, exact ntile(10),
+    then per-decile population and spend stats.
+
+    A naive ``ntile(10) OVER (ORDER BY …)`` is an UNPARTITIONED window —
+    Spark moves every row to one partition (WindowExec warns exactly this),
+    which is the classic global-ranking scale trap.  This plan computes the
+    same global row number distributed, two-phase:
+
+    1. range-bucket each customer by ``floor(spend / W)`` (scan-local);
+    2. per-bucket counts → prefix-sum offsets with a window over the TINY
+       bucket relation (rows = #buckets, not #customers);
+    3. global rank = bucket offset (broadcast join) + ``row_number()`` over
+       a window PARTITIONED by bucket — every heavy operator is now keyed;
+    4. decile from (rank, n) with ntile's exact integer split: the first
+       ``n mod 10`` tiles take ``n div 10 + 1`` rows.
+
+    Ties broken by (spend, custkey), so the tiling is deterministic and
+    bit-identical to the oracle's ntile.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend")
+    )
+    bucket = F.floor(F.col("total_spend") / DECILE_BUCKET_WIDTH)
+    spend = spend.withColumn("bucket", bucket)
+    bcnt = spend.groupBy("bucket").agg(F.count("*").alias("c"))
+    woff = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcnt.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wrk = Window.partitionBy("bucket").orderBy("total_spend", "o_custkey")
+    ranked = (
+        spend.join(F.broadcast(offs), "bucket")
+        .withColumn("rk", F.row_number().over(wrk) + F.col("off"))
+    )
+    # ntile's exact split in integer arithmetic (rk, n are bigints)
+    tiled = ranked.withColumn(
+        "decile",
+        F.expr(
+            f"CASE WHEN rk <= (n % {N_TILES}) * (n DIV {N_TILES} + 1)"
+            f" THEN CAST((rk - 1) DIV (n DIV {N_TILES} + 1) + 1 AS INT)"
+            f" ELSE CAST(n % {N_TILES}"
+            f"      + (rk - (n % {N_TILES}) * (n DIV {N_TILES} + 1) - 1)"
+            f"        DIV (n DIV {N_TILES}) + 1 AS INT) END"
+        ),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        rn(F.min("total_spend"), 2).alias("min_spend"),
+        rn(F.max("total_spend"), 2).alias("max_spend"),
+        rn(F.sum("total_spend"), 2).alias("decile_spend"),
+    )
+
+
+#: Profiled columns.  min/max are stringified for one uniform output schema;
+#: the NTZ timestamp stringifies identically in both engines
+#: ('YYYY-MM-DD HH:MM:SS', timezone-free), so no epoch conversion needed.
+_PROFILE_COLS = [
+    ("o_orderkey", None),
+    ("o_custkey", None),
+    ("o_orderstatus", None),
+    ("o_totalprice", None),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", None),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, _kind in _PROFILE_COLS:
+        v = col
+        parts.append(
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" min({v})::VARCHAR AS min_val,"
+            f" max({v})::VARCHAR AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+TABLE_PROFILE_ORACLE = _profile_oracle()
+
+
+@register("table_profile", TABLE_PROFILE_ORACLE, tags=("profiling",))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of ``orders``: null count, exact
+    distinct count, min/max (stringified uniformly across types).
+
+    ONE scan: all per-column aggregates run in a single pass, then the
+    one-row result unpivots via ``stack`` into (column, stats) rows.
+    Exact multi-column countDistinct makes Spark expand the input once per
+    profiled column — acceptable for a profiling pass, and the oracle needs
+    exactness; swap in approx_count_distinct (see sketch_ops) when
+    profiling at full corpus scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, _kind in _PROFILE_COLS:
+        v = F.col(col)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(v).cast("string").alias(f"{col}__min"),
+            F.max(v).cast("string").alias(f"{col}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )

@@ -193,3 +193,27 @@ def test_profiling_ops_single_shuffle_no_udf(spark):
         plan = physical_plan(df, "simple")
         assert count_exchanges(df) == 1, (name, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_customer_deciles_ranking_window_is_keyed(spark):
+    """The global ranking must NOT plan an unpartitioned window over the
+    customer relation (single-partition WindowExec is the global-ranking
+    scale trap).  The row_number window is partitioned by the range
+    bucket; the only unpartitioned window runs over the tiny per-bucket
+    count relation."""
+    df = REGISTRY["customer_deciles"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "windowspecdefinition(bucket" in plan, plan
+    # the row_number spec must carry the bucket partition key
+    import re
+
+    rn_specs = [
+        s for s in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan)
+    ]
+    assert rn_specs and all("bucket" in s for s in rn_specs), plan
+
+
+def test_table_profile_single_scan(spark):
+    df = REGISTRY["table_profile"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan") == 1, plan
