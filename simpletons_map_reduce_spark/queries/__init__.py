@@ -18,5 +18,7 @@ from . import pipeline  # noqa: E402,F401
 from . import sampling_ops  # noqa: E402,F401
 from . import sketch_ops  # noqa: E402,F401
 from . import profiling_ops  # noqa: E402,F401
+from . import decision  # noqa: E402,F401
+from . import packing_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

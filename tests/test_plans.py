@@ -217,3 +217,65 @@ def test_table_profile_single_scan(spark):
     df = REGISTRY["table_profile"].fn(spark, SF0001)
     plan = physical_plan(df, "simple")
     assert plan.count("FileScan") == 1, plan
+
+
+def test_exists_orders_is_semi_join_not_cartesian(spark):
+    """EXISTS must plan as a keyed semi-join: the equi part drives the
+    shuffle/broadcast, the date-range correlate is a probe-side filter."""
+    df = REGISTRY["exists_orders"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_avg_filter_one_window_shuffle(spark):
+    """The per-part scalar is a window over l_partkey — one exchange for
+    window + final agg; no re-aggregation join, no second lineitem scan."""
+    df = REGISTRY["scalar_avg_filter"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan parquet") == plan.count("FileScan")  # sanity
+    assert sum("lineitem" in ln for ln in plan.splitlines() if "FileScan" in ln) == 1
+    assert "windowspecdefinition(l_partkey" in plan, plan
+
+
+def test_big_orders_aggregates_before_joins(spark):
+    """HAVING shrinks lineitem before the enrichment joins — the aggregate
+    must sit below both joins in the plan tree."""
+    plan = physical_plan(REGISTRY["big_orders"].fn(spark, SF0001), "simple")
+    agg_depth = min(
+        i for i, ln in enumerate(plan.splitlines()) if "HashAggregate" in ln
+    )
+    join_depth = min(
+        i for i, ln in enumerate(plan.splitlines()) if "Join" in ln
+    )
+    assert join_depth < agg_depth, plan  # joins above (consume) the aggregate
+
+
+def test_priority_pivot_single_aggregate_pass(spark):
+    """Both CASE branches are summed in ONE partial/final aggregate pair
+    over the join output — not two filtered aggregations unioned."""
+    df = REGISTRY["priority_pivot"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "Union" not in plan, plan
+    assert plan.count("FileScan") == 2  # lineitem + orders, once each
+
+
+def test_churned_customers_broadcasts_scalar_and_anti(spark):
+    """The 1-row threshold is broadcast (no shuffle of customer for the
+    scalar compare) and NOT EXISTS plans as a left-anti join."""
+    df = REGISTRY["churned_customers"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_moving_revenue_window_over_rollup(spark):
+    """The ROWS frame runs over the day-grain rollup: the aggregate sits
+    below the window, so the sort is O(days), not O(orders)."""
+    df = REGISTRY["moving_revenue"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    lines = plan.splitlines()
+    win = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    assert win < agg, plan  # window consumes the aggregate's output
