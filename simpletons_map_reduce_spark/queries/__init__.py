@@ -20,5 +20,6 @@ from . import sketch_ops  # noqa: E402,F401
 from . import profiling_ops  # noqa: E402,F401
 from . import decision  # noqa: E402,F401
 from . import packing_ops  # noqa: E402,F401
+from . import trade  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

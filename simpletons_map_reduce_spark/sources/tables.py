@@ -42,11 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division would lose precision at 2^60 and
-        # disagree with DuckDB's ns→us truncation by ±1us.
-        ts_us = F.expr("ts div 1000")
-        df = df.withColumn("ts_us", ts_us).withColumn("ts", F.timestamp_micros(ts_us))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # parquet timestamp[ns] read as long (legacy.parquet.nanosAsLong).
+            # Integer division: float division would lose precision at 2^60
+            # and disagree with DuckDB's ns→us truncation by ±1us.
+            ts_us = F.expr("ts div 1000")
+            df = df.withColumn("ts_us", ts_us).withColumn(
+                "ts", F.timestamp_micros(ts_us)
+            )
+        elif ts_type in ("timestamp", "timestamp_ntz"):
+            # parquet timestamp[us] (driver generators vary by round) —
+            # already microsecond precision; expose the bigint twin and pin
+            # TimestampType (session tz is UTC, so ntz→tz changes nothing).
+            ts = F.col("ts").cast("timestamp")
+            df = df.withColumn("ts", ts).withColumn("ts_us", F.unix_micros(ts))
     return df
 
 

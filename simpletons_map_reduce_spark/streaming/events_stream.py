@@ -19,33 +19,56 @@ from pyspark.sql import types as T
 
 from ..session import ensure_confs
 
-#: events.parquet physical schema (ts as raw nanos; file streams require an
-#: explicit schema — no inference pass).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """events.parquet physical schema (file streams require an explicit
+    schema — no inference pass); ``ts`` storage varies by driver round."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+#: ns-long variant — the schema tests use when synthesizing raw event files
+#: (ts as raw nanoseconds, the reference driver's original storage).
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with ts normalized to a
-    microsecond timestamp (same convention as sources/tables.py)."""
+    microsecond timestamp (same convention as sources/tables.py).
+
+    The ``ts`` storage type differs across driver generations (raw nanos
+    as int64 vs parquet timestamp[us]); a one-off batch read probes the
+    footer (driver-side metadata only) so the stream schema matches the
+    files — a wrong explicit schema would silently misscale every
+    timestamp by 1000×.
+    """
     ensure_confs(spark)
+    stored = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    if stored == "bigint":
+        ts_type: T.DataType = T.LongType()
+    elif stored == "timestamp_ntz":
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
     # The file stream source requires a *directory*; select just the events
     # file out of the sf dir with a glob filter.
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if stored == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # session tz is pinned UTC, so ntz→tz is the identity instant
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(

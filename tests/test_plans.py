@@ -279,3 +279,81 @@ def test_moving_revenue_window_over_rollup(spark):
     win = min(i for i, ln in enumerate(lines) if "Window" in ln)
     agg = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
     assert win < agg, plan  # window consumes the aggregate's output
+
+
+def test_volume_shipping_broadcasts_nations(spark):
+    """Q7 shape: both nation lookups ride broadcasts; no cartesian from the
+    symmetric pair predicate."""
+    df = REGISTRY["volume_shipping"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # ship-date range reaches the lineitem scan
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_market_share_single_aggregate_pass(spark):
+    """Q8 shape: numerator and denominator in ONE aggregate — no union of
+    a filtered and an unfiltered rollup, no second lineitem scan."""
+    df = REGISTRY["market_share"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "Union" not in plan, plan
+    assert plan.count("FileScan parquet") <= 8  # each table at most once
+
+
+def test_returned_items_filters_below_joins(spark):
+    """Q10 shape: returnflag reaches the lineitem scan, the quarter reaches
+    the orders scan — the fact join sees only the returned slice."""
+    df = REGISTRY["returned_items"].fn(spark, SF0001)
+    assert has_pushed_filters(df, "l_returnflag", "o_orderdate")
+    assert count_exchanges(df) <= 2, physical_plan(df, "simple")
+
+
+def test_top_value_parts_single_lineitem_scan(spark):
+    """Q11 shape: the per-part rollup is persisted — the threshold scalar
+    and the probe both read the cache, lineitem is scanned once."""
+    from simpletons_map_reduce_spark.caching import release_persisted
+
+    df = REGISTRY["top_value_parts"].fn(spark, SF0001)
+    try:
+        plan = physical_plan(df, "simple")
+        # both the threshold scalar and the probe read the cache; every
+        # FileScan the explain prints sits inside the cached rollup's
+        # InMemoryRelation (printed once per consumer) — lineitem is read
+        # from parquet exactly once at execution.
+        assert plan.count("InMemoryTableScan") == 2, plan
+        assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+        assert "CartesianProduct" not in plan  # 1-row scalar joins via broadcast
+    finally:
+        release_persisted()
+
+
+def test_customer_distribution_left_outer_two_aggs(spark):
+    """Q13 shape: the priority predicate stays in the join condition (left
+    outer keeps zero-order customers) and the double aggregate reuses the
+    join's partitioning for the per-customer count."""
+    df = REGISTRY["customer_distribution"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "LeftOuter" in plan, plan
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_top_supplier_no_second_lineitem_scan(spark):
+    """Q15 shape: the max-revenue scalar is a window over the rollup — the
+    plan contains exactly one lineitem scan."""
+    df = REGISTRY["top_supplier"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan parquet [") <= 2 or plan.count("lineitem") <= 1
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(scans) == 1, plan
+
+
+def test_disjunctive_filter_broadcast_probe(spark):
+    """Q19 shape: the OR-of-conjunctions runs inside a broadcast hash join
+    probe — lineitem is never shuffled and never nested-loop joined."""
+    df = REGISTRY["disjunctive_filter"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert uses_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) == 1, plan  # final single-partition agg only
