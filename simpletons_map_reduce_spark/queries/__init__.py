@@ -21,5 +21,6 @@ from . import profiling_ops  # noqa: E402,F401
 from . import decision  # noqa: E402,F401
 from . import packing_ops  # noqa: E402,F401
 from . import trade  # noqa: E402,F401
+from . import behavior  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

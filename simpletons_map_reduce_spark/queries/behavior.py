@@ -1,0 +1,155 @@
+"""User-behavior analytics over ``events`` — funnel and cohort retention.
+
+The reference's event-style processing is one grouped count per key
+(mrapps/wc.go — SURVEY §2.C); rounds 1-2 added time windows, sessions and
+pivots.  This module adds the two classic *sequential* behavior shapes —
+ordered funnels and cohort retention — because both need an anchor computed
+per user and then re-applied to that user's own rows, which is exactly the
+pattern that turns into either (a) a self-join (two shuffles of the fact)
+or (b) stacked window functions over ONE hash partitioning (one shuffle).
+We pin shape (b):
+
+- funnel_analysis   → three chained ``min(CASE …) OVER (PARTITION BY
+  user_id)`` windows (view → click-after-view → purchase-after-click).
+  All three windows share the user_id partitioning, so Catalyst plans ONE
+  exchange and stacks the Window operators; a groupBy(user) dedup then a
+  1-row conditional count finishes the funnel.
+- cohort_retention  → the cohort anchor (first-seen day) is a window min
+  per user reusing the same single shuffle; (cohort, week-offset) distinct
+  user counts follow.
+
+Timestamps are epoch-microsecond bigints end to end (ts_us), so every
+derived day/week key is integer-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+US_PER_DAY = 86_400_000_000
+
+#: conversion window between consecutive funnel stages (24 h in µs) —
+#: unbounded stages saturate on a month of sparse per-user traffic.
+FUNNEL_WINDOW_US = US_PER_DAY
+
+FUNNEL_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                 OVER (PARTITION BY user_id) AS mv FROM e),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > mv
+                          AND ts_us <= mv + {FUNNEL_WINDOW_US} THEN ts_us END)
+                 OVER (PARTITION BY user_id) AS mc FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > mc
+                          AND ts_us <= mc + {FUNNEL_WINDOW_US} THEN ts_us END)
+                 OVER (PARTITION BY user_id) AS mp FROM w2),
+u AS (SELECT user_id, max(mv) AS mv, max(mc) AS mc, max(mp) AS mp
+      FROM w3 GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(mv) AS BIGINT) AS n_view,
+       CAST(count(mc) AS BIGINT) AS n_view_click,
+       CAST(count(mp) AS BIGINT) AS n_full_funnel
+FROM u
+"""
+
+
+@register("funnel_analysis", FUNNEL_ORACLE, tags=("behavior",))
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (24 h conversion windows),
+    counted over users.
+
+    Each stage anchor is the min event time that follows the previous
+    stage's anchor for the SAME user within the conversion window.  The
+    three window mins share one
+    ``PARTITION BY user_id`` — a single exchange; the per-user dedup
+    groupBy reuses that partitioning too (pinned in test_plans).  The
+    alternative self-join-per-stage shape would shuffle events three
+    times.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "mv",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "mc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("mv"))
+                    & (F.col("ts_us") <= F.col("mv") + FUNNEL_WINDOW_US),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "mp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("mc"))
+                    & (F.col("ts_us") <= F.col("mc") + FUNNEL_WINDOW_US),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("mv").alias("mv"), F.max("mc").alias("mc"), F.max("mp").alias("mp")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("mv").alias("n_view"),
+        F.count("mc").alias("n_view_click"),
+        F.count("mp").alias("n_full_funnel"),
+    )
+
+
+COHORT_RETENTION_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+anchored AS (
+  SELECT user_id, ts_us,
+         min(ts_us) OVER (PARTITION BY user_id) AS first_us
+  FROM e
+)
+SELECT first_us // {US_PER_DAY} AS cohort_day,
+       (ts_us // {US_PER_DAY} - first_us // {US_PER_DAY}) // 7 AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM anchored
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", COHORT_RETENTION_ORACLE, tags=("behavior",))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × week-offset retention counts.
+
+    The cohort anchor (first-seen epoch day) is a window min on the same
+    user_id partitioning the sessionizer uses — one shuffle of events; the
+    (cohort, week) distinct-user count is the only further exchange.  Day
+    and week keys are integer divisions of epoch-microseconds, so grouping
+    keys match DuckDB bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    w = Window.partitionBy("user_id")
+    anchored = ev.withColumn("first_us", F.min("ts_us").over(w))
+    # integer division throughout (Spark `div` ≡ DuckDB `//` on bigints) —
+    # float division would round, not floor, and drift on day boundaries.
+    return (
+        anchored.select(
+            F.expr(f"first_us div {US_PER_DAY}").alias("cohort_day"),
+            F.expr(
+                f"(ts_us div {US_PER_DAY} - first_us div {US_PER_DAY}) div 7"
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import sql_tokens, tokens_lower
 from ..sources.tables import load_table
 from .dedup_ops import EXACT_DEDUP_ORACLE, exact_dedup
 from .registry import register
@@ -79,4 +80,71 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
         )
         .select("doc_id", "source", "pred_lang", "n_tokens", "quality")
+    )
+
+
+#: Contamination scan parameters: word n-gram size, benchmark selector
+#: (deterministic id stripe standing in for an external eval set), and the
+#: minimum shared-distinct-gram count that flags a pair.
+CONTAM_N = 3
+CONTAM_BENCH_MOD = 97
+CONTAM_MIN_SHARED = 2
+
+_TOKS = sql_tokens("text", lower=True)
+
+CONTAMINATION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - {CONTAM_N - 2}),
+             i -> list_aggregate(toks[i:i + {CONTAM_N - 1}], 'string_agg', ' ')
+         ))) AS gram
+  FROM t
+),
+bench AS (SELECT doc_id AS bench_id, gram FROM g
+          WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT g.doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id <> bench_id
+GROUP BY g.doc_id, bench_id
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+@register("contamination_check", CONTAMINATION_ORACLE, tags=("pipeline",))
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥K distinct word
+    n-grams with a held-out benchmark doc.
+
+    The benchmark side (id-stripe stand-in for an external eval set) is
+    SMALL BY DEFINITION — its distinct grams are broadcast, so the 100 TB
+    corpus never shuffles raw text: each doc is tokenized and reduced to
+    distinct grams map-side, probed against the broadcast, and only the
+    surviving (doc, bench, gram-hit) counts enter the aggregate exchange.
+    The trigram grain + ≥2 threshold mirrors n-gram-overlap decontamination
+    as practiced for LLM eval sets (substring-level contamination needs the
+    finer char-gram pass that near_dedup's shingles already provide).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    grams_expr = F.when(
+        F.size("toks") >= CONTAM_N,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {CONTAM_N - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {CONTAM_N})))"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    grams = t.select("doc_id", F.explode(grams_expr).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )

@@ -357,3 +357,32 @@ def test_disjunctive_filter_broadcast_probe(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) == 1, plan  # final single-partition agg only
+
+
+def test_funnel_single_shuffle_for_stacked_windows(spark):
+    """Three chained min-CASE windows + the per-user dedup groupBy all
+    share ONE hash partitioning on user_id (the final 1-row funnel agg
+    adds its single-partition exchange)."""
+    df = REGISTRY["funnel_analysis"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 3, plan
+
+
+def test_cohort_retention_reuses_user_partitioning(spark):
+    """Anchor window shuffles on user_id once; only the (cohort, week)
+    count-distinct aggregate adds exchanges after it."""
+    df = REGISTRY["cohort_retention"].fn(spark, SF0001)
+    assert count_exchanges(df) <= 3, physical_plan(df, "simple")
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set is broadcast — the 100 TB corpus side is
+    never shuffled for the probe; only pair counts enter an exchange."""
+    df = REGISTRY["contamination_check"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # corpus grams must not be exchange keys: the only hash exchange is the
+    # (doc_id, bench_id) pair aggregate
+    assert plan.count("Exchange hashpartitioning") == 1, plan
