@@ -153,3 +153,45 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+CUMULATIVE_USERS_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts)) // {US_PER_DAY} AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS total_users
+FROM daily
+"""
+
+
+@register("cumulative_users", CUMULATIVE_USERS_ORACLE, tags=("behavior",))
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the running total ("growth curve").
+
+    A naive running COUNT(DISTINCT) over events needs the full event set
+    under one global sort.  Reducing first (per-user min day, then per-day
+    counts) shrinks the window input to O(days) rows, so the global
+    ORDER BY frame is a single tiny partition regardless of SF — the same
+    pre-aggregate-then-window shape as moving_revenue.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {US_PER_DAY}").alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("total_users"),
+    )

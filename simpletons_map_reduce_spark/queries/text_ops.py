@@ -541,3 +541,72 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.regexp_replace("t2", PHONE_RE, "<PHONE>").alias("redacted"),
     )
+
+
+#: entropy runs on a bounded prefix: per-codepoint iteration is O(prefix²)
+#: in the worst case, so the bound keeps the per-doc cost constant at any
+#: document length (the standard quality-classifier trick).
+ENTROPY_PREFIX = 512
+
+CHAR_ENTROPY_ORACLE = f"""
+WITH t AS (SELECT doc_id, substr(text, 1, {ENTROPY_PREFIX}) AS p
+           FROM documents),
+c AS (SELECT doc_id, p,
+             list_transform(range(1, length(p) + 1),
+                            i -> substr(p, i, 1)) AS cs
+      FROM t),
+k AS (SELECT doc_id, length(p) AS n,
+             list_transform(list_distinct(cs),
+                            ch -> len(list_filter(cs, x -> x = ch))) AS cnts
+      FROM c)
+SELECT doc_id,
+       CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+       CASE WHEN n = 0 THEN NULL ELSE
+         {sql_rn('-list_sum(list_transform(cnts,'
+                 ' cnt -> (cnt / CAST(n AS DOUBLE))'
+                 ' * log2(cnt / CAST(n AS DOUBLE))))', 4)}
+       END AS char_entropy
+FROM k
+"""
+
+
+@register("char_entropy", CHAR_ENTROPY_ORACLE, tags=("text",))
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution over a 512-char
+    prefix — a cheap quality/garbage signal (binary blobs and repeated
+    boilerplate sit at the entropy extremes).
+
+    Pure higher-order column functions: codepoints enumerated with
+    sequence+substring, counts via filter-per-distinct-char, entropy via
+    one aggregate fold — all inside whole-stage codegen, zero shuffles
+    before the noop sink.  Both engines fold distinct characters in
+    first-occurrence order, so the float sum is term-for-term identical
+    and the 4-dp floor-round absorbs libm's log2 ulp differences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.substring("text", 1, ENTROPY_PREFIX).alias("p")
+    )
+    c = t.select(
+        "doc_id",
+        F.length("p").alias("n"),
+        F.expr("transform(sequence(1, length(p)), i -> substring(p, i, 1))").alias(
+            "cs"
+        ),
+    )
+    k = c.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "transform(array_distinct(cs), ch -> size(filter(cs, x -> x = ch)))"
+        ).alias("cnts"),
+    )
+    ent = F.expr(
+        "-aggregate(cnts, 0D, (acc, cnt) ->"
+        " acc + (CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n))"
+    )
+    return k.select(
+        "doc_id",
+        F.size("cnts").cast("long").alias("n_distinct_chars"),
+        F.when(F.col("n") > 0, rn(ent, 4)).alias("char_entropy"),
+    )

@@ -393,3 +393,63 @@ def disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+WAITING_ORDERS_ORACLE = """
+WITH flagged AS (
+  SELECT l_orderkey,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late_supps,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp,
+         count(DISTINCT l_suppkey) AS n_supps
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged JOIN supplier ON s_suppkey = late_supp
+WHERE n_late_supps = 1 AND n_supps > 1
+GROUP BY s_name
+"""
+
+
+@register("waiting_orders", WAITING_ORDERS_ORACLE, tags=("trade",))
+def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on multi-supplier orders.
+
+    The textbook rendering is EXISTS + NOT EXISTS, i.e. two extra
+    self-joins of lineitem.  Both correlates collapse into ONE aggregate
+    over the (order) grain — count of distinct late suppliers ("no other
+    supplier was late" ⇔ exactly one) and count of distinct suppliers
+    ("some other supplier exists" ⇔ more than one) — so lineitem is
+    scanned and shuffled once, on the join key it already uses.  Our
+    lineitem has no receiptdate/commitdate; "late" is ship > order-date
+    + 60 days, and o_orderstatus='F' keeps Q21's finished-orders filter.
+    """
+    li, orders, supplier = load_tables(
+        spark, sf_dir, "lineitem", "orders", "supplier"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    flagged = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supps"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+        )
+        .filter((F.col("n_late_supps") == 1) & (F.col("n_supps") > 1))
+    )
+    return (
+        flagged.join(
+            F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

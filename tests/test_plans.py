@@ -386,3 +386,33 @@ def test_contamination_broadcasts_benchmark(spark):
     # corpus grams must not be exchange keys: the only hash exchange is the
     # (doc_id, bench_id) pair aggregate
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_waiting_orders_single_fact_aggregate(spark):
+    """Q21 shape: both EXISTS correlates collapse into one order-grain
+    aggregate — lineitem appears once, no self-join of the fact."""
+    df = REGISTRY["waiting_orders"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln]
+    assert len(scans) == 1, plan
+
+
+def test_cumulative_users_window_over_rollup(spark):
+    """The running total runs over the per-day rollup (O(days) rows), with
+    the per-user reduction below it — same shape as moving_revenue."""
+    df = REGISTRY["cumulative_users"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    lines = plan.splitlines()
+    win = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    assert win < agg, plan
+
+
+def test_char_entropy_no_shuffle_no_udf(spark):
+    """Per-doc entropy is a pure projection: no exchange, no Python eval,
+    only doc_id+text read."""
+    df = REGISTRY["char_entropy"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert reads_only_columns(df, "documents", {"doc_id", "text"})
