@@ -284,3 +284,57 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+EMBEDDING_STATS_ORACLE = f"""
+WITH v AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       {sql_rn('min(norm)', 6)} AS min_norm,
+       {sql_rn('max(norm)', 6)} AS max_norm,
+       {sql_rn('avg(norm)', 4)} AS avg_norm
+FROM v
+GROUP BY label
+"""
+
+
+@register("embedding_stats", EMBEDDING_STATS_ORACLE, tags=("profiling",))
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding profile: vector counts, dimension bounds, and
+    L2-norm spread — the sanity scan run before any ANN/dedup pass (a
+    zero-norm or wrong-dim stripe invalidates cosine math downstream).
+
+    The norm is a per-row fold (float→double cast is exact, double ops are
+    IEEE-identical across engines, sqrt is correctly rounded), so min/max
+    agree bit-for-bit pre-rounding; only the order-dependent avg needs the
+    coarser 4-dp round.  One map-side-combined aggregate — vectors never
+    shuffle, only (label, partial stats) rows do.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, 0D, (acc, x) ->"
+            " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    v = emb.select(
+        F.col("label").cast("long").alias("label"),
+        norm.alias("norm"),
+        F.size("embedding").alias("dim"),
+    )
+    return v.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        rn(F.min("norm"), 6).alias("min_norm"),
+        rn(F.max("norm"), 6).alias("max_norm"),
+        rn(F.avg("norm"), 4).alias("avg_norm"),
+    )

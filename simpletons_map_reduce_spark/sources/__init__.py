@@ -8,8 +8,10 @@ from .tables import (
     sql,
 )
 from .sinks import (
+    read_csv,
     read_jsonl,
     read_kv_text,
+    write_csv,
     write_jsonl,
     write_kv_text,
     write_kv_text_sorted,
@@ -24,8 +26,10 @@ __all__ = [
     "register_views",
     "spread",
     "sql",
+    "read_csv",
     "read_jsonl",
     "read_kv_text",
+    "write_csv",
     "write_jsonl",
     "write_kv_text",
     "write_kv_text_sorted",

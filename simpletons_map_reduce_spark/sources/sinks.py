@@ -112,3 +112,30 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    header: bool = True,
+) -> None:
+    """CSV export for interop with non-columnar consumers.
+
+    Same exactly-once commit protocol as every other sink; ``num_files``
+    bounds fan-in.  Prefer parquet for anything Spark reads back — CSV
+    exists for the last hop out of the pipeline.
+    """
+    out = df if num_files is None else df.repartition(num_files)
+    out.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """Read a CSV directory.  ``schema`` is mandatory: inference scans the
+    whole input once before the real read — never acceptable at 100 TB —
+    and silently guesses types the writer didn't intend."""
+    return (
+        spark.read.schema(schema).option("header", header).csv(path)
+    )

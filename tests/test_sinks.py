@@ -94,3 +94,15 @@ def test_sql_surface_matches_dataframe_query(spark):
     by_key_sql = {(r.l_returnflag, r.l_linestatus): r.n for r in got}
     by_key_df = {(r.l_returnflag, r.l_linestatus): r.count_order for r in li}
     assert by_key_sql == by_key_df
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    from simpletons_map_reduce_spark.sources import read_csv, write_csv
+
+    df = _wordcount_kv(spark)
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path, num_files=3)
+    back = read_csv(spark, path, schema="word string, cnt bigint")
+    want = sorted((r[0], int(r[1])) for r in df.collect())
+    got = sorted((r.word, r.cnt) for r in back.collect())
+    assert got == want
