@@ -218,3 +218,49 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in _PCTS
         ],
     )
+
+
+LATEST_EVENTS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM e WHERE rk = 1
+"""
+
+
+@register("latest_events", LATEST_EVENTS_ORACLE, tags=("events",))
+def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (SCD-style "current state" extraction).
+
+    ``max(struct(ts, id, …))`` in ONE map-side-combined aggregate pass
+    (planned as a partial+final SortAggregate — struct isn't a fixed-size
+    hash buffer) — each input partition forwards a single candidate per
+    user, so the shuffle carries O(users) rows.  The row_number()-window
+    rendering
+    (what the oracle uses, and what most pipelines write) must instead
+    shuffle EVERY event to sort full per-user partitions; at 100 TB the
+    aggregate shape is the difference between moving keys and moving the
+    table.  (ts_us, event_id) is unique, so the struct order is total and
+    the winner deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts_us"), F.col("event_id"), F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.ts_us").alias("last_ts_us"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+    )

@@ -508,3 +508,61 @@ def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.sum("rev"), 2).alias("revenue"),
         )
     )
+
+
+QUARTER_RECON_ORACLE = f"""
+WITH q1 AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-04-01'
+  GROUP BY o_custkey
+),
+q2 AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+    AND o_orderdate <  TIMESTAMP '1997-07-01'
+  GROUP BY o_custkey
+)
+SELECT coalesce(q1.o_custkey, q2.o_custkey) AS custkey,
+       {sql_rn('q1.rev', 2)} AS q1_rev,
+       {sql_rn('q2.rev', 2)} AS q2_rev
+FROM q1 FULL OUTER JOIN q2 ON q1.o_custkey = q2.o_custkey
+"""
+
+
+@register("quarter_recon", QUARTER_RECON_ORACLE, tags=("relational",))
+def quarter_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two quarters' per-customer revenue.
+
+    The outer join runs over the two PRE-AGGREGATED quarter rollups
+    (O(customers) each), not raw orders — and both rollups and the join
+    hash-partition on the same customer key, so AQE coalesces the whole
+    thing into one partitioning chain.  Customers active in only one
+    quarter surface with a NULL on the other side (the reason full outer
+    is the right join type for reconciliation reports).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def quarter(lo: str, hi: str, out: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .groupBy("o_custkey")
+            .agg(rn(F.sum("o_totalprice"), 2).alias(out))
+        )
+
+    q1 = quarter("1997-01-01", "1997-04-01", "q1_rev")
+    q2 = quarter("1997-04-01", "1997-07-01", "q2_rev").withColumnRenamed(
+        "o_custkey", "custkey2"
+    )
+    return (
+        q1.join(q2, q1.o_custkey == F.col("custkey2"), "full_outer")
+        .select(
+            F.coalesce("o_custkey", "custkey2").alias("custkey"),
+            "q1_rev",
+            "q2_rev",
+        )
+    )

@@ -416,3 +416,29 @@ def test_char_entropy_no_shuffle_no_udf(spark):
     assert count_exchanges(df) == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert reads_only_columns(df, "documents", {"doc_id", "text"})
+
+
+def test_quarter_recon_full_outer_over_rollups(spark):
+    """The full outer join consumes the two quarter PRE-aggregates —
+    aggregates sit below the join in the plan tree."""
+    df = REGISTRY["quarter_recon"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "FullOuter" in plan, plan
+    lines = plan.splitlines()
+    join = min(i for i, ln in enumerate(lines) if "Join" in ln)
+    agg = min(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    assert join < agg, plan  # join above (consumes) the aggregates
+
+
+def test_latest_events_is_aggregate_not_window(spark):
+    """Latest-per-key must plan one partial+final hash aggregate — no sort,
+    no Window: each input partition forwards one candidate per user."""
+    df = REGISTRY["latest_events"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan, plan
+    assert count_exchanges(df) == 1, plan
+    # struct max isn't a fixed-size hash-agg buffer, so Spark plans a
+    # SortAggregate pair — still partial (map-side, one candidate per
+    # user per partition) + final, which is the property that matters.
+    aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert aggs == 2, plan
