@@ -566,3 +566,28 @@ def quarter_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q2_rev",
         )
     )
+
+
+REVENUE_UNPIVOT_ORACLE = f"""
+WITH wide AS ({QUARTER_RECON_ORACLE})
+SELECT custkey, 'q1_rev' AS quarter, q1_rev AS revenue FROM wide
+UNION ALL
+SELECT custkey, 'q2_rev' AS quarter, q2_rev AS revenue FROM wide
+"""
+
+
+@register("revenue_unpivot", REVENUE_UNPIVOT_ORACLE, tags=("relational",))
+def revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long melt of the quarter reconciliation (the unpivot
+    operator, inverse of the conditional-aggregate pivots).
+
+    ``DataFrame.unpivot`` lowers to a single Expand projection — one row
+    in, k rows out, no shuffle, no re-scan per measure column (the UNION
+    ALL rendering the oracle uses would re-scan the wide relation k
+    times).  NULL measures are kept: a missing quarter is information in
+    a reconciliation, and both twins agree on that contract.
+    """
+    wide = quarter_recon(spark, sf_dir)
+    return wide.unpivot(
+        ["custkey"], ["q1_rev", "q2_rev"], "quarter", "revenue"
+    )

@@ -16,6 +16,7 @@ from .sinks import (
     write_kv_text,
     write_kv_text_sorted,
     write_parquet,
+    write_parquet_clustered,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "write_kv_text",
     "write_kv_text_sorted",
     "write_parquet",
+    "write_parquet_clustered",
 ]

@@ -106,3 +106,35 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     want = sorted((r[0], int(r[1])) for r in df.collect())
     got = sorted((r.word, r.cnt) for r in back.collect())
     assert got == want
+
+
+def test_clustered_parquet_files_are_disjoint_key_ranges(spark, tmp_path):
+    """write_parquet_clustered must produce non-overlapping per-file key
+    ranges with sorted row groups — the property parquet min/max pruning
+    needs to skip data on key predicates."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from simpletons_map_reduce_spark.sources import load_table
+    from simpletons_map_reduce_spark.sources.sinks import write_parquet_clustered
+
+    li = load_table(spark, SF0001, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "clustered")
+    write_parquet_clustered(li, out, ["l_orderkey"], num_files=4)
+
+    ranges = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_orderkey
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "expected multiple data files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"
