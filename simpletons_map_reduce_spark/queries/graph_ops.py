@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_checkpoint
 from ..functions.rounding import rn, sql_rn
 from ..sources.tables import load_tables
 from .registry import register
@@ -98,7 +99,12 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = F.broadcast(
         nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
     )
-    edges = (
+    # Materialize the aggregated graph (localCheckpoint, tracked for
+    # release) — every rank iteration references `edges`, and without the
+    # checkpoint each reference re-plans the whole fact aggregation:
+    # 3 iterations × (flow + outw) = SIX lineitem scans.  After it, the
+    # facts are scanned exactly once and iterations join O(edges) rows.
+    edges = tracked_checkpoint(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(supplier, li.l_suppkey == supplier.s_suppkey)

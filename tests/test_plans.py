@@ -442,3 +442,30 @@ def test_latest_events_is_aggregate_not_window(spark):
     # user per partition) + final, which is the property that matters.
     aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert aggs == 2, plan
+
+
+def test_revenue_unpivot_is_expand_not_union(spark):
+    """The melt lowers to one Expand over the wide relation — never a
+    UNION ALL that recomputes the rollup per measure column."""
+    df = REGISTRY["revenue_unpivot"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+    # orders feeds the two quarter rollups — two scans max, not four
+    assert plan.count("FileScan") <= 2, plan
+
+
+def test_nation_pagerank_scans_facts_once(spark):
+    """Edge aggregation is checkpointed — the final plan never references
+    the fact tables; the three rank iterations join the materialized
+    O(edges) relation only."""
+    from simpletons_map_reduce_spark.caching import release_persisted
+
+    try:
+        df = REGISTRY["nation_pagerank"].fn(spark, SF0001)
+        plan = physical_plan(df, "simple")
+        assert "lineitem" not in plan, plan
+        assert "orders.parquet" not in plan, plan
+        assert "Scan ExistingRDD" in plan, plan  # the checkpointed edges
+    finally:
+        release_persisted()
