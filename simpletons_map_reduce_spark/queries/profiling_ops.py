@@ -338,3 +338,61 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn(F.max("norm"), 6).alias("max_norm"),
         rn(F.avg("norm"), 4).alias("avg_norm"),
     )
+
+
+SKEW_TOP_K = 5
+
+KEY_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM counts
+),
+ranked AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+  FROM counts
+)
+SELECT r.user_id, r.cnt,
+       {sql_rn('CAST(r.cnt AS DOUBLE) / g.total', 6)} AS share,
+       {sql_rn('CAST(g.max_cnt AS DOUBLE) * g.n_keys / g.total', 4)}
+         AS skew_ratio
+FROM ranked r CROSS JOIN g
+WHERE r.rk <= {SKEW_TOP_K}
+"""
+
+
+@register("key_skew_profile", KEY_SKEW_ORACLE, tags=("profiling",))
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the {SKEW_TOP_K} heaviest keys with
+    their traffic share, plus the global skew ratio (max/mean key count —
+    1.0 is uniform; the number that predicts straggler tasks before you
+    run the join).
+
+    One partial+final count per key, a 1-row global aggregate broadcast
+    back, and a TakeOrdered top-k — the profile costs one shuffle of
+    O(keys) pre-combined counts however large the fact is.  All inputs to
+    the derived ratios are exact integers, so the doubles match the
+    oracle bit-for-bit before rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    g = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOP_K)
+    return top.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "cnt",
+        rn(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+        rn(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total"), 4
+        ).alias("skew_ratio"),
+    )

@@ -469,3 +469,35 @@ def test_nation_pagerank_scans_facts_once(spark):
         assert "Scan ExistingRDD" in plan, plan  # the checkpointed edges
     finally:
         release_persisted()
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """When a selective dim join can't broadcast, the optimizer must inject
+    a runtime bloom filter on the fact side (row-level pre-filtering before
+    the shuffle — the 100 TB fallback when the build side outgrows
+    broadcast).  Enabled by default in this engine's session; thresholds
+    are lowered here because the test fixture is tiny."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(keys[0], "10GB")
+    spark.conf.set(keys[1], "0")
+    spark.conf.set(keys[2], "-1")
+    spark.conf.set(keys[3], "-1")
+    try:
+        from simpletons_map_reduce_spark.sources import load_table
+
+        li = load_table(spark, SF0001, "lineitem")
+        part = load_table(spark, SF0001, "part").filter(F.col("p_size") == 7)
+        j = li.join(part, li.l_partkey == part.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+        full = j._jdf.queryExecution().toString()
+        assert "loomFilter" in full, full[:4000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
