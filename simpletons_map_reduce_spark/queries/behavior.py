@@ -195,3 +195,77 @@ def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("total_users"),
     )
+
+
+US_PER_MINUTE = 60_000_000
+
+USER_TREND_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
+  FROM events
+),
+x AS (
+  SELECT user_id, value AS y,
+         CAST((ts_us - first_us) // {US_PER_MINUTE} AS DOUBLE) AS x
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM x GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_rn('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)}
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_rn('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)'
+                         ' / n', 4)}
+       END AS intercept
+FROM s
+"""
+
+
+@register("user_trend", USER_TREND_ORACLE, tags=("behavior",))
+def user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time.
+
+    Slope/intercept from the explicit-sum normal equations — NOT the
+    built-in covar_pop/var_pop, whose streaming-merge algorithms are
+    engine-specific and catastrophically cancel at epoch-microsecond
+    magnitudes.  x is rescaled to whole minutes since the user's first
+    event, so n, Σx and Σx² are integer-exact doubles and the denominator
+    is cross-engine EXACT; only Σy/Σxy carry order-dependent rounding,
+    absorbed by the 4-dp floor-round.  One user_id shuffle (window min +
+    aggregate share the partitioning).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+    w = Window.partitionBy("user_id")
+    x = ev.withColumn("first_us", F.min("ts_us").over(w)).select(
+        "user_id",
+        F.expr(f"CAST((ts_us - first_us) div {US_PER_MINUTE} AS DOUBLE)").alias(
+            "x"
+        ),
+        F.col("value").alias("y"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(denom != 0, rn(slope, 4)).alias("slope"),
+        F.when(denom != 0, rn((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)).alias(
+            "intercept"
+        ),
+    )
