@@ -6,10 +6,21 @@ arithmetic bit-for-bit (sequential fold order is mirrored in DuckDB SQL),
 but a constant-factor floor for the approximate ANN operators, whose
 contract is recall, not bitwise parity.  For those, a ``mapInPandas`` kernel
 turns the O(n·k) assignment scan into one BLAS matmul per Arrow batch:
-the centroid model (k ≤ K_CAP rows of 64 doubles — kilobytes) rides in the
-closure exactly like a broadcast ML model, each batch computes
-``X @ C.T`` in one shot, and no shuffle is introduced — the kernel is a
-narrow transformation that can pass the vectors through untouched.
+each batch computes ``X @ C.T`` in one shot, and no shuffle is introduced —
+the kernel is a narrow transformation that can pass the vectors through
+untouched.
+
+Model hand-off (the 100 TB path): the learned centroid table is NEVER
+collected to the driver.  It is written as parquet by the executors
+(``write_model``) and each Python worker loads it lazily, once per process,
+via pyarrow (``_load_model``, process-level cache keyed by path).  That is
+how a production IVF index ships — build writes the model to shared
+storage, search workers read it — so raising K_CAP (k ≈ √n means ~16 MB of
+centroids at n = 10⁹) costs executor-side reads, not a driver bottleneck or
+per-task closure serialization.  Locally the model root is the system temp
+dir; on a multi-node cluster point ``SPARK_GRAFT_MODEL_DIR`` at storage all
+workers can read (NFS/HDFS-mount/object-store FUSE — pyarrow reads any
+mounted path).
 
 Determinism contract (matches the fold path): ties in argmax break toward
 the LOWEST cent_id; top-t ordering is (-score, cent_id).
@@ -17,6 +28,9 @@ the LOWEST cent_id; top-t ordering is (-score, cent_id).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -27,37 +41,63 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
+#: per-Python-worker model cache — workers are reused across tasks
+#: (spark.python.worker.reuse), so each process reads a model exactly once.
+_MODEL_CACHE: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def write_model(cents: DataFrame) -> str:
+    """Persist a centroid model (cent_id, cv, ncv) for executor-side loading.
+
+    Executors write the parquet directly (distributed write action — the
+    rows never pass through the driver); the returned path is a fresh
+    uuid-suffixed directory so worker caches can key on it safely.
+    """
+    root = os.environ.get("SPARK_GRAFT_MODEL_DIR", tempfile.gettempdir())
+    path = os.path.join(root, f"spark-graft-model-{uuid.uuid4().hex}")
+    cents.select("cent_id", "cv", "ncv").write.parquet(path)
+    return path
+
+
+def _load_model(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cent_ids, C, ncv) sorted by cent_id — numpy's first-max tiebreak then
+    equals the fold path's lowest-cent_id rule."""
+    m = _MODEL_CACHE.get(path)
+    if m is None:
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(path).to_pydict()
+        order = np.argsort(np.asarray(d["cent_id"], dtype=np.int64))
+        cent_ids = np.asarray(d["cent_id"], dtype=np.int64)[order]
+        C = np.stack([np.asarray(d["cv"][i], dtype=np.float64) for i in order])
+        ncv = np.asarray(d["ncv"], dtype=np.float64)[order]
+        ncv = np.where(ncv == 0.0, 1.0, ncv)
+        m = (cent_ids, C, ncv)
+        _MODEL_CACHE[path] = m
+    return m
+
 
 def np_assign_clusters(
     emb: DataFrame,
-    centroids: list[tuple[int, list[float], float]],
+    cents: DataFrame,
     top: int = 1,
     carry_vectors: bool = True,
 ) -> DataFrame:
     """Assign each (vec_id, v, nv) row to its ``top`` nearest centroids by
     cosine, vectorized over Arrow batches.
 
-    ``centroids`` is the collected model [(cent_id, cv, ncv), ...] — sorted
-    by cent_id here so numpy's first-max tiebreak equals the fold path's
-    lowest-cent_id rule.  Output: (vec_id, cluster[, crk][, v, nv]) with
-    crk 1..top when top > 1.  Narrow (zero shuffle): vectors are carried
-    through the kernel instead of re-joined afterwards.
+    ``cents`` is the learned model DataFrame (cent_id, cv, ncv); it is
+    handed off via ``write_model`` — no driver-side ``collect()``.  Output:
+    (vec_id, cluster[, crk][, v, nv]) with crk 1..top when top > 1.  Narrow
+    (zero shuffle): vectors are carried through the kernel instead of
+    re-joined afterwards.
     """
-    cents = sorted(centroids, key=lambda c: c[0])
-    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
-    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in cents])
-    ncv = np.array([c[2] for c in cents], dtype=np.float64)
-    ncv = np.where(ncv == 0.0, 1.0, ncv)
+    model_path = write_model(cents)
 
     import pandas as pd  # local import: executors re-import per worker
 
-    out_cols = ["vec_id", "cluster"]
-    if top > 1:
-        out_cols.append("crk")
-    if carry_vectors:
-        out_cols += ["v", "nv"]
-
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cent_ids, C, ncv = _load_model(model_path)
         for b in batches:
             if len(b) == 0:
                 continue

@@ -254,11 +254,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _lloyd_centroids(emb, n, k)
 
     # Full-corpus assignment is the O(n·k) term — one BLAS matmul per Arrow
-    # batch instead of n·k interpreted cosine folds (the centroid model is
-    # kilobytes and rides in the kernel closure like a broadcast ML model).
-    # Narrow: vectors pass through the kernel, so no shuffle and no re-join.
-    cent_rows = [(r.cent_id, r.cv, r.ncv) for r in cents.collect()]
-    assigned = np_assign_clusters(emb, cent_rows, top=1, carry_vectors=True)
+    # batch instead of n·k interpreted cosine folds.  The centroid model is
+    # handed off as an executor-written parquet that each Python worker
+    # loads once (functions/vectorized.py) — never collected to the driver,
+    # so raising K_CAP at cluster scale stays executor-side.  Narrow:
+    # vectors pass through the kernel, so no shuffle and no re-join.
+    assigned = np_assign_clusters(emb, cents, top=1, carry_vectors=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -340,9 +341,9 @@ def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
     cents = _lloyd_centroids(emb, n, k)
     # Top-2 assignment vectorized the same way as ann_ivf's argmax pass —
     # one matmul + stable argsort per Arrow batch, ids-only output (the
-    # candidate join never needs the vectors).
-    cent_rows = [(r.cent_id, r.cv, r.ncv) for r in cents.collect()]
-    assigned = np_assign_clusters(emb, cent_rows, top=2, carry_vectors=False).select(
+    # candidate join never needs the vectors); the model ships via the
+    # executor-side parquet hand-off, not a driver collect.
+    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=False).select(
         "vec_id", "cluster"
     )
     # candidate ids only — vectors re-join after the pair dedup, so the
