@@ -450,12 +450,14 @@ ranked AS (
     FROM x JOIN df USING (g)
     WHERE df.dfreq <= {NJ_MAX_DF}
 ),
-pref AS (SELECT doc_id, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
-prefb AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS bsz FROM pref),
-pref2 AS (SELECT doc_id, g FROM prefb
+pref AS (SELECT doc_id, sz, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
+prefb AS (SELECT doc_id, sz, g, count(*) OVER (PARTITION BY g) AS bsz FROM pref),
+pref2 AS (SELECT doc_id, sz, g FROM prefb
           WHERE bsz BETWEEN 2 AND {NJ_BUCKET_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM pref2 a JOIN pref2 b ON a.g = b.g AND a.doc_id < b.doc_id),
+         FROM pref2 a JOIN pref2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         AND least(a.sz, b.sz) * {NJ_THRESHOLD_DEN}
+             >= greatest(a.sz, b.sz) * {NJ_THRESHOLD_NUM}),
 verified AS (
     SELECT doc_a, doc_b,
            len(list_intersect(na.ngh, nb.ngh)) AS inter,
@@ -499,13 +501,19 @@ def _ngram_sets(docs: DataFrame) -> DataFrame:
     # shuffle volume and long-vs-long compares.  The hash is mirrored
     # verbatim in the oracle, so a (cosmically rare) collision merges the
     # same two grams in both engines and parity is unaffected.
+    #
+    # toks is projected in its OWN select first: the trigram CASE references
+    # it four times, and inlining the tokenizer expression four times makes
+    # the split+filter the dominant map cost (profiled ~2× on sf0.1) if
+    # codegen's subexpression elimination declines to merge them.
+    toks = docs.select("doc_id", F.expr(_spark_toks_expr()).alias("toks"))
     return tracked_persist(
-        docs.select(
+        toks.select(
             "doc_id",
             F.array_distinct(
                 F.expr(
                     "transform("
-                    + _TRIGRAM_CASE.replace("toks", _spark_toks_expr())
+                    + _TRIGRAM_CASE
                     + ", s -> "
                     + SPARK_MD5_INT60.format(e="s")
                     + ")"
@@ -541,21 +549,34 @@ def _prefix_candidates(
     # Prefix-bucket cap (see NJ_BUCKET_CAP): count bucket membership with a
     # window on g — the exact key the self-join shuffles on, so the
     # exchange is computed once and reused — then drop buckets outside
-    # [2, bucket_cap].  Persist the survivors: both join sides consume them.
+    # [2, bucket_cap].  (Profiled against a groupBy(g)+broadcast-join
+    # variant at sf0.1: within noise — the window reusing the join's g
+    # exchange is already the cheap shape.)  Persist the survivors: both
+    # join sides consume them.
     bucket_w = Window.partitionBy("g")
     pref = tracked_persist(
         ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}"))
-        .select("doc_id", "g")
+        .select("doc_id", "sz", "g")
         .withColumn("bsz", F.count("*").over(bucket_w))
         .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
-        .select("doc_id", "g")
+        .select("doc_id", "sz", "g")
     )
+    # PPJoin length filter, applied INSIDE the bucket join: jaccard >= t
+    # forces min(sz)·DEN >= max(sz)·NUM (inter <= min, uni >= max), so
+    # size-mismatched pairs are rejected before the distinct and before any
+    # gram-set payload moves — lossless, mirrored in the oracle.  Measured
+    # at sf0.1: candidates 118,806 → a fraction, and the verify join's
+    # array_intersect work shrinks with them.
     return (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_DEN
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_NUM
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
