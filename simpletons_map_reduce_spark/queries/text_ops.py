@@ -578,10 +578,16 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure higher-order column functions: codepoints enumerated with
     sequence+substring, counts via filter-per-distinct-char, entropy via
-    one aggregate fold — all inside whole-stage codegen, zero shuffles
-    before the noop sink.  Both engines fold distinct characters in
-    first-occurrence order, so the float sum is term-for-term identical
-    and the 4-dp floor-round absorbs libm's log2 ulp differences.
+    one aggregate fold — interpreted HOF lambdas (not codegen'd), but
+    shuffle-free and bounded by the 512-char prefix.  Both engines fold
+    distinct characters in first-occurrence order, so the float sum is
+    term-for-term identical and the 4-dp floor-round absorbs libm's log2
+    ulp differences.
+
+    Empty-doc guard: Spark's ``sequence(1, 0)`` is [1, 0] (default step -1
+    when start > stop) while DuckDB's ``range(1, 1)`` is empty — without
+    the CASE an empty text would yield cs = ['', ''] and a phantom
+    n_distinct_chars = 1 only on the Spark side.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -590,9 +596,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.select(
         "doc_id",
         F.length("p").alias("n"),
-        F.expr("transform(sequence(1, length(p)), i -> substring(p, i, 1))").alias(
-            "cs"
-        ),
+        F.expr(
+            "CASE WHEN length(p) > 0"
+            " THEN transform(sequence(1, length(p)), i -> substring(p, i, 1))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("cs"),
     )
     k = c.select(
         "doc_id",

@@ -104,6 +104,49 @@ def test_repetition_signals_fire_on_boilerplate(spark):
     assert abs(clean.top_bigram_frac - 0.2) < 1e-9
 
 
+def test_char_entropy_empty_and_uniform_docs(spark, duck):
+    """Empty text must yield 0 distinct chars and NULL entropy on BOTH
+    engines — Spark's sequence(1, 0) is [1, 0] (step -1), which without the
+    guard fabricates a phantom '' character only Spark sees.  Also pin the
+    closed-form cases: single repeated char → entropy 0; two equiprobable
+    chars → entropy 1."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+
+    docs = [
+        (0, "", "en", "srcX", 0),
+        (1, "aaaa", "en", "srcX", 4),
+        (2, "abab", "en", "srcX", 4),
+    ]
+    sdf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    import duckdb
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "documents.parquet")
+        sdf.coalesce(1).write.mode("overwrite").parquet(path)
+        q = REGISTRY["char_entropy"]
+        out = {r.doc_id: r for r in q.fn(spark, td).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'"
+        )
+        oracle = {r[0]: r for r in con.sql(q.oracle).fetchall()}
+        ocols = [c.lower() for c in con.sql(q.oracle).columns]
+        con.close()
+    assert out[0].n_distinct_chars == 0
+    assert out[0].char_entropy is None
+    assert out[1].n_distinct_chars == 1 and out[1].char_entropy == 0.0
+    assert out[2].n_distinct_chars == 2 and out[2].char_entropy == 1.0
+    i_n, i_e = ocols.index("n_distinct_chars"), ocols.index("char_entropy")
+    for did in (0, 1, 2):
+        assert oracle[did][i_n] == out[did].n_distinct_chars
+        assert oracle[did][i_e] == out[did].char_entropy
+
+
 def test_split_assign_is_stable_under_corpus_growth(spark):
     """A document's split never changes when other docs are added/removed —
     the md5 assignment is a pure per-row function (incremental re-crawls
