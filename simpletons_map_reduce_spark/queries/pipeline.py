@@ -117,11 +117,19 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥K distinct word
     n-grams with a held-out benchmark doc.
 
-    The benchmark side (id-stripe stand-in for an external eval set) is
-    SMALL BY DEFINITION — its distinct grams are broadcast, so the 100 TB
-    corpus never shuffles raw text: each doc is tokenized and reduced to
-    distinct grams map-side, probed against the broadcast, and only the
-    surviving (doc, bench, gram-hit) counts enter the aggregate exchange.
+    Scaling contract: the broadcast build side must be a genuinely BOUNDED
+    external eval set (MMLU/GSM8K-style: thousands of docs, millions of
+    grams — comfortably broadcastable).  The id-stripe used here is a
+    STAND-IN for that eval-set table so the oracle can check the join on
+    driver data; it is ~1/CONTAM_BENCH_MOD of the corpus, which at 100 TB
+    would NOT fit a broadcast — production swaps the stripe for the real
+    eval-set scan and keeps the identical plan shape.  (If an eval set ever
+    outgrew broadcast, drop F.broadcast and let AQE pick a shuffle join —
+    the query is correct either way; only the no-corpus-shuffle guarantee
+    is broadcast-dependent.)  With a bounded build side the 100 TB corpus
+    never shuffles raw text: each doc is tokenized and reduced to distinct
+    grams map-side, probed against the broadcast, and only the surviving
+    (doc, bench, gram-hit) counts enter the aggregate exchange.
     The trigram grain + ≥2 threshold mirrors n-gram-overlap decontamination
     as practiced for LLM eval sets (substring-level contamination needs the
     finer char-gram pass that near_dedup's shingles already provide).
