@@ -61,16 +61,35 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, mime: str) -> np.ndarray:
-    """STUB — image decoding requires PIL/opencv, absent in this container.
+def _pil():
+    """Import gate for the real decoder — Pillow is the production
+    dependency; None when absent (this container)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    The real implementation decodes to HxWxC uint8.  Raises so callers can't
-    silently treat fake pixels as real.
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Decode an image payload to an HxW[xC] uint8 array.
+
+    Real path: Pillow (``PIL.Image``), used automatically when installed.
+    Without it this raises — callers can't silently treat fake pixels as
+    real; tests use ``fake_decode``.  The error message names the
+    production dependency (pinned by tests/test_multimodal.py).
     """
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; use fake_decode for tests"
-    )
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "decode_image requires Pillow (pip install Pillow) — not "
+            "installed in this container; use fake_decode for tests"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("L") if img.mode == "1" else img)
 
 
 def fake_decode(payload: bytes, mime: str) -> np.ndarray:

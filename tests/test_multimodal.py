@@ -44,9 +44,21 @@ def test_fake_decode_is_content_dependent():
     assert (a != b).any()
 
 
-def test_strict_decode_raises():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG", "image/png")
+def test_strict_decode_contract():
+    """Without Pillow the strict decoder must raise and NAME the production
+    dependency; with Pillow installed it must decode real bytes (the
+    feature gate, not the stub, is the contract)."""
+    if mm._pil() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image(b"\x89PNG", "image/png")
+    else:  # pragma: no cover - container has no Pillow today
+        import io
+
+        img = mm._pil().new("L", (4, 3), color=7)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = mm.decode_image(buf.getvalue(), "image/png")
+        assert arr.shape == (3, 4) and (arr == 7).all()
 
 
 def test_strict_pipeline_raises_at_action(media):
