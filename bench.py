@@ -14,6 +14,11 @@ warm-up query so JVM/codegen startup isn't billed to the first entry.
 
 Set SPARK_GRAFT_BENCH_SET=headline to restrict to the headline set (used
 for the big-SF run driven by tools/make_bigdata.py — see SCALE.md).
+
+When the primary run is the default sf0.1, a SECOND JSON line follows with
+the headline set at sf1 (fixtures built once into .benchdata/sf1 via
+tools/make_bigdata.build — ~10× sf0.1, replica docs form planted near-dup
+groups, a deliberate dedup stress).  Set SPARK_GRAFT_SF1=0 to skip it.
 """
 
 from __future__ import annotations
@@ -51,6 +56,33 @@ HEADLINE = [
 ]
 
 
+def run_set(spark, names: list[str], sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        release_persisted()  # cache hygiene: blocks die with their query
+    return timings
+
+
+def _sf1_dir(spark) -> str | None:
+    """Path of the sf1 fixture set, building it on first use; None if the
+    build fails (the primary bench line must never die on the sf1 extra)."""
+    out_dir = Path(__file__).resolve().parent / ".benchdata" / "sf1"
+    if not (out_dir / "lineitem.parquet").exists():
+        try:
+            sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+            from make_bigdata import build  # noqa: PLC0415
+
+            build(spark, "/root/testdata/sf0.1", 10, str(out_dir), quiet=True)
+        except Exception as e:  # pragma: no cover
+            print(f"sf1 fixture build failed: {e!r}", file=sys.stderr)
+            return None
+    return str(out_dir)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
@@ -67,14 +99,7 @@ def main() -> None:
         # then the rest of the registry alphabetically
         names = list(HEADLINE) + sorted(set(REGISTRY) - set(HEADLINE))
 
-    timings: dict[str, float] = {}
-    for name in names:
-        q = REGISTRY[name]
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_persisted()  # cache hygiene: blocks die with their query
-
+    timings = run_set(spark, names, sf_dir)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     print(
         json.dumps(
@@ -86,8 +111,28 @@ def main() -> None:
                 "full_total": round(sum(timings.values()), 3),
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Second line: headline set at sf1, only after a default sf0.1 primary
+    # run (local smoke runs at other SFs skip the 10× build).
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1") != "0":
+        sf1 = _sf1_dir(spark)
+        if sf1 is not None:
+            t1 = run_set(spark, list(HEADLINE), sf1)
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_total_sf1",
+                        "value": round(sum(t1.values()), 3),
+                        "unit": "sec",
+                        "queries": t1,
+                        "sf": 1.0,
+                    }
+                ),
+                flush=True,
+            )
     spark.stop()
 
 

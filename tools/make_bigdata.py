@@ -91,6 +91,32 @@ def _scaled(df: DataFrame, table: str, copies: int, strides) -> DataFrame:
     return out.drop("__k")
 
 
+def build(
+    spark: SparkSession, src: str, copies: int, out_dir: str, quiet: bool = False
+) -> None:
+    """Write the scaled fixture set under ``out_dir`` (importable entry —
+    bench.py builds .benchdata/sf1 on first use through this)."""
+    strides = _strides(spark, src)
+    for table in UNSCALED:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+        if not quiet:
+            print(f"{table}: copied unscaled")
+    for table in KEYED:
+        t0 = time.time()
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        scaled = _scaled(df, table, copies, strides)
+        scaled.repartition(OUT_FILES.get(table, 4)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{table}.parquet")
+        if not quiet:
+            print(f"{table}: x{copies} in {time.time() - t0:.1f}s")
+    if not quiet:
+        print(f"wrote {out_dir}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -105,22 +131,7 @@ def main() -> None:
     )
 
     spark = get_session("make-bigdata")
-    strides = _strides(spark, args.src)
-    for table in UNSCALED:
-        df = spark.read.parquet(f"{args.src}/{table}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(
-            f"{out_dir}/{table}.parquet"
-        )
-        print(f"{table}: copied unscaled")
-    for table in KEYED:
-        t0 = time.time()
-        df = spark.read.parquet(f"{args.src}/{table}.parquet")
-        scaled = _scaled(df, table, args.copies, strides)
-        scaled.repartition(OUT_FILES.get(table, 4)).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{table}.parquet")
-        print(f"{table}: x{args.copies} in {time.time() - t0:.1f}s")
-    print(f"wrote {out_dir}")
+    build(spark, args.src, args.copies, out_dir)
     spark.stop()
 
 
