@@ -250,3 +250,181 @@ def moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn(F.col("revenue"), 2).alias("daily_revenue"),
         rn(F.avg("revenue").over(w), 2).alias("ma7"),
     )
+
+
+MIN_COST_SIZE = 30  # Q2's p_size selectivity filter, adapted to our parts
+
+MIN_COST_SUPPLIER_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, l_suppkey, cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cost, l_suppkey) AS rk
+  FROM ps
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       {sql_rn('b.cost', 4)} AS min_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= {MIN_COST_SIZE}
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE b.rk = 1
+"""
+
+
+@register("min_cost_supplier", MIN_COST_SUPPLIER_ORACLE, tags=("decision",))
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated scalar MIN).
+
+    Q2's correlated subquery ("supplycost = (SELECT min(...) ...)") is the
+    textbook case for rewriting into a single-pass argmin: the catalog
+    relation (min unit price per part × supplier, our partsupp stand-in
+    derived from lineitem) is aggregated ONCE per part with
+    ``min_by(struct(supplier...), struct(cost, suppkey))`` — no second
+    scan, no self-join, and the (cost, suppkey) struct ordering makes the
+    tie-break deterministic in both engines.  Dimension enrichment
+    (part/supplier/nation) is all broadcast.  Unit price is one IEEE
+    divide, bit-identical across engines, so the argmin compares equal
+    doubles equally.
+    """
+    li, part, supp, nation = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct("l_suppkey", "cost"),
+            F.struct("cost", "l_suppkey"),
+        ).alias("b")
+    )
+    return (
+        best.select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("l_suppkey"),
+            F.col("b.cost").alias("cost"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_size") >= MIN_COST_SIZE)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            rn(F.col("cost"), 4).alias("min_cost"),
+        )
+    )
+
+
+SUPPLIER_CLASSES_ORACLE = """
+WITH ok_supp AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+),
+ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM ok_supp)
+)
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+@register("supplier_classes", SUPPLIER_CLASSES_ORACLE, tags=("decision",))
+def supplier_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, with a
+    supplier blacklist as NOT-IN.
+
+    The blacklist (negative account balance, our stand-in for Q16's
+    complaint filter) is applied as a broadcast LEFT-SEMI join on the
+    distinct part×supplier relation — Q16's ``NOT IN (SELECT ...)``
+    never becomes a shuffle because the supplier dimension broadcasts.
+    The distinct-then-count-distinct pair collapses into adjacent
+    hash-aggregates over the same (brand, type) exchange.
+    """
+    li, part, supp = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    ok = supp.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(ok), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+#: dominance = a supplier's share of a part exceeds OVERSTOCK_FACTOR × the
+#: part's fair share (1 / its supplier count) — scale-robust, unlike a fixed
+#: share cut-off, which vacuously empties as supplier counts grow with SF.
+OVERSTOCK_FACTOR = 2
+
+OVERSTOCKED_SUPPLIERS_ORACLE = f"""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, sum(qty) AS total_qty, count(*) AS n_supp
+  FROM pq GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated
+FROM pq JOIN tot USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+WHERE pq.qty * tot.n_supp > {OVERSTOCK_FACTOR} * tot.total_qty
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "overstocked_suppliers", OVERSTOCKED_SUPPLIERS_ORACLE, tags=("decision",)
+)
+def overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers above a correlated share-of-part
+    threshold (shipped > OVERSTOCK_FACTOR × their fair share of the part).
+
+    Q20's nested "quantity > 0.5 * (SELECT sum(...))" correlate becomes
+    ONE aggregate pass (per part×supplier sums) with the per-part total
+    and supplier count as window aggregates OVER that aggregate — not a
+    second aggregate joined back, which would make Catalyst scan lineitem
+    twice (the two consumers of pq don't share the subplan).  Both window
+    expressions stack on the same l_partkey partitioning: one fact scan,
+    two exchanges total (pinned).  Quantity sums are integral doubles
+    (< 2^53) and the supplier count is an int, so the fair-share compare
+    (qty·n_supp > 2·total) is exact in both engines — no float division
+    anywhere.
+    """
+    li, supp = load_tables(spark, sf_dir, "lineitem", "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominated = (
+        pq.withColumn("total_qty", F.sum("qty").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter(
+            F.col("qty") * F.col("n_supp")
+            > OVERSTOCK_FACTOR * F.col("total_qty")
+        )
+    )
+    return (
+        dominated.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("n_parts_dominated"))
+    )

@@ -1,0 +1,277 @@
+"""Corpus language-model statistics over ``documents`` — LLM-pipeline tier C.
+
+The reference's text processing is one grouped count per word (mrapps/wc.go
+— SURVEY §2.C); this module composes that same unigram relation into the
+model-based quality signals a training-data pipeline runs at scale:
+
+- unigram_logprob: per-doc mean log2 unigram probability under the CORPUS
+  unigram LM — the classic "perplexity-proxy" quality filter (documents far
+  below the corpus distribution are boilerplate/garbage; far above are
+  degenerate repetition).  Self-trained: the LM table is the corpus's own
+  token counts, so no external model rides along.
+- vocab_coverage:  fraction of each doc's tokens inside the top-K corpus
+  vocabulary — the "out-of-vocab rate" signal used to drop encoding
+  garbage and wrong-language strays.
+- zipf_fit:        corpus-level least-squares slope of log2(freq) vs
+  log2(rank) — a healthy natural corpus sits near slope -1 (Zipf's law);
+  synthetic/templated corpora flatten.  One output row.
+- span_dedup:      repeated token-span (boilerplate) detection — sliding
+  8-token windows (stride 4) hashed and grouped; spans occurring in >= 2
+  docs are the shared-boilerplate report (the fixed-granularity analog of
+  paragraph dedup for corpora without layout structure).
+
+Scale shape (100 TB): every op reduces the corpus to the exploded-token /
+exploded-span relation and immediately aggregates — one token-keyed or
+span-keyed shuffle each; the LM / vocab tables are |vocab| rows (natural
+language: ~10⁶-10⁷ — broadcastable) so re-scoring joins broadcast, never
+shuffling the corpus twice.  zipf_fit's window runs over the |vocab|-row
+aggregate, not the corpus.  Float parity: log2 on both engines, summed per
+group and floor-rounded at 4 dp (same contract as char_entropy/user_trend).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import SPARK_MD5_INT60, SQL_MD5_INT60
+from ..functions.rounding import rn, sql_rn
+from ..functions.text import sql_tokens, tokens_lower
+from ..sources.tables import load_table
+from .registry import register
+
+#: top-K corpus vocabulary for coverage (by count desc, token asc —
+#: deterministic across engines).
+VOCAB_K = 20
+#: terms entering the Zipf regression (rank <= ZIPF_TOP).
+ZIPF_TOP = 100
+#: span window / stride (tokens) for boilerplate detection.
+SPAN_W = 8
+SPAN_S = 4
+
+
+def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokens_lower(F.col("text"))).alias("tok")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH e AS (SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok
+           FROM documents),
+lm AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n FROM lm)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {sql_rn('avg(log2(cnt / CAST(n AS DOUBLE)))', 4)} AS mean_logprob
+FROM e JOIN lm USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob", UNIGRAM_LOGPROB_ORACLE, tags=("lm",))
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log2 unigram probability under the corpus LM.
+
+    Two aggregations over ONE exploded-token relation: (1) the LM table
+    tok → count (|vocab| rows — broadcast back), (2) per-doc mean of
+    log2(cnt/N).  The corpus total N is a 1-row aggregate broadcast by the
+    cross join.  The corpus shuffles once (token counts); scoring reuses
+    the exploded relation map-side via the broadcast LM — at 100 TB the
+    token explode runs twice at worst (cheap projection) but never
+    shuffles twice.
+    """
+    e = _exploded_tokens(spark, sf_dir)
+    lm = e.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = lm.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        e.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            rn(F.avg(F.log2(F.col("cnt") / F.col("n"))), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH e AS (SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok
+           FROM documents),
+lm AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+vocab AS (SELECT tok FROM lm
+          ORDER BY cnt DESC, tok LIMIT {VOCAB_K})
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(v.tok) AS BIGINT) AS n_in_vocab,
+       {sql_rn('count(v.tok) * 1.0 / count(*)', 4)} AS coverage
+FROM e LEFT JOIN vocab v USING (tok)
+GROUP BY e.doc_id
+"""
+
+
+@register("vocab_coverage", VOCAB_COVERAGE_ORACLE, tags=("lm",))
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's tokens inside the top-K corpus vocabulary.
+
+    The vocab is the |vocab|-row LM aggregate ranked by (count desc, tok)
+    — deterministic in both engines — truncated to VOCAB_K and broadcast;
+    coverage is a map-side left-join flag aggregated per doc.  The global
+    rank window runs over vocab rows only (bounded), never the corpus.
+    """
+    e = _exploded_tokens(spark, sf_dir)
+    lm = e.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    vocab = (
+        lm.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        e.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("in_vocab").cast("long").alias("n_in_vocab"),
+            rn(F.count("in_vocab") * F.lit(1.0) / F.count("*"), 4).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH e AS (SELECT unnest({sql_tokens('text', lower=True)}) AS tok
+           FROM documents),
+lm AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+           FROM lm),
+xy AS (SELECT log2(CAST(rk AS DOUBLE)) AS x, log2(CAST(cnt AS DOUBLE)) AS y
+       FROM ranked WHERE rk <= {ZIPF_TOP}),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_rn('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)}
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE {sql_rn('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)'
+                         ' / n', 4)}
+       END AS intercept
+FROM s
+"""
+
+
+@register("zipf_fit", ZIPF_FIT_ORACLE, tags=("lm",))
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law regression: log2(freq) on log2(rank) over the top terms.
+
+    Same explicit-sum normal equations as user_trend (engine-agnostic
+    cancellation behavior); the global rank window and the regression both
+    run over the |vocab|-row aggregate, so the single-partition window is
+    bounded regardless of corpus size.  One output row.
+    """
+    e = _exploded_tokens(spark, sf_dir).select("tok")
+    lm = e.groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    xy = (
+        lm.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ZIPF_TOP)
+        .select(
+            F.log2(F.col("rk").cast("double")).alias("x"),
+            F.log2(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.when(denom != 0, rn(slope, 4)).alias("slope"),
+        F.when(
+            denom != 0,
+            rn((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4),
+        ).alias("intercept"),
+    )
+
+
+_SPAN_CASE = f"""
+CASE WHEN size(toks) >= {SPAN_W}
+     THEN transform(sequence(0, (size(toks) - {SPAN_W}) div {SPAN_S}),
+                    k -> concat_ws(' ', slice(toks, k * {SPAN_S} + 1, {SPAN_W})))
+     ELSE CAST(array() AS array<string>) END
+"""
+
+_SQL_SPAN_CASE = f"""
+CASE WHEN len(toks) >= {SPAN_W}
+     THEN list_transform(range(0, (len(toks) - {SPAN_W}) // {SPAN_S} + 1),
+                         k -> array_to_string(
+                             toks[k * {SPAN_S} + 1 : k * {SPAN_S} + {SPAN_W}],
+                             ' '))
+     ELSE []::VARCHAR[] END
+"""
+
+SPAN_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
+           FROM documents),
+sp AS (SELECT doc_id,
+              unnest(list_distinct(list_transform({_SQL_SPAN_CASE},
+                  s -> {SQL_MD5_INT60.format(e='s')}))) AS span_hash
+       FROM t)
+SELECT span_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM sp
+GROUP BY span_hash
+HAVING count(*) >= 2
+"""
+
+
+@register("span_dedup", SPAN_DEDUP_ORACLE, tags=("lm", "dedup"))
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated token-span report — boilerplate shared across documents.
+
+    Sliding SPAN_W-token windows at stride SPAN_S, md5-hashed to int64
+    per doc (distinct within doc), grouped by span hash; spans present in
+    >= 2 docs survive.  The fixed granularity makes this the
+    paragraph-dedup analog for corpora without layout structure: stride <
+    window guarantees every aligned SPAN_W-token run is covered by some
+    emitted span.  One shuffle, keyed by span hash, carrying int64s only;
+    at 100 TB the explode factor is n_tokens/SPAN_S rows per doc and the
+    HAVING prunes the (dominant) unique-span mass at the first aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    sp = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform("
+                    + _SPAN_CASE
+                    + ", s -> "
+                    + SPARK_MD5_INT60.format(e="s")
+                    + ")"
+                )
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        sp.groupBy("span_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

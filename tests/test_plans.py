@@ -501,3 +501,42 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_min_cost_supplier_argmin_no_self_join(spark):
+    """Q2's correlated MIN must plan as one aggregate pass over the catalog
+    relation plus broadcast dims — never a catalog self-join, and exactly
+    one lineitem scan."""
+    df = REGISTRY["min_cost_supplier"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert uses_broadcast_join(df)
+    # two aggregates (part×supp, then per-part argmin) = two exchanges;
+    # broadcast enrichment adds none
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_overstocked_suppliers_no_second_fact_scan(spark):
+    """Q20's nested aggregate must derive part totals from the first-level
+    aggregate (window over pq), not rescan lineitem."""
+    df = REGISTRY["overstocked_suppliers"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+    # agg exchange + window repartition on l_partkey + final supplier
+    # rollup — nothing else
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_lm_scoring_joins_broadcast(spark):
+    """unigram_logprob / vocab_coverage re-score the corpus through a
+    BROADCAST of the |vocab|-row model — the corpus must not shuffle for
+    the scoring join."""
+    for name in ("unigram_logprob", "vocab_coverage"):
+        df = REGISTRY[name].fn(spark, SF0001)
+        assert uses_broadcast_join(df), name
+
+
+def test_span_dedup_single_shuffle(spark):
+    """Span explode → hash aggregate: one exchange keyed by span hash."""
+    df = REGISTRY["span_dedup"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
