@@ -158,3 +158,36 @@ def write_parquet_clustered(
         *cluster_by
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """ORC columnar sink — interop with Hive/Trino-centric warehouses.
+
+    Same layout levers as write_parquet (hive-style partition dirs,
+    bounded files per partition).  ORC carries min/max + bloom-filter
+    indexes natively; Spark's vectorized ORC reader makes the round-trip
+    cost symmetric with parquet, so format choice is a warehouse-interop
+    decision, not a performance one.
+    """
+    out = df
+    if num_files is not None:
+        out = (
+            df.repartition(num_files, *partition_by)
+            if partition_by
+            else df.repartition(num_files)
+        )
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC directory (schema from file metadata, like parquet —
+    no inference scan needed)."""
+    return spark.read.orc(path)

@@ -138,3 +138,30 @@ def test_clustered_parquet_files_are_disjoint_key_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file key ranges: {ranges}"
+
+
+def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
+    """ORC round-trip preserves values/schema, and a partitioned ORC sink
+    produces hive dirs the vectorized ORC reader prunes on."""
+    from simpletons_map_reduce_spark.sources import read_orc, write_orc
+
+    df = _wordcount_kv(spark)
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, num_files=2)
+    back = read_orc(spark, path)
+    # ORC (like parquet) reads everything back nullable — compare names+types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    docs = REGISTRY["lang_id"].fn(spark, SF0001)
+    ppath = str(tmp_path / "orc_part")
+    write_orc(docs, ppath, partition_by=["pred_lang"], num_files=2)
+    pback = read_orc(spark, ppath)
+    one = pback.filter(
+        F.col("pred_lang") == pback.select("pred_lang").first().pred_lang
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred_lang" in plan
+    assert one.count() > 0
