@@ -179,3 +179,58 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_ts") - F.col("a_ts")).alias("gap_us"),
         )
     )
+
+
+SCD_INTERVALS_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts_us, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS prev_value
+  FROM e
+),
+kept AS (
+  SELECT user_id, ts_us, value
+  FROM changes
+  WHERE prev_value IS NULL OR value <> prev_value
+)
+SELECT user_id, value,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+FROM kept
+"""
+
+
+@register("scd_intervals", SCD_INTERVALS_ORACLE, tags=("temporal",))
+def scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction from an event log: each
+    value CHANGE opens a validity interval [valid_from, valid_to), the
+    latest interval stays open (NULL valid_to).
+
+    The standard warehouse build for slowly-changing dimensions from CDC /
+    event streams.  Two stacked windows — change detection (lag) and
+    interval close (lead) — share ONE user_id hash partitioning, so the
+    fact shuffles once; the second window sorts the already-reduced change
+    rows.  (ts_us, event_id) makes the change-detection order total, so
+    lag is deterministic under per-user ts collisions; the surviving
+    change rows have unique ts_us per user on this data, and downstream
+    equality with the oracle is exact (value doubles compare bitwise).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn("prev_value", F.lag("value").over(w_ord))
+    kept = changes.filter(
+        F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))
+    )
+    w_close = Window.partitionBy("user_id").orderBy("ts_us")
+    return kept.select(
+        "user_id",
+        "value",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w_close).alias("valid_to_us"),
+    )

@@ -540,3 +540,20 @@ def test_span_dedup_single_shuffle(spark):
     """Span explode → hash aggregate: one exchange keyed by span hash."""
     df = REGISTRY["span_dedup"].fn(spark, SF0001)
     assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_time_rollup_single_pass_expand(spark):
+    """All three grains from ONE scan: Expand + one aggregate exchange,
+    never three re-scans."""
+    df = REGISTRY["time_rollup"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_scd_intervals_single_shuffle(spark):
+    """Change-detection lag and interval-close lead share one user_id
+    partitioning — the fact shuffles once."""
+    df = REGISTRY["scd_intervals"].fn(spark, SF0001)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
