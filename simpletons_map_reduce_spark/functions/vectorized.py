@@ -134,3 +134,46 @@ def np_assign_clusters(
     if carry_vectors:
         schema += ", v array<double>, nv double"
     return emb.select("vec_id", "v", "nv").mapInPandas(kernel, schema)
+
+
+def np_sign_bands(
+    emb: DataFrame, planes: list[list[int]], band_bits: int
+) -> DataFrame:
+    """(vec_id, band, bkey) LSH band keys from sign-random-projections,
+    one BLAS matmul per Arrow batch.
+
+    The unrolled JVM expression form (16 planes × 64 ±element_at terms)
+    costs Catalyst a ~1k-node tree and interpreted eval per row; here the
+    whole signature block is ``X @ P.T > 0`` per batch.  Rows-only ANN
+    contract (recall pinned in tests), so no oracle mirror is needed.
+    Narrow — no shuffle; the band explode happens inside the kernel.
+    """
+    P = np.array(planes, dtype=np.float64)  # (nbits, dim)
+    nbits = P.shape[0]
+    n_bands = nbits // band_bits
+
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.stack(b["v"].to_numpy())
+            bits = np.where(X @ P.T > 0, "1", "0")  # (n, nbits) of '0'/'1'
+            vec_ids = b["vec_id"].to_numpy()
+            n = len(b)
+            out_ids = np.repeat(vec_ids, n_bands)
+            out_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+            keys = np.empty((n, n_bands), dtype=object)
+            for j in range(n_bands):
+                k = bits[:, j * band_bits]
+                for r in range(1, band_bits):
+                    k = np.char.add(k, bits[:, j * band_bits + r])
+                keys[:, j] = k
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "band": out_band, "bkey": keys.ravel()}
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        kernel, "vec_id long, band int, bkey string"
+    )

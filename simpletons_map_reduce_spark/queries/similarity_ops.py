@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..caching import free_checkpoint, track, tracked_persist
 from ..functions.rounding import rn, sql_rn
-from ..functions.vectorized import np_assign_clusters
+from ..functions.vectorized import np_assign_clusters, np_sign_bands
 from ..functions.vectors import (
     cosine_from_parts,
     dot,
@@ -425,46 +425,6 @@ def _hyperplanes() -> list[list[int]]:
     ]
 
 
-def _balanced_sum(terms):
-    """Pairwise-balanced Add tree: depth log2(n) instead of n — deep
-    left-nested chains make Catalyst analysis dominate small-SF runtime."""
-    while len(terms) > 1:
-        terms = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return terms[0]
-
-
-def _sign_bits(vec_col: str):
-    """One column per hyperplane bit, unrolled to flat ±element_at sums
-    (interpreted higher-order functions would be ~100× slower here).
-    Since entries are ±1, the dot product is a sign-flipped sum — no
-    multiplies at all."""
-    bits = []
-    for j, plane in enumerate(_hyperplanes()):
-        terms = [
-            F.element_at(vec_col, i + 1) if s > 0 else -F.element_at(vec_col, i + 1)
-            for i, s in enumerate(plane)
-        ]
-        dot = _balanced_sum(terms)
-        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{j}"))
-    return bits
-
-
-def _band_structs():
-    n_bands = LSH_NBITS // LSH_BAND_BITS
-    return [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(
-                *[F.col(f"b{b * LSH_BAND_BITS + r}") for r in range(LSH_BAND_BITS)]
-            ).alias("bkey"),
-        )
-        for b in range(n_bands)
-    ]
-
-
 @register("ann_lsh", None, tags=("similarity",))
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only driver check).
@@ -475,22 +435,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     population (~25% of the corpus at these parameters on near-isotropic
     data; far less on clustered corpora — parameters are the recall knob).
     Same output schema as similarity_topk; recall measured against the
-    exact answer in tests/test_similarity.py.  Everything is flat codegen
-    arithmetic on broadcast-free equi-joins; the corpus is scanned once for
-    signatures and once per probe-bucket match for scoring.
+    exact answer in tests/test_similarity.py.  Signatures are one BLAS
+    matmul per Arrow batch (functions/vectorized.py::np_sign_bands — the
+    unrolled 16×64-term JVM expression tree this replaced cost more in
+    Catalyst analysis + interpreted eval than the whole bucket join);
+    everything downstream is broadcast-free equi-joins; the corpus is
+    scanned once for signatures and once per probe-bucket match for
+    scoring.
     """
     emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     # (vec_id, band, bkey) only — signatures are computed once and persisted;
     # vectors are re-joined by id AFTER candidate dedup so the bucket join
     # and the distinct never shuffle 64-dim payloads, just ids and 4-char
     # keys.
-    bands = tracked_persist(
-        emb.select("vec_id", *_sign_bits("v"))
-        .select("vec_id", F.explode(F.array(*_band_structs())).alias("bk"))
-        .select(
-            "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-        )
-    )
+    bands = tracked_persist(np_sign_bands(emb, _hyperplanes(), LSH_BAND_BITS))
     # Multiprobe: each QUERY band key also probes its 1-bit-flipped
     # neighbors (a near neighbor that just missed a band differs in ~1
     # bit).  Only the tiny query side fans out (×(1+LSH_BAND_BITS)), the
