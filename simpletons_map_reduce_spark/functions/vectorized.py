@@ -177,3 +177,34 @@ def np_sign_bands(
     return emb.select("vec_id", "v").mapInPandas(
         kernel, "vec_id long, band int, bkey string"
     )
+
+
+def np_pair_prefilter(pairs: DataFrame, min_cos: float) -> DataFrame:
+    """Lossless vectorized prefilter for exact pair-scoring operators.
+
+    Input rows carry both vectors: (vec_a, vec_b, va, na, vb, nb).  One
+    einsum per Arrow batch computes every pair's cosine; rows with
+    np_cos >= min_cos pass through UNCHANGED for exact re-scoring.  Callers
+    pass ``threshold - margin`` with margin ≈ 1e-9: the numpy dot and the
+    sequential JVM fold differ by O(dim·eps) ≈ 1e-14 relative, so no pair
+    the exact fold would keep is ever dropped — the prefilter only removes
+    clearly-below-threshold mass, which is the dominant cost of a
+    quadratic blocked-pair operator (the interpreted fold then runs on
+    survivors only, and the ORACLE-matched arithmetic stays the fold's).
+    Narrow: no shuffle, no model hand-off.
+    """
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.stack(b["va"].to_numpy())
+            Y = np.stack(b["vb"].to_numpy())
+            na = b["na"].to_numpy(dtype=np.float64)
+            nb = b["nb"].to_numpy(dtype=np.float64)
+            denom = np.where(na == 0.0, 1.0, na) * np.where(nb == 0.0, 1.0, nb)
+            cos = np.einsum("ij,ij->i", X, Y) / denom
+            yield b[cos >= min_cos]
+
+    return pairs.mapInPandas(kernel, pairs.schema)

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from ..caching import free_checkpoint, track, tracked_persist
 from ..functions.rounding import rn, sql_rn
-from ..functions.vectorized import np_assign_clusters, np_sign_bands
+from ..functions.vectorized import (
+    np_assign_clusters,
+    np_pair_prefilter,
+    np_sign_bands,
+)
 from ..functions.vectors import (
     cosine_from_parts,
     dot,
@@ -131,12 +135,24 @@ FROM pairs WHERE cos_raw >= {DUP_COS_THRESHOLD}
 """
 
 
+#: prefilter slack: numpy vs sequential-fold cosine differ by O(dim·eps)
+#: ≈ 1e-14 relative — 1e-9 is a 10⁵× safety margin, still dropping all
+#: clearly-below-threshold pairs.
+PREFILTER_MARGIN = 1e-9
+
+
 @register("embedding_dedup", EMBEDDING_DEDUP_ORACLE, tags=("similarity",))
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) blocked by label.
 
     The equi-join on label is the blocking step — the 100 TB version swaps
-    `label` for an LSH/IVF cluster id with identical plan shape.
+    `label` for an LSH/IVF cluster id with identical plan shape.  Blocked
+    pairs are still quadratic in block size (measured 77 s at sf1 with
+    every pair through the interpreted fold), so the pair relation first
+    passes a LOSSLESS vectorized prefilter (np_pair_prefilter: one einsum
+    per Arrow batch, threshold − 1e-9); the fold — whose sequential
+    arithmetic the DuckDB oracle mirrors bit-for-bit — re-scores only the
+    survivors, which is O(true dups), not O(pairs).
     """
     emb = _emb_with_norm(spark, sf_dir)
     a = emb.select(
@@ -151,15 +167,16 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b", "va", "na", "vb", "nb")
+    surv = np_pair_prefilter(pairs, DUP_COS_THRESHOLD - PREFILTER_MARGIN)
     cos_raw = cosine_from_parts(
         dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
     )
     return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
+        surv.select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
         .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
         .select("vec_a", "vec_b", rn(F.col("cos_raw"), 6).alias("cos_sim"))
     )
