@@ -138,3 +138,58 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+#: weighted sample size (Efraimidis–Spirakis exponential keys).
+WEIGHTED_K = 50
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+           pow(({_SQL_HASH} + 1.0) / {MINHASH_PRIME + 1}.0,
+               1.0 / greatest(n_chars, 1)) AS k
+    FROM documents
+)
+SELECT doc_id, w, (FLOOR(k * 1000000.0 + 0.5) / 1000000.0) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+@register("weighted_sample", WEIGHTED_SAMPLE_ORACLE, tags=("sampling",))
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K weighted sample without replacement (Efraimidis–Spirakis):
+    keep the K largest ``u^(1/w)`` keys, u deterministic from md5(doc_id),
+    w = doc length — the reproducible, distributed form of weighted
+    reservoir sampling (longer docs proportionally likelier).
+
+    ORDER BY key LIMIT K plans TakeOrderedAndProject: per-partition top-K
+    then a driver merge of partition tops — never a global sort, so the
+    selection is O(K · partitions) rows moved at any corpus size (pinned).
+    u is an exact integer hash scaled into (0, 1]; the pow key is libm on
+    both engines, and adjacent order statistics on real data are separated
+    by far more than a double ulp, so the selected SET is stable
+    cross-engine (same stability argument as the log2 ops; the reported
+    key is floor-rounded at 6 dp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (md5_mod_prime(F.expr(_HASH)) + 1.0) / float(MINHASH_PRIME + 1)
+    keyed = docs.select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        F.pow(u, 1.0 / w).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            "w",
+            (F.floor(F.col("k") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "sample_key"
+            ),
+        )
+    )

@@ -557,3 +557,12 @@ def test_scd_intervals_single_shuffle(spark):
     partitioning — the fact shuffles once."""
     df = REGISTRY["scd_intervals"].fn(spark, SF0001)
     assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_weighted_sample_take_ordered(spark):
+    """Top-K selection must plan TakeOrderedAndProject (per-partition
+    top-K + driver merge), never a global sort."""
+    df = REGISTRY["weighted_sample"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan

@@ -188,3 +188,21 @@ def test_sample_hash_rate_close_to_nominal(spark):
     n_all = 500
     n_sample = REGISTRY["sample_hash"].fn(spark, SF001).count()
     assert 0.12 * n_all < n_sample < 0.28 * n_all
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Selection probability must rise with weight: the sampled docs'
+    mean n_chars exceeds the corpus mean (u^(1/w) keys grow with w), and
+    the sample is exactly K and deterministic across runs."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.queries.sampling_ops import WEIGHTED_K
+    from tests.conftest import SF0001
+
+    out1 = REGISTRY["weighted_sample"].fn(spark, SF0001).collect()
+    out2 = REGISTRY["weighted_sample"].fn(spark, SF0001).collect()
+    assert len(out1) == WEIGHTED_K
+    assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.w for r in out1) / len(out1)
+    assert sample_mean > corpus_mean

@@ -6,7 +6,7 @@ gate catches that class of failure in seconds:
 
 1. import ``__spark_entry__`` (module-level oracle f-strings evaluate here —
    exactly where round 2 died);
-2. build EVERY registered query's DataFrame at sf0.001 (catches analysis
+2. build EVERY registered query's DataFrame at sf0.001 (100 today) (catches analysis
    errors: bad columns, unresolved refs, missing tables);
 3. run one action end-to-end (``entry(spark)``) on a DEFAULT-config session,
    like the driver does;
