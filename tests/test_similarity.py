@@ -111,3 +111,60 @@ def test_ann_lsh_recall_and_candidate_reduction(spark):
     # every query still returns a full (or capped-by-candidates) top-k
     assert len(approx_rows) > 0
     assert all(r.rk <= 5 for r in approx_rows)
+
+
+def test_pair_prefilter_is_lossless_at_threshold(spark):
+    """The numpy prefilter must keep every pair the exact fold would keep.
+
+    Pairs are fed to np_pair_prefilter directly (double vectors, unit
+    norms, so dot == cosine exactly in both arithmetics):
+    - cos exactly AT the threshold          -> must survive prefilter AND fold
+    - cos just inside the 1e-9 margin below -> must survive the PREFILTER
+      (the fold then rejects it - margin errs toward keeping)
+    - cos clearly below                     -> prefilter drops it
+    """
+    import math
+
+    from simpletons_map_reduce_spark.functions.vectorized import (
+        np_pair_prefilter,
+    )
+    from simpletons_map_reduce_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+    )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        DUP_COS_THRESHOLD as TH,
+        EMB_DIM,
+        PREFILTER_MARGIN,
+    )
+    from pyspark.sql import functions as F
+
+    def unit_pair(pid, c):
+        va = [1.0] + [0.0] * (EMB_DIM - 1)
+        vb = [c, math.sqrt(1.0 - c * c)] + [0.0] * (EMB_DIM - 2)
+        return (pid, pid + 1000, va, 1.0, vb, 1.0)
+
+    rows = [
+        unit_pair(0, TH),                      # exactly at threshold
+        unit_pair(1, TH - PREFILTER_MARGIN / 2),  # inside the margin
+        unit_pair(2, 0.1),                     # clearly below
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "vec_a long, vec_b long, va array<double>, na double,"
+        " vb array<double>, nb double",
+    )
+    surv = np_pair_prefilter(pairs, TH - PREFILTER_MARGIN)
+    kept = {r.vec_a for r in surv.collect()}
+    assert kept == {0, 1}, kept  # margin keeps the borderline pair
+
+    cos_raw = cosine_from_parts(
+        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    final = {
+        r.vec_a
+        for r in surv.select("vec_a", cos_raw.alias("c"))
+        .filter(F.col("c") >= TH)
+        .collect()
+    }
+    assert final == {0}, final  # the fold then applies the exact cut
