@@ -234,3 +234,57 @@ def scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("valid_from_us"),
         F.lead("ts_us").over(w_close).alias("valid_to_us"),
     )
+
+
+ATTR_WINDOW_US = 3_600_000_000  # 1 h attribution window
+
+CLICK_ATTRIBUTION_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+c AS (SELECT user_id, event_id AS click_id, ts_us AS c_ts
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_ts
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, p_ts - c_ts AS lag_us
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE p_ts >= c_ts AND p_ts <= c_ts + {ATTR_WINDOW_US}
+"""
+
+
+@register("click_attribution", CLICK_ATTRIBUTION_ORACLE, tags=("temporal",))
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (click, purchase) attribution pairs within a 1 h window —
+    the BATCH twin of the watermarked stream-stream interval join
+    (streaming/join_stream.py::attribution_stream).
+
+    User-keyed equi-join carries the shuffle; the event-time interval
+    rides as a probe-side filter (never a theta-join blowup — same shape
+    as exists_orders).  Multi-touch by design: every qualifying click
+    gets the purchase (last-touch collapse is asof_join's argmax).  All
+    arithmetic is integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + ATTR_WINDOW_US),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.col("p_ts") - F.col("c_ts")).alias("lag_us"),
+        )
+    )
