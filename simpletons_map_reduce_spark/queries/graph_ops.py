@@ -141,3 +141,87 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("nation", rn(F.col("r"), 6).alias("rank"))
+
+
+TRIANGLE_COUNT_ORACLE = f"""
+WITH digraph AS ({_EDGES_SQL}),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM digraph
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS nation FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY nation
+"""
+
+
+@register("triangle_count", TRIANGLE_COUNT_ORACLE, tags=("graph",))
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the nation trade graph — the
+    ordered-edge (node-iterator) distributed triangle count.
+
+    Same two-tier shape as nation_pagerank: the fact tables reduce to the
+    aggregated nation digraph in one pass (tier 1, where the volume is),
+    then the graph algorithm runs on the aggregate only (tier 2).
+    Canonicalizing edges to u < v makes each triangle appear EXACTLY once
+    in the 3-way join (a<b<c), so no post-division by 6; the join keys are
+    vertices, so shuffle volume is O(E + wedges) of the aggregated graph —
+    the standard scalable formulation (wedge checking via the third-edge
+    equi-join, never an all-pairs product).  At doc-graph scale the same
+    plan applies with the usual high-degree-vertex mitigation (degree
+    ordering already folds the worst wedges onto low-degree sources).
+    """
+    li, orders, customer, supplier, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    digraph = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    from ..caching import tracked_persist
+
+    edges = tracked_persist(
+        digraph.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("nation"))
+        .unionAll(tri.select(F.col("b").alias("nation")))
+        .unionAll(tri.select(F.col("c").alias("nation")))
+    )
+    return members.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
