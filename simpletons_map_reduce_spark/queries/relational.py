@@ -591,3 +591,180 @@ def revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["custkey"], ["q1_rev", "q2_rev"], "quarter", "revenue"
     )
+
+
+SHIPPING_PRIORITY_ORACLE = f"""
+WITH j AS (
+  SELECT l.l_orderkey,
+         epoch_us(o.o_orderdate) AS odate_us,
+         o.o_orderpriority,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-06-30'
+    AND l.l_shipdate  > TIMESTAMP '1997-06-30'
+  GROUP BY l.l_orderkey, epoch_us(o.o_orderdate), o.o_orderpriority
+)
+SELECT l_orderkey, {sql_rn('rev', 2)} AS revenue, odate_us, o_orderpriority
+FROM j
+ORDER BY {sql_rn('rev', 2)} DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", SHIPPING_PRIORITY_ORACLE, tags=("relational",))
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join, revenue aggregate per
+    order, top-10 by revenue.
+
+    The segment filter runs on the customer DIM and reaches the orders
+    fact as a broadcast hash join probe; lineitem's shipdate filter is
+    pushed to its scan.  Ranking happens on the ROUNDED revenue with
+    orderkey tiebreak in BOTH engines, so the top-10 boundary can never
+    split on a float ulp; the limit plans TakeOrderedAndProject over the
+    aggregated (order-grain) relation.
+    """
+    cust, orders, li = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < "1997-06-30").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+        "o_orderpriority",
+    )
+    l = li.filter(F.col("l_shipdate") > "1997-06-30").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "odate_us", "o_orderpriority")
+        .agg(
+            rn(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        j.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "odate_us", "o_orderpriority")
+    )
+
+
+UPSERT_MOD = 7       # every 7th customer gets an update
+INSERT_MOD = 13      # every 13th customer seeds an inserted row
+UPSERT_DELTA = 100.0
+
+MERGE_UPSERT_ORACLE = f"""
+WITH stride AS (SELECT max(c_custkey) + 1 AS s FROM customer),
+changes AS (
+  SELECT c_custkey AS key, c_name, c_acctbal + {UPSERT_DELTA} AS c_acctbal
+  FROM customer WHERE c_custkey % {UPSERT_MOD} = 0
+  UNION ALL
+  SELECT c_custkey + stride.s AS key, c_name, {UPSERT_DELTA} AS c_acctbal
+  FROM customer CROSS JOIN stride WHERE c_custkey % {INSERT_MOD} = 0
+),
+snap AS (SELECT c_custkey AS key, c_name, c_acctbal FROM customer)
+SELECT coalesce(ch.key, snap.key) AS key,
+       coalesce(ch.c_name, snap.c_name) AS c_name,
+       {sql_rn('coalesce(ch.c_acctbal, snap.c_acctbal)', 2)} AS c_acctbal,
+       CASE WHEN snap.key IS NULL THEN 'inserted'
+            WHEN ch.key IS NULL THEN 'kept'
+            ELSE 'updated' END AS merge_action
+FROM snap FULL OUTER JOIN changes ch ON snap.key = ch.key
+"""
+
+
+@register("merge_upsert", MERGE_UPSERT_ORACLE, tags=("relational",))
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) as a plan: snapshot ⟗ changes on the key,
+    changes win, unmatched changes insert, unmatched snapshot rows keep.
+
+    The write path every warehouse needs and the reference lacks
+    entirely.  The changes batch here is derived deterministically from
+    the snapshot itself (every 7th key updated, every 13th seeding an
+    insert beyond the key stride) so the oracle can rebuild it — in
+    production it is the CDC batch.  Plan: ONE key-equi full outer join;
+    with the snapshot maintained via write_parquet_clustered /
+    bucketing, the join side is pre-partitioned and the merge never
+    re-shuffles the snapshot (operators/bucketing.py pins that plan).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey").alias("key"), "c_name", "c_acctbal"
+    )
+    stride = cust.agg((F.max("c_custkey") + 1).alias("s"))
+    updates = cust.filter(F.col("c_custkey") % UPSERT_MOD == 0).select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("ch_name"),
+        (F.col("c_acctbal") + UPSERT_DELTA).alias("ch_acctbal"),
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % INSERT_MOD == 0)
+        .crossJoin(F.broadcast(stride))
+        .select(
+            (F.col("c_custkey") + F.col("s")).alias("ckey"),
+            F.col("c_name").alias("ch_name"),
+            F.lit(UPSERT_DELTA).alias("ch_acctbal"),
+        )
+    )
+    changes = updates.unionAll(inserts)
+    merged = snap.join(changes, snap.key == changes.ckey, "full_outer")
+    return merged.select(
+        F.coalesce("ckey", "key").alias("key"),
+        F.coalesce("ch_name", "c_name").alias("c_name"),
+        rn(F.coalesce("ch_acctbal", "c_acctbal"), 2).alias("c_acctbal"),
+        F.when(F.col("key").isNull(), "inserted")
+        .when(F.col("ckey").isNull(), "kept")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+DELTA_MOD = 10  # the "new batch" stripe for incremental maintenance
+
+INCREMENTAL_AGG_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_rn('sum(o_totalprice)', 2)} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("incremental_agg", INCREMENTAL_AGG_ORACLE, tags=("relational",))
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge yesterday's
+    aggregate with the new batch's PARTIAL aggregate instead of
+    recomputing from all history.
+
+    count/sum are commutative monoids, so
+    agg(base) ⊕ agg(delta) = agg(base ∪ delta) — the property that turns
+    a 100 TB daily recompute into an O(batch) refresh.  The oracle is the
+    DIRECT full aggregate: the driver hash-compare proves the merged
+    incremental result equals the from-scratch answer (the 2-dp floor
+    round absorbs the re-associated float sum).  Both stripes prune to
+    their scan predicate; the merge aggregates O(groups) rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("o_totalprice").alias("t")
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % DELTA_MOD != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % DELTA_MOD == 0))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            rn(F.sum("t"), 2).alias("total_price"),
+        )
+    )
