@@ -338,3 +338,105 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+PEAK_CONCURRENCY_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+lagged AS (
+  SELECT user_id, ts_us,
+         lag(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS prev_us
+  FROM e
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {_SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_session
+  FROM lagged
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_id,
+         min(ts_us) // {US_MIN} AS start_min,
+         max(ts_us) // {US_MIN} AS end_min
+  FROM numbered GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT start_min AS minute, 1 AS d FROM sessions
+  UNION ALL
+  SELECT end_min + 1 AS minute, -1 AS d FROM sessions
+),
+per_minute AS (
+  SELECT minute, sum(d) AS net FROM deltas GROUP BY minute
+),
+running AS (
+  SELECT minute,
+         sum(net) OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING) AS conc
+  FROM per_minute
+)
+SELECT minute // {60 * 24} AS day_id,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM running
+GROUP BY minute // {60 * 24}
+"""
+
+
+@register("peak_concurrency", PEAK_CONCURRENCY_ORACLE, tags=("events",))
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions — the sweep-line interval-overlap
+    aggregate (how many sessions are open at once, maxed per day).
+
+    Sessions come from the same lag/cumsum sessionizer as
+    events_sessionize (one user_id shuffle); each session then emits just
+    TWO boundary deltas (+1 at its start minute, −1 after its end), the
+    deltas pre-aggregate per minute, and the global running sum — the only
+    ordered window — runs over the O(distinct minutes) relation, never the
+    events (same pre-aggregate-then-window shape as cumulative_users).
+    All keys are integer minute/day divisions of epoch-µs, engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "event_id", "ts_us")
+        .withColumn("prev_us", F.lag("ts_us").over(by_user))
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(f"min(ts_us) div {US_MIN}").alias("start_min"),
+            F.expr(f"max(ts_us) div {US_MIN}").alias("end_min"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("start_min").alias("minute"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select(
+            (F.col("end_min") + 1).alias("minute"), F.lit(-1).alias("d")
+        )
+    )
+    per_minute = deltas.groupBy("minute").agg(F.sum("d").alias("net"))
+    running = per_minute.withColumn(
+        "conc",
+        F.sum("net").over(
+            Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return running.groupBy(
+        F.expr(f"minute div {60 * 24}").alias("day_id")
+    ).agg(F.max("conc").cast("long").alias("peak_concurrency"))

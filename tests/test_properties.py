@@ -88,3 +88,32 @@ def test_run_job_equals_sequential_on_adversarial_kv(spark):
     assert dist == seq
     # one output row per distinct intermediate key
     assert len({k for k, _ in dist}) == len(dist)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_rounding_parity_python_vs_duckdb(x, n):
+    """The floor-round idiom (functions/rounding.py) must produce the SAME
+    double in pure-IEEE Python arithmetic and in DuckDB for any input —
+    the core cross-engine parity primitive every money/score column rides
+    on.  (The Spark side executes the identical floor/multiply/divide
+    expression tree on the same doubles, so DuckDB parity here transfers.)
+    """
+    import math
+
+    scale = float(10**n)
+    want = math.floor(x * scale + 0.5) / scale
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT FLOOR(({x!r}::DOUBLE) * {scale} + 0.5) / {scale}"
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (x, n, got, want)
