@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn, sql_rn
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_tables
 from .registry import register
 
 PROPS_EXTRACT_ORACLE = f"""
@@ -395,4 +395,124 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn(
             F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("total"), 4
         ).alias("skew_ratio"),
+    )
+
+
+TABLE_CHECKS_ORACLE = """
+WITH o AS (
+  SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkey,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpos_price
+  FROM orders
+),
+l AS (
+  SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT) AS dup_pk,
+         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpos_qty,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS bad_discount
+  FROM lineitem
+),
+fk_o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+fk_l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT 'orders.null_custkey' AS check_name, null_custkey AS n_violations FROM o
+UNION ALL SELECT 'orders.pk_unique', dup_pk FROM o
+UNION ALL SELECT 'orders.positive_price', nonpos_price FROM o
+UNION ALL SELECT 'lineitem.pk_unique', dup_pk FROM l
+UNION ALL SELECT 'lineitem.positive_qty', nonpos_qty FROM l
+UNION ALL SELECT 'lineitem.discount_range', bad_discount FROM l
+UNION ALL SELECT 'orders.fk_customer', n FROM fk_o
+UNION ALL SELECT 'lineitem.fk_orders', n FROM fk_l
+"""
+
+
+@register("table_checks", TABLE_CHECKS_ORACLE, tags=("profiling",))
+def table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint battery: (check_name, n_violations) — the
+    pipeline gate every warehouse load runs (null keys, PK uniqueness,
+    FK coverage, domain ranges).
+
+    Same-table checks FUSE into one aggregate pass per table (orders and
+    lineitem are each scanned once for their null/uniqueness/range
+    checks — count-distinct rides the same exchange); FK coverage is a
+    broadcast LEFT-ANTI count per fact (dimension side broadcast, never
+    a NOT IN shuffle).  A clean load emits all zeros; the fixture is
+    clean by construction, and tests/test_queries feed a corrupted table
+    through the same expressions to prove the signals fire.
+    """
+    orders, li, cust = load_tables(
+        spark, sf_dir, "orders", "lineitem", "customer"
+    )
+    o = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpos_price"),
+    )
+    l = li.agg(
+        (F.count("*") - F.count_distinct("l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("dup_pk"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpos_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_discount"),
+    )
+    # NULL keys are the null check's finding, not an FK violation — and the
+    # engines disagree on NULL NOT IN semantics, so exclude them explicitly.
+    fk_o = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    fk_l = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def row(name, src, col):
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).alias("n_violations"),
+        )
+
+    return (
+        row("orders.null_custkey", o, "null_custkey")
+        .unionAll(row("orders.pk_unique", o, "dup_pk"))
+        .unionAll(row("orders.positive_price", o, "nonpos_price"))
+        .unionAll(row("lineitem.pk_unique", l, "dup_pk"))
+        .unionAll(row("lineitem.positive_qty", l, "nonpos_qty"))
+        .unionAll(row("lineitem.discount_range", l, "bad_discount"))
+        .unionAll(row("orders.fk_customer", fk_o, "n"))
+        .unionAll(row("lineitem.fk_orders", fk_l, "n"))
     )
