@@ -500,19 +500,31 @@ def table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
 
-    def row(name, src, col):
-        return src.select(
-            F.lit(name).alias("check_name"),
-            F.col(col).alias("n_violations"),
+    # stack() unpivots ONE aggregate row into the check rows — a union of
+    # per-check selects would re-execute the fused aggregate (and rescan
+    # the table) once per row.
+    o_rows = o.select(
+        F.expr(
+            "stack(3, 'orders.null_custkey', null_custkey,"
+            " 'orders.pk_unique', dup_pk,"
+            " 'orders.positive_price', nonpos_price)"
+            " AS (check_name, n_violations)"
         )
-
-    return (
-        row("orders.null_custkey", o, "null_custkey")
-        .unionAll(row("orders.pk_unique", o, "dup_pk"))
-        .unionAll(row("orders.positive_price", o, "nonpos_price"))
-        .unionAll(row("lineitem.pk_unique", l, "dup_pk"))
-        .unionAll(row("lineitem.positive_qty", l, "nonpos_qty"))
-        .unionAll(row("lineitem.discount_range", l, "bad_discount"))
-        .unionAll(row("orders.fk_customer", fk_o, "n"))
-        .unionAll(row("lineitem.fk_orders", fk_l, "n"))
     )
+    l_rows = l.select(
+        F.expr(
+            "stack(3, 'lineitem.pk_unique', dup_pk,"
+            " 'lineitem.positive_qty', nonpos_qty,"
+            " 'lineitem.discount_range', bad_discount)"
+            " AS (check_name, n_violations)"
+        )
+    )
+    fk_o_row = fk_o.select(
+        F.lit("orders.fk_customer").alias("check_name"),
+        F.col("n").alias("n_violations"),
+    )
+    fk_l_row = fk_l.select(
+        F.lit("lineitem.fk_orders").alias("check_name"),
+        F.col("n").alias("n_violations"),
+    )
+    return o_rows.unionAll(l_rows).unionAll(fk_o_row).unionAll(fk_l_row)

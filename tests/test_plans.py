@@ -566,3 +566,38 @@ def test_weighted_sample_take_ordered(spark):
     plan = physical_plan(df, "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_shipping_priority_take_ordered_and_broadcast(spark):
+    """Q3: segment filter reaches orders as a broadcast semi-join; the
+    top-10 plans TakeOrderedAndProject over the aggregated relation."""
+    df = REGISTRY["shipping_priority"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_merge_upsert_is_single_outer_join(spark):
+    """MERGE INTO = ONE full outer join; the changes derivation must not
+    re-join the snapshot."""
+    df = REGISTRY["merge_upsert"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("FullOuter") == 1, plan
+
+
+def test_incremental_agg_merges_partials(spark):
+    """Both stripes aggregate before the merge: the final aggregate's
+    input is O(groups), and no join appears anywhere."""
+    df = REGISTRY["incremental_agg"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × stripes
+
+
+def test_table_checks_fuses_same_table_checks(spark):
+    """orders' three checks and lineitem's three checks each ride one
+    aggregate over one scan — plus one scan each for the FK anti-joins."""
+    df = REGISTRY["table_checks"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert plan.count("orders.parquet") <= 3, plan  # fused agg + 2 FK uses
+    assert plan.count("lineitem.parquet") <= 2, plan
