@@ -208,3 +208,76 @@ def np_pair_prefilter(pairs: DataFrame, min_cos: float) -> DataFrame:
             yield b[cos >= min_cos]
 
     return pairs.mapInPandas(kernel, pairs.schema)
+
+
+def np_minhash_bands(
+    df: DataFrame, params: list[tuple[int, int]], band_rows: int
+) -> DataFrame:
+    """(doc_id, band, band_key) MinHash-LSH band rows, vectorized.
+
+    Input rows carry the 32-bit shingle hashes (``hl`` array<long> —
+    md5 stays JVM-side); the kernel evaluates all NUM_PERM affine
+    permutations ``min((a·h + b) mod p)`` with int64 numpy in chunks of
+    8 permutations (segment-min via ``minimum.reduceat``), then formats
+    the per-band keys exactly like ``concat_ws('-', ...)``.  EVERY value
+    is integer arithmetic — a < 2³¹ and h < 2³¹ keep products < 2⁶², so
+    numpy int64 is bit-identical to the JVM fold and the DuckDB oracle:
+    this is a pure constant-factor replacement for NUM_PERM interpreted
+    array passes per document, with no parity consequence.  Narrow (no
+    shuffle); the band explode happens inside the kernel.  Empty hash
+    lists mirror concat_ws-over-NULLs ('' key per band).
+    """
+    from .hashing import MINHASH_PRIME
+
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    nperm = len(params)
+    n_bands = nperm // band_rows
+    PERM_CHUNK = 8
+
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            hls = b["hl"].to_numpy()
+            lens = np.array([len(h) for h in hls], dtype=np.int64)
+            nonempty = lens > 0
+            doc_ids = b["doc_id"].to_numpy()
+            sig = np.zeros((nperm, len(b)), dtype=np.int64)
+            if nonempty.any():
+                idx = np.flatnonzero(nonempty)
+                flat = np.concatenate(
+                    [np.asarray(hls[i], dtype=np.int64) for i in idx]
+                )
+                starts = np.zeros(len(idx), dtype=np.int64)
+                np.cumsum(lens[idx][:-1], out=starts[1:])
+                for c0 in range(0, nperm, PERM_CHUNK):
+                    c1 = min(c0 + PERM_CHUNK, nperm)
+                    M = (
+                        flat[None, :] * A[c0:c1, None] + B[c0:c1, None]
+                    ) % MINHASH_PRIME
+                    sig[c0:c1, idx] = np.minimum.reduceat(M, starts, axis=1)
+            key_parts = sig.astype("U11")
+            out_keys = np.empty((len(b), n_bands), dtype=object)
+            for j in range(n_bands):
+                k = key_parts[j * band_rows]
+                for r in range(1, band_rows):
+                    k = np.char.add(
+                        np.char.add(k, "-"), key_parts[j * band_rows + r]
+                    )
+                out_keys[:, j] = k
+            if (~nonempty).any():  # concat_ws over all-NULL mins is ''
+                out_keys[~nonempty, :] = ""
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(b)),
+                    "band_key": out_keys.ravel(),
+                }
+            )
+
+    return df.select("doc_id", "hl").mapInPandas(
+        kernel, "doc_id long, band int, band_key string"
+    )

@@ -37,6 +37,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import sql_rn
 from ..functions.text import sql_tokens, tokens
+from ..functions.vectorized import np_minhash_bands
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -329,35 +330,17 @@ def _lsh_kept(shs: DataFrame, bucket_cap: int) -> DataFrame:
     """(doc_id, band, band_key) rows surviving the hot-bucket cap — the
     shared front half of the symmetric (near_dedup) and asymmetric
     (dedup_incremental) LSH joins."""
-    # 32-bit md5-derived hash per shingle, then each of the NUM_PERM affine
-    # permutations as its OWN constant-inlined expression: higher-order
-    # functions are interpreted (not codegen'd), so a nested
-    # transform(sequence(..), i -> ...) that re-reads a literal perm array
-    # per element is ~100× slower than NUM_PERM flat min-fold expressions.
-    def perm_min(a: int, b: int):
-        # factory: pyspark counts lambda params (default args included), so
-        # the permutation constants must be closed over, not defaulted.
-        return F.array_min(F.transform("hl", lambda h: (a * h + b) % MINHASH_PRIME))
-
-    sig_cols = [
-        perm_min(a, b).cast("string").alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(NUM_PERM))
-    ]
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            ).alias("band_key"),
-        )
-        for band in range(NUM_PERM // BAND_ROWS)
-    ]
-    bands = (
-        shs.withColumn("hl", F.transform("shset", md5_mod_prime))
-        .select("doc_id", *sig_cols)
-        .select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # 32-bit md5-derived hash per shingle stays a native JVM projection;
+    # the NUM_PERM affine min-permutations move to the Arrow numpy kernel
+    # (functions/vectorized.py::np_minhash_bands) — pure int64 arithmetic,
+    # bit-identical to the previous per-permutation interpreted min-folds
+    # AND to the oracle's SQL, but one vectorized pass instead of NUM_PERM
+    # interpreted array traversals per document (measured ~2× on the
+    # whole query at sf0.1; more at sf1 where signatures dominate).
+    hashed = shs.select(
+        "doc_id", F.transform("shset", md5_mod_prime).alias("hl")
     )
+    bands = np_minhash_bands(hashed, minhash_params(NUM_PERM), BAND_ROWS)
     # Hot-bucket cap: count bucket membership with a window on the exact keys
     # the self-join shuffles on (one exchange, reused by the join), then drop
     # buckets outside [2, bucket_cap] — singletons can't pair, hot buckets
