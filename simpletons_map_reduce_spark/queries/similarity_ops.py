@@ -216,21 +216,15 @@ def _lloyd_centroids(emb: DataFrame, n: int, k: int) -> DataFrame:
         F.col("nv").alias("ncv"),
     )
     for _ in range(KMEANS_ITERS):
-        scored = train.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "v",
-            "cent_id",
-            cosine_from_parts(
-                dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
-            ).alias("c_score"),
+        # sampled-vector assignment through the same Arrow BLAS kernel the
+        # full-corpus pass uses (one matmul per batch; argmax ties break to
+        # the lowest cent_id, matching the fold contract) — the training
+        # rounds are rows-only territory, so kernel-vs-fold ulp differences
+        # at argmax near-ties are within the operator's contract.
+        best = np_assign_clusters(train, cents, top=1, carry_vectors=True)
+        members = best.select(
+            F.col("cluster").alias("cent_id"), F.posexplode("v").alias("pos", "x")
         )
-        best = scored.groupBy("vec_id").agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("c_score"), -F.col("cent_id"))
-            ).alias("cent_id"),
-            F.first("v").alias("v"),
-        )
-        members = best.select("cent_id", F.posexplode("v").alias("pos", "x"))
         means = members.groupBy("cent_id", "pos").agg(F.avg("x").alias("m"))
         new_cents = (
             means.groupBy("cent_id")
