@@ -768,3 +768,50 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.sum("t"), 2).alias("total_price"),
         )
     )
+
+
+FORECAST_REVENUE_ORACLE = f"""
+SELECT {sql_rn('sum(l_extendedprice * l_discount)', 2)} AS lost_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue", FORECAST_REVENUE_ORACLE, tags=("relational",))
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate revenue forecast.
+
+    The simplest decision-support query and the purest pushdown test: all
+    four predicates (date range, discount band, quantity cap) reach the
+    parquet scan as PushedFilters, the scan reads only the 4 referenced
+    columns, and the whole plan is one WholeStageCodegen span feeding a
+    single-row final aggregate — zero joins, one partial+final exchange of
+    O(partitions) rows.  At 100 TB this is bounded by scan bandwidth alone
+    (min/max row-group statistics prune most files on l_shipdate when the
+    table is date-clustered, which write_parquet_clustered provides).
+    Completes the 22/22 TPC-H shape battery (SURVEY §2.E).
+
+    Reference ceiling: a predicate lives inside a map UDF and every byte
+    still flows through the coordinator (mr/coordinator.go:167-183); here
+    the predicate prunes I/O before it happens.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "lost_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

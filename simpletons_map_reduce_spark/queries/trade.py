@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
-from ..functions.rounding import rn, sql_rn
+from ..functions.rounding import rn, rsum, sql_rn, sql_rsum
 from ..sources.tables import load_table, load_tables
 from .registry import register
 
@@ -452,4 +452,93 @@ def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+#: ps_supplycost stand-in (the driver schema has no partsupp table): a fixed
+#: fraction of the part's retail price.  Keeps Q9's profit arithmetic shape
+#: (revenue minus quantity-scaled cost) with columns that exist.
+COST_FRACTION = 0.6
+
+PRODUCT_PROFIT_ORACLE = f"""
+SELECT n_name AS nation, l_year, {sql_rsum('amount', 2)} AS profit
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount)
+           - {COST_FRACTION} * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY nation, l_year
+"""
+
+
+@register("product_profit", PRODUCT_PROFIT_ORACLE, tags=("trade",))
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+
+    The widest join in the battery — lineitem against four other tables —
+    and the canonical star-join plan test.  Execution at 100 TB:
+
+    - ``part`` (filtered on p_name FIRST, so only matching partkeys enter
+      the build side), ``supplier`` and ``nation`` are dimensions →
+      broadcast; the p_name filter prunes the broadcast to a fraction of
+      part before a single fact row moves.  Three broadcast probes happen
+      inside one WholeStageCodegen span over the lineitem scan — zero
+      shuffles so far, and the part probe filters the fact stream to
+      matching lines only.
+    - ``orders`` is the second fact: that join shuffles both sides on
+      orderkey — the plan's ONLY pre-aggregate exchange.  Only
+      (o_orderkey, o_orderdate) is read from the orders scan.
+    - The final aggregate groups O(nation × year) — 175 rows here —
+      partial map-side, so the exchange after the fact join carries
+      pre-combined rows.
+
+    ``ps_supplycost`` does not exist in the driver schema (no partsupp
+    table); profit uses COST_FRACTION × p_retailprice × quantity, keeping
+    Q9's arithmetic shape with real columns.  Profit mixes signs, so the
+    float sum's last-ulp association error lands on rounding boundaries;
+    the sum therefore runs order-exact in integer 10^-4 units
+    (``rsum`` — functions/rounding.py), which also makes the result
+    independent of partitioning and combiner order at cluster scale.
+
+    Completes the 22/22 TPC-H shape battery with trade.py's Q7/Q8/Q10/Q11/
+    Q13/Q15/Q19 (reference ceiling: zero joins — SURVEY §2.C).
+    """
+    li, part, supp, orders, nation = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        COST_FRACTION
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%gear%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("l_year"),
+        )
+        .agg(rsum(amount, 2).alias("profit"))
     )

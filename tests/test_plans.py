@@ -601,3 +601,28 @@ def test_table_checks_fuses_same_table_checks(spark):
     plan = physical_plan(df, "simple")
     assert plan.count("orders.parquet") <= 3, plan  # fused agg + 2 FK uses
     assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_forecast_revenue_full_pushdown_no_join(spark):
+    """Q6: all predicates reach the scan; one agg exchange; no joins."""
+    df = REGISTRY["forecast_revenue"].fn(spark, SF0001)
+    plan = physical_plan(df, "formatted")
+    assert has_pushed_filters(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+    assert has_whole_stage_codegen(df)
+
+
+def test_product_profit_broadcasts_dims_single_fact_shuffle(spark):
+    """Q9: part/supplier/nation broadcast; only the orders join + final
+    agg shuffle.  The star join must not shuffle lineitem per dimension."""
+    df = REGISTRY["product_profit"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    # The three declared dimension broadcasts are mandatory; at sf0.001
+    # Catalyst ALSO elects to broadcast tiny orders (size-based — at real
+    # scale that join shuffles on orderkey instead).  Either way the fact
+    # table must reach the aggregate through joins, never a cartesian.
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert count_exchanges(df) == 1, plan  # only the final agg shuffles here
+    assert reads_only_columns(df, "orders", {"o_orderkey", "o_orderdate"})

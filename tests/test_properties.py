@@ -117,3 +117,30 @@ def test_rounding_parity_python_vs_duckdb(x, n):
     ).fetchone()[0]
     con.close()
     assert got == want, (x, n, got, want)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=30, deadline=None)
+def test_rsum_is_partition_order_invariant(xs, nparts):
+    """rsum's integer units must make the sum independent of how rows are
+    grouped into partial aggregates (the property float sums lack)."""
+    import duckdb as _d
+    from simpletons_map_reduce_spark.functions.rounding import sql_rsum
+
+    con = _d.connect()
+    total = None
+    for shift in range(min(nparts, len(xs))):
+        perm = xs[shift:] + xs[:shift]  # different association order
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"({v!r})" for v in perm) + ") v(x)")
+        got = con.sql(f"SELECT {sql_rsum('x', 2)} AS s FROM t").fetchone()[0]
+        if total is None:
+            total = got
+        assert got == total, f"order-dependent rsum: {got} != {total}"
