@@ -1,0 +1,132 @@
+"""Full-text retrieval over ``documents`` — LLM-pipeline tier C.
+
+The reference's inverted index (mrapps/indexer.go — B3/B4) stops at
+term → [documents]; this module completes the retrieval path a data
+pipeline actually runs on top of that index: BM25-ranked search, the
+standard bag-of-words relevance model (Robertson & Spärck Jones;
+the BM25 constants follow the Okapi defaults k1=1.2, b=0.75).
+
+Scale shape (100 TB):
+
+- The corpus is scanned EXACTLY ONCE: a single map-side-combined
+  aggregate over the exploded tokens produces the per-doc stat relation
+  (doc length + one conditional tf column per query term), which is
+  persisted at O(docs) rows.  avgdl/N, the per-term document
+  frequencies, and the scoring all read that persisted relation — no
+  second corpus pass, no second corpus shuffle.
+- df / N / avgdl are O(|terms|) and O(1) aggregates — broadcast back;
+  the unpivoted postings (``stack``) stay co-partitioned by doc_id, so
+  the final per-doc score aggregate reuses the same partitioning.
+- Top-k plans TakeOrderedAndProject (per-partition heap + driver merge
+  of k rows), not a global sort.
+
+Cross-engine determinism: the per-term BM25 contribution is pure IEEE
+double arithmetic on integer-derived inputs (tf, dl, df, N are counts;
+avgdl divides two exact integers), identical on both engines; log2 has
+bit parity on this container (same contract as lm_ops.unigram_logprob).
+The per-doc SUM of contributions uses the order-exact integer-unit sum
+(functions/rounding.py::rsum) and the top-k boundary orders on the
+ROUNDED score, so neither partial-aggregation order nor a last-ulp tie
+can move a document across the k-th rank (same trick as
+shipping_priority).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import tracked_persist
+from ..functions.rounding import rsum, sql_rsum
+from ..functions.text import sql_tokens, tokens_lower
+from ..sources.tables import load_table
+from .registry import register
+
+#: the fixed keyword query (mid-frequency terms of the synthetic corpus).
+QUERY_TERMS = ("spark", "merge", "vector")
+#: Okapi BM25 defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: result size.
+SEARCH_K = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# Per-(doc, term) BM25 contribution, shared verbatim by both engines:
+#   idf(t)  = log2(1 + (N - df + 0.5) / (df + 0.5))
+#   w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+_CONTRIB_SQL = (
+    f"log2(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * tf * ({BM25_K1} + 1.0)"
+    f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+)
+
+BM25_SEARCH_ORACLE = f"""
+WITH e AS (SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok
+           FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM e GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+hits AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         FROM e WHERE tok IN ({_TERMS_SQL}) GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       {sql_rsum(_CONTRIB_SQL, 4, 6)} AS score
+FROM hits JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_K}
+"""
+
+
+@register("bm25_search", BM25_SEARCH_ORACLE, tags=("search", "text"))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-k document retrieval for a fixed keyword query.
+
+    One corpus pass builds the persisted per-doc stat relation (dl +
+    conditional tf per term — the plan's only corpus-wide shuffle);
+    df/avgdl/N broadcast back as O(|terms|)/O(1) relations, and the
+    ranked cut is TakeOrderedAndProject on the rounded score.
+    Generalizes the reference's inverted index (mrapps/indexer.go:16-40)
+    from term lookup to relevance ranking.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(tokens_lower(F.col("text"))).alias("tok"))
+
+    # ONE corpus pass: doc length + a conditional tf per query term, all in
+    # a single map-side-combined aggregate.  The persisted result is the
+    # O(docs) per-doc stat relation every downstream step reads — the
+    # 100 TB corpus is scanned exactly once.
+    per_doc = tracked_persist(
+        e.groupBy("doc_id").agg(
+            F.count("*").cast("double").alias("dl"),
+            *[
+                F.sum((F.col("tok") == t).cast("int")).cast("double").alias(f"tf_{t}")
+                for t in QUERY_TERMS
+            ],
+        )
+    )
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    stack_expr = "stack({n}, {args}) AS (tok, tf)".format(
+        n=len(QUERY_TERMS),
+        args=", ".join(f"'{t}', tf_{t}" for t in QUERY_TERMS),
+    )
+    hits = per_doc.select("doc_id", "dl", F.expr(stack_expr)).filter(
+        F.col("tf") > 0
+    )
+    df_t = hits.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+
+    contrib = F.expr(_CONTRIB_SQL)
+    return (
+        hits.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            rsum(contrib, 4, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_K)
+    )

@@ -626,3 +626,27 @@ def test_product_profit_broadcasts_dims_single_fact_shuffle(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert count_exchanges(df) == 1, plan  # only the final agg shuffles here
     assert reads_only_columns(df, "orders", {"o_orderkey", "o_orderdate"})
+
+
+def test_bm25_search_topk_and_broadcast_stats(spark):
+    """BM25: ranked cut is TakeOrderedAndProject; df/avgdl come back as
+    broadcasts, so only doc-length + postings aggregates shuffle."""
+    df = REGISTRY["bm25_search"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert uses_broadcast_join(df)
+    # Textual exchange counts over-count here: every InMemoryTableScan of
+    # the persisted per-doc relation re-prints its build plan (corpus scan
+    # + shuffle), which executes once.  Count UNIQUE shuffle plan_ids:
+    # corpus agg, df_t agg, stats SinglePartition, final score agg.
+    import re as _re
+
+    uniq = set(
+        _re.findall(
+            r"Exchange (?:hash|range|Single)\w*[^\[]*\[plan_id=(\d+)\]", plan
+        )
+    )
+    assert len(uniq) <= 4, plan
+    # exactly one distinct corpus FileScan feeds the whole query
+    assert len(set(_re.findall(r"FileScan parquet \[([^\]]*)\]", plan))) == 1, plan

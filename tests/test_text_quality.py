@@ -206,3 +206,52 @@ def test_weighted_sample_favors_heavy_docs(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r.w for r in out1) / len(out1)
     assert sample_mean > corpus_mean
+
+
+def test_bm25_matches_independent_python_implementation(spark):
+    """Differential: the Spark BM25 pipeline vs a from-scratch in-memory
+    scorer over the same corpus (reference-style oracle, B7 idiom)."""
+    import math
+    import re
+    from collections import Counter
+
+    from simpletons_map_reduce_spark.queries.search_ops import (
+        BM25_B,
+        BM25_K1,
+        QUERY_TERMS,
+        SEARCH_K,
+    )
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    rows = load_table(spark, SF0001, "documents").select("doc_id", "text").collect()
+    tok = lambda s: [t for t in re.split(r"[^a-zA-Z]+", s.lower()) if t]
+    corpus = {r.doc_id: tok(r.text) for r in rows}
+    dl = {d: len(ts) for d, ts in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    dfreq = Counter()
+    for ts in corpus.values():
+        dfreq.update(set(ts) & set(QUERY_TERMS))
+    expected = {}
+    for d, ts in corpus.items():
+        tf = Counter(t for t in ts if t in QUERY_TERMS)
+        if not tf:
+            continue
+        s = 0
+        for t, f in tf.items():
+            idf = math.log2(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            w = idf * f * (BM25_K1 + 1) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * dl[d] / avgdl)
+            )
+            s += math.floor(w * 1e6 + 0.5)
+        expected[d] = (len(tf), math.floor(s / 1e6 * 1e4 + 0.5) / 1e4)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][1], kv[0]))[:SEARCH_K]
+
+    got = REGISTRY["bm25_search"].fn(spark, SF0001).collect()
+    assert len(got) == len(top)
+    for row, (d, (nt, sc)) in zip(got, top):
+        assert row.doc_id == d
+        assert row.n_terms == nt
+        assert abs(row.score - sc) < 1e-9, (d, row.score, sc)
