@@ -8,10 +8,15 @@ summary for percentiles.  Both merge associatively, so Spark runs them as
 ordinary partial+final aggregates — map-side state is O(groups · sketch
 size) regardless of data volume, and the shuffle carries sketches, not data.
 
-These are approximate by construction, so they register ``oracle=None``
-(rows-only driver check); the accuracy contract is pinned against the exact
-answers in tests/test_sketches.py instead — the same split the ANN operators
-use (VERDICT r1 accepted this pattern for ann_ivf/ann_lsh).
+HLL++ and GK are approximate with engine-internal randomness, so they
+register ``oracle=None`` (rows-only driver check); the accuracy contract is
+pinned against the exact answers in tests/test_sketches.py instead — the
+same split the ANN operators use (VERDICT r1 accepted this pattern for
+ann_ivf/ann_lsh).  ``cms_heavy_hitters`` is the exception that proves the
+pattern: its Count-Min sketch is built from the shared deterministic
+md5-int60 bucket hash as a plain (depth, bucket, count) relation, so it IS
+hash-checked against DuckDB like any exact query, while keeping the sketch
+scaling property (constant d×w state).
 """
 
 from __future__ import annotations
@@ -19,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import SPARK_MD5_INT60, SQL_MD5_INT60
 from ..functions.rounding import rn
+from ..functions.text import sql_tokens, tokens_lower
 from ..sources.tables import load_table
 from .registry import register
 
@@ -67,4 +74,98 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn(F.element_at("qs", 1), 4).alias("p50"),
         rn(F.element_at("qs", 2), 4).alias("p90"),
         rn(F.element_at("qs", 3), 4).alias("p99"),
+    )
+
+
+#: Count-Min geometry: depth d=4 independent hash rows, width w=512 buckets.
+CMS_D = 4
+CMS_W = 512
+#: heavy-hitter report size (exact top tokens, ties broken lexically).
+CMS_TOP_K = 20
+
+CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH e AS (SELECT unnest({sql_tokens('text', lower=True)}) AS tok
+           FROM documents),
+wc AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM e GROUP BY tok),
+top AS (SELECT tok, exact_cnt FROM wc
+        ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOP_K}),
+d AS (SELECT unnest(range({CMS_D})) AS depth),
+cms AS (
+  SELECT depth,
+         {SQL_MD5_INT60.format(e="depth::VARCHAR || ':' || tok")} % {CMS_W}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM e CROSS JOIN d
+  GROUP BY 1, 2
+)
+SELECT tok, exact_cnt,
+       CAST(min(c) AS BIGINT) AS est_cnt,
+       CAST(min(c) - exact_cnt AS BIGINT) AS overcount
+FROM (
+  SELECT t.tok, t.exact_cnt, d.depth,
+         {SQL_MD5_INT60.format(e="d.depth::VARCHAR || ':' || t.tok")} % {CMS_W}
+           AS bucket
+  FROM top t CROSS JOIN d
+) probe
+JOIN cms USING (depth, bucket)
+GROUP BY tok, exact_cnt
+"""
+
+
+@register("cms_heavy_hitters", CMS_HEAVY_HITTERS_ORACLE, tags=("sketch", "text"))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch term frequencies, validated against the exact top-K.
+
+    The CMS is built as a RELATION — (depth, bucket) → count, d×w = 2048
+    rows total — rather than an opaque binary blob, which keeps it (a) an
+    ordinary partial+final HashAggregate whose exchange carries at most
+    d×w pre-combined rows per map task regardless of corpus size, (b)
+    mergeable across corpora by simple union+sum (the sketch property),
+    and (c) bit-identical in DuckDB via the shared md5-int60 bucket hash,
+    so unlike binary-sketch CMS this one is fully hash-checked, not
+    rows-only.  Probing broadcasts the 2048-row sketch to the exact top-K
+    candidates; est = min over the d rows, which CMS guarantees to be
+    >= exact (one-sided error — pinned in tests/test_sketches.py along
+    with the eps·N overcount bound).
+
+    At 100 TB the exact side of this report is the |vocab|-row wordcount
+    aggregate (bounded); the sketch side is what a pipeline keeps when
+    even |vocab| is too wide (e.g. n-gram keys) — state is d×w counters
+    however large the stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(F.explode(tokens_lower(F.col("text"))).alias("tok"))
+
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("depth")
+    bucket_of = lambda dcol, tcol: (  # noqa: E731 — shared Spark-side hash
+        F.expr(
+            SPARK_MD5_INT60.format(
+                e=f"concat(cast({dcol} as string), ':', {tcol})"
+            )
+        )
+        % CMS_W
+    )
+    cms = (
+        e.select("tok", depth)
+        .select("depth", bucket_of("depth", "tok").alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+    top = (
+        e.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CMS_TOP_K)
+    )
+    probe = top.select(
+        "tok", "exact_cnt", depth
+    ).withColumn("bucket", bucket_of("depth", "tok"))
+    return (
+        probe.join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(
+            F.min("c").cast("long").alias("est_cnt"),
+            (F.min("c") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
     )

@@ -48,3 +48,23 @@ def test_approx_quantiles_close_to_exact(spark):
             # rank error 1/accuracy — value error bounded via local density;
             # 2% of the p50..p99 spread is a generous, stable envelope.
             assert abs(got - want) <= 0.02 * spread + 1e-6, (k, got, want)
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS guarantees est >= exact (counts only collide upward); realized
+    overcount must sit far inside the eps*N envelope (eps = e/w)."""
+    from simpletons_map_reduce_spark.functions.text import tokens_lower
+    from simpletons_map_reduce_spark.queries.sketch_ops import CMS_W
+
+    rows = REGISTRY["cms_heavy_hitters"].fn(spark, SF001).collect()
+    assert len(rows) == 20
+    docs = load_table(spark, SF001, "documents")
+    n_tokens = docs.select(
+        F.explode(tokens_lower(F.col("text"))).alias("t")
+    ).count()
+    for r in rows:
+        assert r.overcount >= 0, r  # one-sided by construction
+        assert r.est_cnt == r.exact_cnt + r.overcount
+        # standard CMS bound: overcount <= e/w * N with prob 1-e^-d;
+        # realized values should be well inside even at d=4.
+        assert r.overcount <= 2.718 / CMS_W * n_tokens + 1, (r, n_tokens)
