@@ -72,3 +72,35 @@ def attribution_stream(
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
+
+
+def enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined against the static
+    ``customer`` dimension (user_id = c_custkey) for market segment.
+
+    The third streaming-join family next to stream-stream (above) and the
+    batch twins: a stream-STATIC join is stateless — the static side is
+    planned as an ordinary broadcast build (re-resolved per micro-batch,
+    so a refreshed dimension snapshot is picked up without restarting),
+    and no watermark is needed because nothing waits for the other side.
+    At 100 TB of stream this is the standard enrichment path: dimension
+    broadcast, zero state store usage, per-batch cost = probe only.
+
+    Batch twin: the identical join on the batch events table
+    (tests/test_join_stream.py pins stream ≡ batch row-for-row).
+    """
+    from ..sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return ev.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )

@@ -5,7 +5,9 @@ from __future__ import annotations
 
 from simpletons_map_reduce_spark.queries import REGISTRY
 from simpletons_map_reduce_spark.streaming.events_stream import run_to_memory
+from simpletons_map_reduce_spark.streaming import join_stream as enrich_stream_mod
 from simpletons_map_reduce_spark.streaming.join_stream import attribution_stream
+from pyspark.sql import functions as F
 from tests.conftest import SF0001
 
 
@@ -35,3 +37,37 @@ def test_attribution_stream_plans_stateful_join_with_watermarks(spark):
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in logical
     assert logical.count("EventTimeWatermark") == 2  # both sides bounded
+
+
+def test_enrich_stream_equals_batch_join(spark):
+    """Stream-static enrichment ≡ the same join run in batch."""
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    from simpletons_map_reduce_spark.streaming.join_stream import enrich_stream
+
+    out = run_to_memory(enrich_stream(spark, SF0001), "t_enrich", mode="append")
+    got = sorted(tuple(r) for r in out.collect())
+
+    ev = load_table(spark, SF0001, "events")
+    dim = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_enrich_stream_is_stateless(spark):
+    """A stream-static join must need no watermark and no state store."""
+    df = enrich_stream_mod.enrich_stream(spark, SF0001)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in logical
