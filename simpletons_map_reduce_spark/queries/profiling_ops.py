@@ -10,7 +10,7 @@ table at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn, sql_rn
@@ -528,3 +528,68 @@ def table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_violations"),
     )
     return o_rows.unionAll(l_rows).unionAll(fk_o_row).unionAll(fk_l_row)
+
+
+WEIGHTED_MEDIAN_ORACLE = f"""
+WITH g AS (
+  SELECT l_returnflag, l_discount, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, l_discount, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_discount
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag,
+       {sql_rn('min(l_discount)', 4)} AS weighted_median_discount,
+       {sql_rn('any_value(tw)', 2)} AS total_weight
+FROM c
+WHERE cw >= tw / 2
+GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median", WEIGHTED_MEDIAN_ORACLE, tags=("profiling",))
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median discount per return flag.
+
+    The exact weighted-quantile shape that ``approx_quantiles`` trades
+    away: pre-aggregate to one row per (group, value) — |distinct
+    values| rows, NOT |rows| — then a cumulative-weight window over that
+    compact relation picks the value where cumulative weight crosses
+    half the total.  At 100 TB the fact table shuffles once into the
+    (group, value) aggregate (map-side combined); the windows run over
+    O(groups × distinct values) rows only — for bounded-cardinality
+    measures like discount (11 distinct values) that is trivially small,
+    which is exactly when exact beats sketch.
+
+    Determinism: quantities are integral doubles, so every cumulative
+    sum is exact (< 2^53) and the crossing row is engine-independent —
+    no rsum machinery needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_discount").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_discount")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_discount",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            rn(F.min("l_discount"), 4).alias("weighted_median_discount"),
+            rn(F.first("tw"), 2).alias("total_weight"),
+        )
+    )

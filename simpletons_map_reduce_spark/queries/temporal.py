@@ -288,3 +288,73 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_ts") - F.col("c_ts")).alias("lag_us"),
         )
     )
+
+
+GAP_FILL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {sql_rn('sum(value)', 4)} AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id,
+       CAST(s.day - DATE '1970-01-01' AS BIGINT) AS day_ep,
+       last_value(d.rev IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS revenue_filled,
+       CAST(CASE WHEN d.rev IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@register("gap_fill", GAP_FILL_ORACLE, tags=("temporal",))
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill (gap-filled daily series).
+
+    The row-GENERATING temporal operator the rest of the family lacks:
+    each user's daily purchase revenue becomes a dense per-day series
+    over [first_day, last_day], with missing days materialized by
+    ``explode(sequence(...))`` and carried forward by
+    ``last(ignorenulls)`` over a rows-unbounded-preceding window — the
+    standard time-series "resample + ffill".
+
+    Scale shape: the dense spine is O(groups × days) — generated from
+    the O(groups) bounds aggregate, NOT by scanning the fact table per
+    day.  The daily aggregate shuffles once on (user, day); the spine
+    join and the forward-fill window both ride the user partitioning.
+    Days are epoch-day bigints in the output (timestamps never appear
+    raw — driver hash contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(rn(F.sum("value"), 4).alias("rev"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_ep"),
+            F.last("rev", ignorenulls=True).over(w).alias("revenue_filled"),
+            F.when(F.col("rev").isNull(), 0).otherwise(1).cast("long").alias(
+                "is_observed"
+            ),
+        )
+    )

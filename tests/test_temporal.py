@@ -112,3 +112,65 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     got = sorted((r.doc_a, r.doc_b) for r in ngram_jaccard(spark, SF0001).collect())
     want = sorted((r.doc_a, r.doc_b) for r in brute.collect())
     assert got == want
+
+
+def test_gap_fill_semantics_on_planted_gaps(spark):
+    """Dense spine, forward-carried values, observed flags."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["gap_fill"].fn(spark, SF0001).collect(),
+        key=lambda r: (r.user_id, r.day_ep),
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user, "no users"
+    saw_gap = False
+    for series in by_user.values():
+        days = [r.day_ep for r in series]
+        # dense: every day between first and last present exactly once
+        assert days == list(range(days[0], days[-1] + 1))
+        # first day is always an observation (spine starts at first purchase)
+        assert series[0].is_observed == 1
+        last_obs = None
+        for r in series:
+            if r.is_observed:
+                last_obs = r.revenue_filled
+            else:
+                saw_gap = True
+                assert r.revenue_filled == last_obs  # carried forward
+            assert r.revenue_filled is not None
+    assert saw_gap, "fixture has no gaps — test is vacuous"
+
+
+def test_weighted_median_hand_checked(spark):
+    """w-median on a frame small enough to verify by hand."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.sources import tables as T
+
+    df = spark.createDataFrame(
+        [  # flag, discount, quantity
+            ("A", 0.00, 1.0), ("A", 0.10, 98.0), ("A", 0.20, 1.0),
+            ("B", 0.05, 50.0), ("B", 0.07, 50.0),
+        ],
+        "l_returnflag string, l_discount double, l_quantity double",
+    )
+    orig = T.load_table
+    try:
+        T.load_table = lambda spark, sf_dir, name: df
+        import simpletons_map_reduce_spark.queries.profiling_ops as P
+
+        orig_p = P.load_table
+        P.load_table = T.load_table
+        try:
+            got = {
+                r.l_returnflag: (r.weighted_median_discount, r.total_weight)
+                for r in REGISTRY["weighted_median"].fn(spark, SF0001).collect()
+            }
+        finally:
+            P.load_table = orig_p
+    finally:
+        T.load_table = orig
+    assert got["A"] == (0.10, 100.0)   # 98% of mass sits at 0.10
+    assert got["B"] == (0.05, 100.0)   # cw(0.05)=50 >= tw/2 → lower value
