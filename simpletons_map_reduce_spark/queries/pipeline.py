@@ -19,7 +19,7 @@ Reference analog: none — the reference stops at wordcount-style apps
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, tokens_lower
@@ -155,4 +155,135 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_funnel: per-stage survivor counts for the whole pipeline
+# ---------------------------------------------------------------------------
+
+#: ordered gates; stage 0 is the raw corpus.
+FUNNEL_STAGES = (
+    "raw", "lang", "quality", "tokens", "exact_dedup", "near_dedup",
+    "decontaminated",
+)
+
+
+def _build_funnel_oracle() -> str:
+    from .dedup_ops import _build_clusters_oracle
+
+    stage_values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH q AS ({QUALITY_SCORE_ORACLE}),
+l AS ({LANG_ID_ORACLE}),
+tc AS ({TOKEN_COUNT_ORACLE}),
+cl AS ({_build_clusters_oracle()}),
+ct AS ({CONTAMINATION_ORACLE}),
+flags AS (
+  SELECT d.doc_id,
+         (l.pred_lang <> 'und') AS ok_lang,
+         (q.quality >= {MIN_QUALITY}) AS ok_q,
+         (tc.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}) AS ok_tok,
+         (d.doc_id = min(d.doc_id) OVER (PARTITION BY sha256(d.text)))
+           AS ok_exact,
+         (nl.doc_id IS NULL) AS ok_near,
+         (cd.doc_id IS NULL) AS ok_ct
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN l ON l.doc_id = d.doc_id
+  JOIN tc ON tc.doc_id = d.doc_id
+  LEFT JOIN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id) nl
+         ON nl.doc_id = d.doc_id
+  LEFT JOIN (SELECT DISTINCT doc_id FROM ct) cd ON cd.doc_id = d.doc_id
+),
+dropped AS (
+  SELECT CASE WHEN NOT ok_lang THEN 1 WHEN NOT ok_q THEN 2
+              WHEN NOT ok_tok THEN 3 WHEN NOT ok_exact THEN 4
+              WHEN NOT ok_near THEN 5 WHEN NOT ok_ct THEN 6
+              ELSE {len(FUNNEL_STAGES)} END AS drop_stage
+  FROM flags
+),
+hist AS (SELECT drop_stage, count(*) AS n FROM dropped GROUP BY 1),
+stages(stage_no, stage) AS (VALUES {stage_values})
+SELECT CAST(s.stage_no AS BIGINT) AS stage_no, s.stage,
+       CAST(coalesce(sum(h.n), 0) AS BIGINT) AS docs
+FROM stages s LEFT JOIN hist h ON h.drop_stage > s.stage_no
+GROUP BY s.stage_no, s.stage
+"""
+
+
+@register("pipeline_funnel", _build_funnel_oracle(), tags=("pipeline",))
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts after each pipeline gate — the observability report
+    every corpus build ships with (raw → lang → quality → tokens →
+    exact-dedup → near-dedup → decontaminated).
+
+    Composes the REGISTERED operators (lang_id, quality_score,
+    token_count, exact winners, dedup_clusters' losers,
+    contamination_check), so the funnel can never disagree with the
+    stages it reports on; the oracle nests the same per-op SQL.
+
+    Shape: all gate relations join on doc_id into one per-doc flag row;
+    each doc reduces to its FIRST failing stage, and the funnel comes
+    from the ≤7-row drop-stage histogram joined to a literal stage table
+    — the corpus is never re-scanned per stage (a 7-way UNION of counts
+    would re-run the pipeline seven times at 100 TB; the histogram pass
+    runs it once).
+    """
+    from .dedup_ops import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    l = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    tc = token_count(spark, sf_dir).select("doc_id", "n_tokens")
+    w = Window.partitionBy(F.sha2("text", 256))
+    ex = docs.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_exact")
+    )
+    near_losers = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_near_loser"))
+    )
+    contam = (
+        contamination_check(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(l, "doc_id")
+        .join(q, "doc_id")
+        .join(tc, "doc_id")
+        .join(ex, "doc_id")
+        .join(near_losers, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    n_stages = len(FUNNEL_STAGES)
+    drop_stage = (
+        F.when(F.col("pred_lang") == "und", 1)
+        .when(F.col("quality") < MIN_QUALITY, 2)
+        .when(~F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS), 3)
+        .when(~F.col("ok_exact"), 4)
+        .when(F.col("is_near_loser").isNotNull(), 5)
+        .when(F.col("is_contam").isNotNull(), 6)
+        .otherwise(n_stages)
+    )
+    hist = (
+        flags.select(drop_stage.alias("drop_stage"))
+        .groupBy("drop_stage")
+        .agg(F.count("*").alias("n"))
+    )
+    stages = spark.createDataFrame(
+        list(enumerate(FUNNEL_STAGES)), "stage_no int, stage string"
+    )
+    return (
+        stages.join(
+            F.broadcast(hist), F.col("drop_stage") > F.col("stage_no"), "left"
+        )
+        .groupBy(F.col("stage_no").cast("long").alias("stage_no"), "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("docs"))
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -65,9 +66,12 @@ def main() -> int:
     spark = get_session("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # driver fixtures are single files; Spark-written fixtures (e.g. the
+        # bench's .benchdata/sf1) are directories of part files — glob those
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     names = args.only or sorted(REGISTRY)
     n_pass = n_fail = n_rows_only = 0
