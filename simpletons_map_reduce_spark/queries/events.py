@@ -440,3 +440,65 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(
         F.expr(f"minute div {60 * 24}").alias("day_id")
     ).agg(F.max("conc").cast("long").alias("peak_concurrency"))
+
+
+#: rolling-window width (days) for the active-user metric.
+RAU_WINDOW_DAYS = 7
+
+ROLLING_ACTIVE_USERS_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT max(day) AS max_day FROM ud),
+contrib AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS report_day
+  FROM ud, unnest(range({RAU_WINDOW_DAYS})) AS t(i)
+)
+SELECT CAST(report_day - DATE '1970-01-01' AS BIGINT) AS day_ep,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM contrib CROSS JOIN mx
+WHERE report_day <= max_day
+GROUP BY report_day
+"""
+
+
+@register("rolling_active_users", ROLLING_ACTIVE_USERS_ORACLE, tags=("events",))
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day (the WAU curve).
+
+    Distinct-over-a-sliding-window cannot ride an ordinary window frame
+    (COUNT(DISTINCT) is not frame-computable), and re-scanning the fact
+    table once per day is the O(days × corpus) trap.  The scale shape:
+    the raw stream first collapses to the DISTINCT (user, day) relation
+    — partial-aggregated map-side, so the only full-stream shuffle
+    carries at most |users|×|days| rows — then each user-day contributes
+    itself to the {RAU_WINDOW_DAYS} report days it covers (a constant
+    ≤{RAU_WINDOW_DAYS}× explode of the compact relation, NOT of the
+    stream), and the per-day distinct count aggregates that.  The
+    trailing edge caps at the corpus's max day via a 1-row broadcast
+    scalar, never a driver round-trip.  Days are epoch-day bigints
+    (timestamps never appear raw).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    mx = ud.agg(F.max("day").alias("max_day"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), RAU_WINDOW_DAYS - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("report_day") <= F.col("max_day"))
+        .groupBy(
+            F.datediff("report_day", F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_ep")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )

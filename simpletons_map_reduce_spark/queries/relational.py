@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import rn, sql_rn
+from ..functions.rounding import rn, rsum, sql_rn, sql_rsum
 from ..operators.skew import salted_topk
 from ..sources.tables import load_table, load_tables
 from .registry import register
@@ -478,7 +478,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUPPLIER_REVENUE_ORACLE = f"""
 SELECT n_name,
        CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
-       {sql_rn('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+       {sql_rsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -505,7 +505,9 @@ def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.countDistinct("s_suppkey").alias("n_suppliers"),
-            rn(F.sum("rev"), 2).alias("revenue"),
+            # order-exact units: nation-wide sums at sf1 drifted a last ulp
+            # across the 2-dp boundary vs DuckDB (sf1 oracle sweep)
+            rsum(F.col("rev"), 2).alias("revenue"),
         )
     )
 

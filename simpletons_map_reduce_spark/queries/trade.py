@@ -176,7 +176,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RETURNED_ITEMS_ORACLE = f"""
-SELECT c_custkey, c_name, n_name, {sql_rn('sum(' + REVENUE + ')', 2)} AS revenue
+SELECT c_custkey, c_name, n_name, {sql_rsum(REVENUE, 2)} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -214,9 +214,12 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            rn(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # order-exact integer-unit sum: at sf1 the plain float sum's
+            # partial-aggregation order drifted a last ulp across rounding
+            # boundaries vs DuckDB (caught by the sf1 oracle sweep)
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
         )
     )
 
@@ -297,15 +300,16 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_SUPPLIER_ORACLE = f"""
 WITH sr AS (
-  SELECT l_suppkey, sum({REVENUE}) AS total_revenue
+  SELECT l_suppkey,
+         sum(CAST(FLOOR(({REVENUE}) * 10000.0 + 0.5) AS BIGINT)) AS units
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, {sql_rn('total_revenue', 2)} AS total_revenue_r
+SELECT s_suppkey, s_name, {sql_rn('units / 10000.0', 2)} AS total_revenue_r
 FROM sr JOIN supplier ON s_suppkey = l_suppkey
-WHERE total_revenue = (SELECT max(total_revenue) FROM sr)
+WHERE units = (SELECT max(units) FROM sr)
 """
 
 
@@ -315,12 +319,15 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Argmax via a global window max over the O(suppliers) rollup — one
     extra exchange over a tiny relation instead of re-scanning lineitem
-    for the scalar (the textbook view-based rendering).  Equality
-    against the max is engine-internal: each engine compares its own sum
-    against its own max, so the winner is stable unless two suppliers tie
-    within one ulp.
+    for the scalar (the textbook view-based rendering).  The revenue
+    rollup sums order-exact integer 10^-4 units: argmax compares
+    integers, so GENUINE revenue ties produce the identical tie set in
+    both engines (the sf1 sweep caught float sums splitting a true
+    6-way tie into unequal ulps), and partial-aggregation order can
+    never move the winner.
     """
     li, supplier = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sr = (
         li.filter(
             (F.col("l_shipdate") >= "1997-01-01")
@@ -328,19 +335,21 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
+            F.sum(F.floor(rev * F.lit(10000.0) + F.lit(0.5)).cast("long")).alias(
+                "units"
             )
         )
     )
     w = Window.partitionBy()  # global max over O(suppliers) rows
-    best = sr.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    best = sr.withColumn("max_units", F.max("units").over(w)).filter(
+        F.col("units") == F.col("max_units")
     )
     return best.join(
         F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
     ).select(
-        "s_suppkey", "s_name", rn(F.col("total_revenue"), 2).alias("total_revenue_r")
+        "s_suppkey",
+        "s_name",
+        rn(F.col("units") / F.lit(10000.0), 2).alias("total_revenue_r"),
     )
 
 

@@ -174,3 +174,33 @@ def test_weighted_median_hand_checked(spark):
         T.load_table = orig
     assert got["A"] == (0.10, 100.0)   # 98% of mass sits at 0.10
     assert got["B"] == (0.05, 100.0)   # cw(0.05)=50 >= tw/2 → lower value
+
+
+def test_rolling_active_users_brute_force(spark):
+    """WAU(d) == distinct users with >=1 event in [d-6, d], by brute force."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.queries.events import RAU_WINDOW_DAYS
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    got = {
+        r.day_ep: r.active_users
+        for r in REGISTRY["rolling_active_users"].fn(spark, SF0001).collect()
+    }
+    ud = (
+        load_table(spark, SF0001, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .distinct()
+        .collect()
+    )
+    days = {r.d for r in ud}
+    for d in range(min(days), max(days) + 1):
+        want = len(
+            {r.user_id for r in ud if d - RAU_WINDOW_DAYS + 1 <= r.d <= d}
+        )
+        assert got.get(d, 0) == want, (d, got.get(d), want)
+    # no report days beyond the observed range
+    assert max(got) == max(days)
