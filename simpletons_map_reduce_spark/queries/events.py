@@ -193,9 +193,10 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of event value per type by rank selection.
 
     One shuffle on event_type serves the ranking window, the count
-    window, and the final aggregate (partitioning reuse); ceil(q·n) is
-    computed with integer arithmetic (-(-a DIV b) = ceil division) so
-    rank selection is bit-identical across engines.
+    window, and the final aggregate (partitioning reuse); the selected
+    rank is -(-q·n DIV 100) where Spark's DIV and DuckDB's // BOTH
+    truncate toward zero (note: not Python's flooring //), picking the
+    lower rank on fractional positions — bit-identical across engines.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -501,4 +502,97 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_ep")
         )
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+#: MAD multiplier for the outlier cut (the conventional ~3-sigma analog).
+MAD_K = 3
+
+ANOMALY_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         max(CASE WHEN rk = -((-50 * n) // 100) THEN value END) AS med
+  FROM (SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events) r
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med,
+         abs(e.value - med) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN rk = -((-50 * n) // 100) THEN ad END) AS mad
+  FROM (SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ad, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) r
+  GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       (FLOOR(d.value * 10000.0 + 0.5) / 10000.0) AS value,
+       (FLOOR(d.ad * 10000.0 + 0.5) / 10000.0) AS abs_dev,
+       (FLOOR(m.mad * 10000.0 + 0.5) / 10000.0) AS mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.ad > 3 * m.mad
+"""
+
+
+@register("anomaly_mad", ANOMALY_MAD_ORACLE, tags=("events",))
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose |value − median| exceeds
+    MAD_K × the median absolute deviation of their event_type.
+
+    Mean/stddev outlier cuts move with the outliers they hunt; the
+    median/MAD pair is the standard robust alternative, and both medians
+    come from the battle-tested exact rank-selection idiom
+    (value_percentiles' truncating-DIV rank): selection picks a REAL
+    data value (the lower median for odd-sized groups), so every
+    comparison downstream is between doubles both engines hold
+    bit-identically — no float aggregation anywhere.
+
+    Scale shape: three shuffles, ALL on event_type (median, re-join +
+    MAD median, final join-filter) over O(groups) / O(rows) relations —
+    the fact table never shuffles on anything wider.  The cut threshold
+    compares raw doubles; the 4-dp floor-round applies only to the
+    REPORTED columns, so rounding can't move a row across the boundary
+    differently per engine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type")
+
+    def exact_median(df, col, out):
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w.orderBy(col, "event_id")).alias("rk"),
+            F.count("*").over(w).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.expr(f"max(CASE WHEN rk = -((-50 * n) DIV 100) THEN {col} END)")
+            .alias(out)
+        )
+
+    med = exact_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_median(dev.select("event_type", "event_id", "ad"), "ad", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("ad") > MAD_K * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            rn(F.col("value"), 4).alias("value"),
+            rn(F.col("ad"), 4).alias("abs_dev"),
+            rn(F.col("mad"), 4).alias("mad"),
+        )
     )

@@ -593,3 +593,76 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.first("tw"), 2).alias("total_weight"),
         )
     )
+
+
+STATS_MOMENTS_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(FLOOR(l_discount * 10000 + 0.5)
+                  * FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       {sql_rn('sx / CAST(n AS DOUBLE)', 4)} AS mean_qty,
+       {sql_rn('(n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)', 4)} AS var_qty,
+       {sql_rn('(n * sxy - sx * sy) / '
+               '(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * '
+               ' sqrt(CAST(n * syy - sy * sy AS DOUBLE)))', 6)}
+         AS corr_qty_disc
+FROM m
+"""
+
+
+@register("stats_moments", STATS_MOMENTS_ORACLE, tags=("profiling",))
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / population variance / correlation per return flag — from
+    EXACT integer moments, not float accumulators.
+
+    ``F.corr``/``F.var_pop`` stream float moments whose partial-merge
+    order perturbs the last ulps (and whose Welford-style internals
+    differ between engines), so they can never hash-match an oracle and
+    — worse — aren't bit-stable across AQE re-plans.  Quantities are
+    integral and discounts land on basis points, so all five moments
+    (Σx, Σx², Σy, Σy², Σxy) are BIGINT-exact and associative (bounds
+    checked: at sf1 the largest, n·Σxy, sits ~3 orders below 2^63), and
+    the final mean/var/corr are single double expressions over identical
+    integers on both engines.  One map-side-combined aggregate, one
+    exchange of 5 integers per group — the cheapest possible plan, and
+    the same trick rsum uses for money.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    corr_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    y_var = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        rn(F.col("sx") / n, 4).alias("mean_qty"),
+        rn(var_num / (n * F.col("n")), 4).alias("var_qty"),
+        rn(corr_num / (F.sqrt(var_num) * F.sqrt(y_var)), 6).alias(
+            "corr_qty_disc"
+        ),
+    )

@@ -650,3 +650,38 @@ def test_bm25_search_topk_and_broadcast_stats(spark):
     assert len(uniq) <= 4, plan
     # exactly one distinct corpus FileScan feeds the whole query
     assert len(set(_re.findall(r"FileScan parquet \[([^\]]*)\]", plan))) == 1, plan
+
+
+def test_gap_fill_spine_rides_user_partitioning(spark):
+    """Densify + ffill: daily agg and forward-fill window share the user
+    partitioning — 2 exchanges total, no cartesian spine."""
+    df = REGISTRY["gap_fill"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert count_exchanges(df) <= 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_weighted_median_windows_over_compact_aggregate(spark):
+    """The cumulative-weight windows must run over the (group, value)
+    aggregate, not the fact table: group agg + window re-key only."""
+    df = REGISTRY["weighted_median"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert count_exchanges(df) <= 2, plan
+    # the fact scan reads only the three referenced columns
+    assert reads_only_columns(
+        df, "lineitem", {"l_returnflag", "l_discount", "l_quantity"}
+    )
+
+
+def test_rolling_active_users_explodes_compact_relation(spark):
+    """The 7-day fan-out must happen AFTER the distinct (user, day)
+    collapse: Generate sits above the first aggregate, and the only
+    nested-loop is the 1-row max-day broadcast."""
+    df = REGISTRY["rolling_active_users"].fn(spark, SF0001)
+    plan = physical_plan(df, "simple")
+    assert count_exchanges(df) <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    # Generate (explode) must appear above a HashAggregate in the tree:
+    # simple mode prints top-down, so the first Generate line comes before
+    # the LAST HashAggregate (the distinct collapse nearest the scan).
+    assert plan.find("Generate") < plan.rfind("HashAggregate"), plan

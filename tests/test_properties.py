@@ -138,7 +138,10 @@ def test_rsum_is_partition_order_invariant(xs, nparts):
     total = None
     for shift in range(min(nparts, len(xs))):
         perm = xs[shift:] + xs[:shift]  # different association order
-        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+        # cast: DuckDB types bare literals as DECIMAL; real oracle columns
+        # are DOUBLE from parquet, which is what rsum is specified over
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT CAST(x AS DOUBLE) "
+                    "AS x FROM (VALUES "
                     + ",".join(f"({v!r})" for v in perm) + ") v(x)")
         got = con.sql(f"SELECT {sql_rsum('x', 2)} AS s FROM t").fetchone()[0]
         if total is None:

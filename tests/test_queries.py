@@ -93,3 +93,73 @@ def test_table_checks_fire_on_corrupted_tables(spark, tmp_path):
         "orders.fk_customer": 1,  # custkey 999 (NULL is the null check's job)
         "lineitem.fk_orders": 1,  # orderkey 77
     }
+
+
+def test_stats_moments_agrees_with_builtin_estimators(spark):
+    """The integer-moment mean/var/corr must agree with Spark's float
+    var_pop/corr to float tolerance (the builtins are the semantic
+    reference; the moments form exists for cross-engine exactness)."""
+    import pyspark.sql.functions as F
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["stats_moments"].fn(spark, SF0001).collect()
+    }
+    li = load_table(spark, SF0001, "lineitem")
+    ref = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.avg("l_quantity").alias("mean"),
+            F.var_pop("l_quantity").alias("var"),
+            F.corr(
+                F.col("l_quantity"),
+                F.floor(F.col("l_discount") * 10000 + F.lit(0.5)),
+            ).alias("corr"),
+        )
+        .collect()
+    }
+    assert got.keys() == ref.keys()
+    for k in ref:
+        # tolerances = the 4-dp/6-dp floor-round granularity of the output
+        assert abs(got[k].mean_qty - ref[k].mean) < 1e-4
+        assert abs(got[k].var_qty - ref[k].var) < 1e-3
+        assert abs(got[k].corr_qty_disc - ref[k].corr) < 2e-6
+
+
+def test_anomaly_mad_brute_force(spark):
+    """MAD outliers recomputed in plain Python must match exactly."""
+    import statistics
+
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF0001, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+
+    def med_low(vals):
+        # mirror the engines' rank idiom: Spark DIV / DuckDB // truncate
+        # toward zero (Python // floors — different on negatives!), so
+        # rank = -trunc(-50n/100), the LOWER median for odd n
+        s = sorted(vals)
+        rank = -int((-50 * len(s)) / 100)
+        return s[rank - 1]
+
+    want = set()
+    for et, rs in by_type.items():
+        med = med_low([r.value for r in rs])
+        ads = [abs(r.value - med) for r in rs]
+        mad = med_low(ads)
+        if mad > 0:
+            want |= {
+                r.event_id for r, ad in zip(rs, ads) if ad > 3 * mad
+            }
+    got = {
+        r.event_id for r in REGISTRY["anomaly_mad"].fn(spark, SF0001).collect()
+    }
+    assert got == want
+    assert statistics  # keep the import referenced
