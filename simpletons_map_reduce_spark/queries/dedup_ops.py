@@ -969,3 +969,155 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment: asymmetric near-dup — "A is (mostly) contained in B"
+# ---------------------------------------------------------------------------
+
+#: containment threshold C(A→B) = |g(A) ∩ g(B)| / |g(A)| >= 9/10.
+NC_THRESHOLD_NUM = 9
+NC_THRESHOLD_DEN = 10
+
+#: containee-side prefix: if C >= t then A shares >= ceil(t·|A|) grams with
+#: B, so any |A| - ceil(t·|A|) + 1 grams of A (by the global (dfreq, g)
+#: order) must hit B — same prefix-filter principle as ngram_jaccard, but
+#: only the CONTAINEE side can be prefix-pruned (a container may hold A's
+#: grams anywhere in its set, so the container side keeps all capped grams).
+_NC_PREFIX = (
+    f"sz - (({NC_THRESHOLD_NUM} * sz + {NC_THRESHOLD_DEN - 1})"
+    f" DIV {NC_THRESHOLD_DEN}) + 1"
+)
+_NC_PREFIX_SQL = (
+    f"sz - (({NC_THRESHOLD_NUM} * sz + {NC_THRESHOLD_DEN - 1})"
+    f" // {NC_THRESHOLD_DEN}) + 1"
+)
+
+NGRAM_CONTAINMENT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+ng AS (SELECT doc_id,
+              list_distinct(list_transform({_SQL_TRIGRAM_CASE},
+                  s -> {SQL_MD5_INT60.format(e='s')})) AS ngh
+       FROM t),
+x AS (SELECT doc_id, len(ngh) AS sz, unnest(ngh) AS g FROM ng),
+df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g),
+kept AS (SELECT x.doc_id, x.sz, x.g, df.dfreq
+         FROM x JOIN df USING (g) WHERE df.dfreq <= {NJ_MAX_DF}),
+fullb AS (SELECT doc_id, sz, g,
+                 count(*) OVER (PARTITION BY g) AS bsz
+          FROM kept),
+fullg AS (SELECT doc_id, sz, g FROM fullb
+          WHERE bsz BETWEEN 2 AND {NJ_BUCKET_CAP}),
+ranked AS (SELECT doc_id, sz, g,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY dfreq, g) AS rn
+           FROM kept),
+pref AS (SELECT doc_id, sz, g FROM ranked WHERE rn <= {_NC_PREFIX_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+         FROM pref a JOIN fullg b ON a.g = b.g
+         WHERE (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+           AND b.sz * {NC_THRESHOLD_DEN} >= a.sz * {NC_THRESHOLD_NUM}),
+verified AS (
+    SELECT doc_small, doc_big,
+           len(list_intersect(na.ngh, nb.ngh)) AS inter, na.ngh, nb.ngh
+    FROM cand
+    JOIN ng na ON na.doc_id = doc_small
+    JOIN ng nb ON nb.doc_id = doc_big
+)
+SELECT doc_small, doc_big,
+       {sql_rn('inter * 1.0 / len(ngh)', 4)} AS containment
+FROM verified
+WHERE inter * {NC_THRESHOLD_DEN} >= len(ngh) * {NC_THRESHOLD_NUM}
+"""
+
+
+@register("ngram_containment", NGRAM_CONTAINMENT_ORACLE, tags=("dedup",))
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: documents whose trigram set is >= 90%
+    CONTAINED in a (larger) document's set — the quote/subset relation
+    Jaccard misses (a page embedded in a 10× digest has J ≈ 0.1 but
+    C ≈ 1.0; dedup pipelines drop or down-weight such containees).
+
+    Same exact-within-declared-caps contract as ngram_jaccard (df cap +
+    [2, cap] buckets, mirrored in the oracle), but the prefix filter is
+    one-sided: only the containee can be prefix-pruned (its grams must
+    ALL hit the container, so missing any prefix gram refutes C >= t),
+    while the container side keeps all capped grams.  The direction and
+    the length filter |B| >= t·|A| ride the bucket join; verification is
+    the exact set intersection, normalized by the CONTAINEE size, with
+    the (dfreq, g)-ordered prefix identical in both engines.
+
+    At 100 TB: the container-side relation is the full capped gram
+    explode — bounded per gram by the bucket cap, so worst-case join
+    work is O(|grams| × cap), the same envelope the Jaccard join has.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ngram_containment_pairs(docs)
+
+
+def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
+    """Containment pairs over an arbitrary (doc_id, text) relation —
+    exposed so tests can plant contained/quoting corpora."""
+    from ..functions.rounding import rn
+
+    ng = _ngram_sets(docs)
+    x = ng.select("doc_id", F.size("ngh").alias("sz"), F.explode("ngh").alias("g"))
+    dfreq = x.groupBy("g").agg(F.count("*").alias("dfreq"))
+    kept = x.join(F.broadcast(dfreq), "g").filter(F.col("dfreq") <= NJ_MAX_DF)
+    bucket_w = Window.partitionBy("g")
+    fullg = tracked_persist(
+        kept.select("doc_id", "sz", "g")
+        .withColumn("bsz", F.count("*").over(bucket_w))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= NJ_BUCKET_CAP))
+        .select("doc_id", "sz", "g")
+    )
+    pref = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("dfreq", "g")),
+        )
+        .filter(F.expr(f"rn <= {_NC_PREFIX}"))
+        .select("doc_id", "sz", "g")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            fullg.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (
+                F.col("b.sz") * NC_THRESHOLD_DEN
+                >= F.col("a.sz") * NC_THRESHOLD_NUM
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+        .distinct()
+    )
+    na = ng.select(F.col("doc_id").alias("doc_small"), F.col("ngh").alias("na"))
+    nb = ng.select(F.col("doc_id").alias("doc_big"), F.col("ngh").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("na"), F.col("nb")))
+    return (
+        cand.join(na, "doc_small")
+        .join(nb, "doc_big")
+        .select(
+            "doc_small",
+            "doc_big",
+            inter.alias("inter"),
+            F.size("na").alias("sza"),
+        )
+        .filter(F.col("inter") * NC_THRESHOLD_DEN >= F.col("sza") * NC_THRESHOLD_NUM)
+        .select(
+            "doc_small",
+            "doc_big",
+            rn(F.col("inter") / F.col("sza"), 4).alias("containment"),
+        )
+    )

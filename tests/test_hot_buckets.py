@@ -114,3 +114,27 @@ def test_ngram_prefix_df_guard(spark):
     for j in range(N_PAIRS):
         a, b = N_BOILER + 2 * j, N_BOILER + 2 * j + 1
         assert (a, b) in pairs, f"genuine pair {(a, b)} lost to df guard"
+
+
+def test_containment_finds_planted_subset_that_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    ≈ 1.0 (flagged) while Jaccard sits far below its 0.8 threshold."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        ngram_containment_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    filler = " ".join(f"f{i}" for i in range(300))
+    rows = [
+        (1, quote),                      # the containee
+        (2, filler + " " + quote),       # the container (quotes doc 1)
+        (3, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_small, r.doc_big): r.containment
+           for r in ngram_containment_pairs(docs).collect()}
+    assert (1, 2) in got, got
+    assert got[(1, 2)] >= 0.9
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) not in jac  # the asymmetric op earns its keep
+    assert not any(3 in p for p in got)
