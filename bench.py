@@ -141,6 +141,20 @@ def main() -> None:
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1") != "0":
         sf1 = _sf1_dir(spark)
         if sf1 is not None:
+            # Fresh context for the sf1 line: after the 119-query primary
+            # pass the old context's heap/GC state taxes the first big
+            # queries ~2-3× (measured: near_dedup 39 s stale vs 8 s fresh).
+            spark.stop()
+            spark = get_session("bench-sf1")
+            for t in TABLES:  # sf1 scans are cold — same warm-up as primary
+                spark.read.parquet(f"{sf1}/{t}.parquet").count()
+            (
+                spark.range(0, 4096, 1, 32)
+                .mapInPandas(_noop_kernel, "id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
             t1 = run_set(spark, list(HEADLINE), sf1)
             print(
                 json.dumps(
