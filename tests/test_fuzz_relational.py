@@ -1,0 +1,236 @@
+"""Randomized differential testing (mini-SQLsmith): hypothesis generates
+small relational queries — conjunctive predicates, grouping sets, exact
+aggregates — and runs each on Spark AND DuckDB over the same parquet,
+comparing results exactly.
+
+This generalizes the per-query oracle gate: instead of 100+ hand-paired
+(query, oracle) entries, the pair is generated from one AST, so any
+divergence in predicate semantics, null handling, grouping, or integer
+aggregation surfaces without anyone having thought to write that query.
+
+Aggregates are restricted to the engine-exact set (COUNT, MIN, MAX, and
+SUM over integer-valued columns) — float SUM/AVG need the rsum idiom
+(functions/rounding.py) and are covered by the curated registry; the
+fuzzer's job is relational semantics, not float policy.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF0001
+
+TABLE = "orders"
+PARQUET = f"{SF0001}/{TABLE}.parquet"
+
+#: (column, kind) — kinds drive literal generation
+COLS = {
+    "o_orderkey": "int",
+    "o_custkey": "int",
+    "o_orderstatus": "str",
+    "o_orderpriority": "str",
+    "o_totalprice": "float",
+}
+STR_LITS = {
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-NOT"],
+}
+
+predicate = st.one_of(
+    st.tuples(
+        st.sampled_from(["o_orderkey", "o_custkey"]),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(min_value=0, max_value=1500),
+    ),
+    st.tuples(
+        st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        st.sampled_from(["=", "<>"]),
+        st.sampled_from(["O", "F", "P", "1-URGENT", "4-LOW"]),
+    ),
+    st.tuples(
+        st.just("o_totalprice"),
+        st.sampled_from(["<", ">="]),
+        st.floats(min_value=0, max_value=500_000, allow_nan=False),
+    ),
+)
+
+
+def _sql_lit(v):
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+def _nsorted(rows):
+    """Sort with NULL-first ordering (LEFT JOIN emits None group keys,
+    which Python cannot compare against strings)."""
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
+@st.composite
+def query_ast(draw):
+    preds = draw(st.lists(predicate, min_size=0, max_size=3))
+    keys = draw(
+        st.lists(
+            st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+            min_size=0,
+            max_size=2,
+            unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "count(*)",
+                    "min(o_orderkey)",
+                    "max(o_orderkey)",
+                    "sum(o_orderkey)",
+                    "count(DISTINCT o_custkey)",
+                    "min(o_orderpriority)",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    return preds, keys, aggs
+
+
+def _render(preds, keys, aggs):
+    where = (
+        " WHERE " + " AND ".join(f"{c} {op} {_sql_lit(v)}" for c, op, v in preds)
+        if preds
+        else ""
+    )
+    cols = list(keys) + [
+        f"CAST({a} AS BIGINT) AS a{i}" if "min(o_orderpriority)" not in a
+        else f"{a} AS a{i}"
+        for i, a in enumerate(aggs)
+    ]
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    return f"SELECT {', '.join(cols)} FROM {TABLE}{where}{group}"
+
+
+@pytest.fixture(scope="module")
+def duck_orders():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW {TABLE} AS SELECT * FROM '{PARQUET}'")
+    return con
+
+
+@given(query_ast())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_query_matches_duckdb(spark, duck_orders, ast):
+    preds, keys, aggs = ast
+    sql = _render(preds, keys, aggs)
+    spark.read.parquet(PARQUET).createOrReplaceTempView(TABLE)
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
+    assert got == want, sql
+
+
+# ---- joined shape: orders ⋈ customer ------------------------------------
+
+CUSTOMER_PARQUET = f"{SF0001}/customer.parquet"
+
+join_predicate = st.one_of(
+    predicate,
+    st.tuples(
+        st.just("c_mktsegment"),
+        st.sampled_from(["=", "<>"]),
+        st.sampled_from(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        ),
+    ),
+    st.tuples(
+        st.just("c_acctbal"),
+        st.sampled_from(["<", ">="]),
+        st.floats(min_value=-1000, max_value=10_000, allow_nan=False),
+    ),
+)
+
+
+@st.composite
+def join_ast(draw):
+    preds = draw(st.lists(join_predicate, min_size=0, max_size=3))
+    keys = draw(
+        st.lists(
+            st.sampled_from(["o_orderstatus", "c_mktsegment"]),
+            min_size=0,
+            max_size=2,
+            unique=True,
+        )
+    )
+    join_type = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "count(*)",
+                    "sum(o_orderkey)",
+                    "count(DISTINCT c_custkey)",
+                    "min(o_orderkey)",
+                ]
+            ),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    return preds, keys, join_type, aggs
+
+
+def _render_join(preds, keys, join_type, aggs):
+    # LEFT JOIN + customer-side predicates: keep them in the ON clause so
+    # unmatched orders survive (WHERE would silently turn it inner — the
+    # classic outer-join trap, and exactly what the fuzzer should exercise)
+    on_extra = [p for p in preds if p[0].startswith("c_")]
+    where = [p for p in preds if not p[0].startswith("c_")]
+    on = " AND ".join(
+        ["o_custkey = c_custkey"]
+        + [f"{c} {op} {_sql_lit(v)}" for c, op, v in on_extra]
+    )
+    w = (
+        " WHERE " + " AND ".join(f"{c} {op} {_sql_lit(v)}" for c, op, v in where)
+        if where
+        else ""
+    )
+    cols = list(keys) + [
+        f"CAST({a} AS BIGINT) AS a{i}" for i, a in enumerate(aggs)
+    ]
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    return (
+        f"SELECT {', '.join(cols)} FROM orders {join_type} customer ON {on}"
+        f"{w}{group}"
+    )
+
+
+@pytest.fixture(scope="module")
+def duck_joined():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{PARQUET}'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{CUSTOMER_PARQUET}'")
+    return con
+
+
+@given(join_ast())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_join_matches_duckdb(spark, duck_joined, ast):
+    preds, keys, join_type, aggs = ast
+    sql = _render_join(preds, keys, join_type, aggs)
+    spark.read.parquet(PARQUET).createOrReplaceTempView("orders")
+    spark.read.parquet(CUSTOMER_PARQUET).createOrReplaceTempView("customer")
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_joined.sql(sql).fetchall())
+    assert got == want, sql
