@@ -1,0 +1,80 @@
+"""Declared multimodal operator — the Arrow decode path, oracle-checked.
+
+``operators/multimodal.py`` holds the production plumbing (binary payload
++ typed metadata schema, mapInPandas batch decode, Pillow-gated real
+decoder).  This registry entry drives that EXACT pipeline — media
+adaptation, Arrow batching, per-payload decode, pooled feature
+extraction — end to end under the driver's hash gate, using the
+clearly-marked deterministic fake decoder (sha256-seeded 8×8 pseudo
+image; the container has no media libraries).
+
+Why this can be hash-checked at all: the fake decode is pure integer
+arithmetic on the payload's sha256 bytes, and the FEATURE_DIM pooling
+means over 4 uint8 values are exact in float32 (sums ≤ 1020, division
+by 4 is a power of two), so the Python kernel's float32 means equal
+DuckDB's double arithmetic bit-for-bit.  The oracle reconstructs the
+digest pipeline in SQL (sha256 hex → byte pairs → group means) — an
+independent re-derivation, not a reuse of the kernel.
+
+Scale shape: the payload column stays pruned until the mapInPandas
+stage; one Arrow batch of payloads is decoded per Python call (batch
+size bounded by arrow.maxRecordsPerBatch so large payloads can't OOM a
+worker); output is O(media) rows of fixed-width features, no shuffle at
+all — the decode is embarrassingly parallel, which is the whole point
+at 100 TB of media.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn, sql_rn
+from ..operators.multimodal import documents_as_media, extract_features
+from ..sources.tables import load_table
+from .registry import register
+
+#: number of leading pooled features exposed as columns (of FEATURE_DIM).
+N_FEATS = 4
+
+# DuckDB twin of fake_decode + mean-pooling: byte i of the digest is hex
+# pair (2i+1, 2); pooled feature k averages bytes 4k..4k+3.  The digest is
+# repeated to fill 64 bytes, so features 0..7 already cover the first copy
+# and k < 8 needs no wraparound handling.
+_BYTE = "(('0x' || substr(hx, {p}, 2))::BIGINT)"
+
+
+def _feat_sql(k: int) -> str:
+    terms = " + ".join(_BYTE.format(p=2 * (4 * k + j) + 1) for j in range(4))
+    return f"(({terms}) / 4.0)"
+
+
+MEDIA_FEATURES_ORACLE = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       {", ".join(f"{sql_rn(_feat_sql(k), 4)} AS f{k}" for k in range(N_FEATS))}
+FROM m
+"""
+
+
+@register("media_features", MEDIA_FEATURES_ORACLE, tags=("multimodal",))
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode + pooled feature extraction (declared).
+
+    documents → media schema (payload = utf-8 bytes, typed metadata) →
+    mapInPandas decode (deterministic fake — sha256-seeded pixels) →
+    FEATURE_DIM mean-pooled features, first N_FEATS exposed as columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        *[
+            rn(F.element_at("feature", k + 1).cast("double"), 4).alias(f"f{k}")
+            for k in range(N_FEATS)
+        ],
+    )
