@@ -231,6 +231,18 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus is never re-scanned per stage (a 7-way UNION of counts
     would re-run the pipeline seven times at 100 TB; the histogram pass
     runs it once).
+
+    Declared trade-off: because the gates are the REGISTERED operator
+    functions (each loading documents itself), the text column is
+    scanned once per independent gate (~5 pruned scans + the persisted
+    dedup relations' builds) rather than once total.  That is the price
+    of by-construction agreement with the operators the funnel reports
+    on; a production pipeline that cannot afford the extra scans fuses
+    the cheap projections (lang/quality/tokens are one pass over the
+    same tokens) into a single stage — the per-op oracles then no longer
+    pin the fused stage, which is exactly the drift this query refuses.
+    The expensive work (near-dup pair generation, CC iterations) is
+    shared through the same persisted relations the standalone ops use.
     """
     from .dedup_ops import dedup_clusters
 
