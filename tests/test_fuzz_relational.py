@@ -234,3 +234,67 @@ def test_generated_join_matches_duckdb(spark, duck_joined, ast):
     got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
     want = _nsorted(tuple(r) for r in duck_joined.sql(sql).fetchall())
     assert got == want, sql
+
+
+# ---- window shape: analytic functions over orders ------------------------
+
+#: deterministic total order inside every partition: o_orderkey is unique,
+#: so appending it to ORDER BY makes rank/row_number/frames engine-stable.
+window_fn = st.sampled_from(
+    [
+        "row_number()",
+        "rank()",
+        "dense_rank()",
+        "CAST(sum(o_orderkey) OVER w AS BIGINT)",
+        "CAST(count(*) OVER w AS BIGINT)",
+        "min(o_orderkey) OVER w",
+        "lag(o_orderkey, 1) OVER w",
+    ]
+)
+
+
+@st.composite
+def window_ast(draw):
+    preds = draw(st.lists(predicate, min_size=0, max_size=2))
+    part = draw(
+        st.sampled_from(["o_orderstatus", "o_orderpriority", "o_custkey"])
+    )
+    order = draw(st.sampled_from(["o_orderkey", "o_totalprice", "o_orderdate"]))
+    fn = draw(window_fn)
+    return preds, part, order, fn
+
+
+def _render_window(preds, part, order, fn):
+    where = (
+        " WHERE " + " AND ".join(f"{c} {op} {_sql_lit(v)}" for c, op, v in preds)
+        if preds
+        else ""
+    )
+    fn_sql = fn if "OVER w" in fn else f"{fn} OVER w"
+    # ranking/offset functions reject an explicit frame in Spark — only
+    # aggregates get the running ROWS frame
+    frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if any(a in fn for a in ("sum(", "count(", "min("))
+        else ""
+    )
+    return (
+        f"SELECT o_orderkey, {fn_sql} AS wv FROM orders{where} "
+        f"WINDOW w AS (PARTITION BY {part} "
+        f"ORDER BY {order}, o_orderkey{frame})"
+    )
+
+
+@given(window_ast())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_window_matches_duckdb(spark, duck_orders, ast):
+    preds, part, order, fn = ast
+    sql = _render_window(preds, part, order, fn)
+    spark.read.parquet(PARQUET).createOrReplaceTempView(TABLE)
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
+    assert got == want, sql
