@@ -298,3 +298,56 @@ def test_generated_window_matches_duckdb(spark, duck_orders, ast):
     got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
     want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
     assert got == want, sql
+
+
+# ---- scalar-expression shape: the cross-engine function library ----------
+
+#: expressions over the scalar functions this repo's oracles lean on.
+#: Deliberately excluded: round() on doubles (KNOWN to diverge — that is
+#: why functions/rounding.py exists) and negative substr indices (engine
+#: semantics differ by spec).
+scalar_expr = st.sampled_from(
+    [
+        "CAST(year(o_orderdate) AS BIGINT)",
+        "CAST(month(o_orderdate) AS BIGINT)",
+        "CAST(quarter(o_orderdate) AS BIGINT)",
+        # (date-difference excluded: Spark's datediff(end, start) and
+        # DuckDB's datediff(part, start, end) signatures are incompatible
+        # in one SQL string; the curated oracles use per-engine idioms)
+        "CAST(length(o_orderpriority) AS BIGINT)",
+        "lower(o_orderpriority)",
+        "upper(o_orderstatus)",
+        "substr(o_orderpriority, 1, 3)",
+        "concat(o_orderstatus, '-', o_orderpriority)",
+        "CAST(abs(o_custkey - 700) AS BIGINT)",
+        "CAST(floor(o_totalprice) AS BIGINT)",
+        "CAST(ceil(o_totalprice) AS BIGINT)",
+        "CAST(o_orderkey % 97 AS BIGINT)",
+        "coalesce(nullif(o_orderstatus, 'O'), 'open')",
+        "CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END",
+        "CAST(greatest(o_custkey, o_orderkey % 1000) AS BIGINT)",
+    ]
+)
+
+
+@given(
+    st.lists(scalar_expr, min_size=1, max_size=4, unique=True),
+    st.lists(predicate, min_size=0, max_size=2),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_scalar_exprs_match_duckdb(spark, duck_orders, exprs, preds):
+    where = (
+        " WHERE " + " AND ".join(f"{c} {op} {_sql_lit(v)}" for c, op, v in preds)
+        if preds
+        else ""
+    )
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT o_orderkey, {cols} FROM orders{where}"
+    spark.read.parquet(PARQUET).createOrReplaceTempView(TABLE)
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
+    assert got == want, sql
