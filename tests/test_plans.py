@@ -685,3 +685,19 @@ def test_rolling_active_users_explodes_compact_relation(spark):
     # simple mode prints top-down, so the first Generate line comes before
     # the LAST HashAggregate (the distinct collapse nearest the scan).
     assert plan.find("Generate") < plan.rfind("HashAggregate"), plan
+
+
+def test_registry_wide_plan_lint(spark):
+    """EVERY registered query's physical plan is free of the two
+    unconditional scale-killers: CartesianProduct (unbounded pair
+    blowup) and BatchEvalPython (row-at-a-time Python UDF).  1-row
+    broadcast nested-loop joins (scalar hand-offs) and ArrowEvalPython /
+    mapInPandas (vectorized kernels) remain allowed — the lint is about
+    the anti-patterns with no legitimate use in this codebase."""
+    violations = {}
+    for name, q in sorted(REGISTRY.items()):
+        plan = physical_plan(q.fn(spark, SF0001), "simple")
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            violations[name] = hits
+    assert not violations, violations
