@@ -596,3 +596,44 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.col("mad"), 4).alias("mad"),
         )
     )
+
+
+#: reporting zone for the local-day rollup.
+REPORT_TZ = "America/New_York"
+
+TZ_ROLLUP_ORACLE = f"""
+SELECT CAST(CAST(timezone('{REPORT_TZ}', ts::TIMESTAMPTZ) AS DATE)
+            - DATE '1970-01-01' AS BIGINT) AS day_ep,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_rn('sum(value)', 2)} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("tz_rollup", TZ_ROLLUP_ORACLE, tags=("events",))
+def tz_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup on LOCAL calendar days of a reporting timezone.
+
+    Day boundaries are a business rule, not a storage property: events
+    are stored as UTC instants, and "Tuesday's revenue" in New York cuts
+    those instants at 04:00/05:00 UTC depending on DST.  The conversion
+    (`from_utc_timestamp` / DuckDB ``timezone(zone, TIMESTAMPTZ)``) is a
+    per-row projection evaluated in the scan stage from the shared IANA
+    tzdata, so the plan is still one map-side-combined aggregate with an
+    O(days) exchange — timezone correctness costs nothing at 100 TB.
+    Both engines run with a UTC session, pinning the instant semantics;
+    the local day leaves the query as an epoch-day bigint (timestamps
+    never appear raw).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local_day = F.to_date(F.from_utc_timestamp("ts", REPORT_TZ))
+    return (
+        ev.groupBy(
+            F.datediff(local_day, F.lit("1970-01-01")).cast("long").alias("day_ep")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            rn(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

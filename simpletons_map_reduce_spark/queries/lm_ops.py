@@ -275,3 +275,45 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+TOKEN_FERTILITY_ORACLE = f"""
+WITH d AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({sql_tokens('text', lower=True)}) AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       {sql_rn('sum(n_chars) * 1.0 / sum(n_toks)', 4)} AS chars_per_token
+FROM d
+GROUP BY lang
+"""
+
+
+@register("token_fertility", TOKEN_FERTILITY_ORACLE, tags=("lm", "text"))
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per token.
+
+    The standard tokenizer-efficiency signal (how many bytes one token
+    "buys") that drives per-language sampling budgets — languages whose
+    fertility balloons under a tokenizer get silently under-represented
+    in a token-budgeted mixture unless this is measured.  Per-doc
+    char/token counts are scan-stage projections; the per-lang aggregate
+    sums exact integers (one O(langs) exchange), so the ratio is
+    engine-identical without any float-sum machinery.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tokens_lower(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_toks").alias("total_tokens"),
+        rn(F.sum("n_chars") / F.sum("n_toks"), 4).alias("chars_per_token"),
+    )

@@ -78,3 +78,31 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(N_FEATS)
         ],
     )
+
+
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@register("frame_sample", FRAME_SAMPLE_ORACLE, tags=("multimodal",))
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media sampling (every 10th item), declared.
+
+    The selection is the distributed part of frame/clip extraction — a
+    scan-stage modulo predicate, zero shuffles, payload column read only
+    for the surviving rows (Catalyst prunes it behind the filter).  The
+    per-item decode of the sampled rows is operators/multimodal.py's
+    territory (Pillow-gated).
+    """
+    from ..operators.multimodal import documents_as_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = frame_sample(documents_as_media(docs), every_n=10)
+    return media.select(
+        "media_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes")
+    )

@@ -204,3 +204,28 @@ def test_rolling_active_users_brute_force(spark):
         assert got.get(d, 0) == want, (d, got.get(d), want)
     # no report days beyond the observed range
     assert max(got) == max(days)
+
+
+def test_tz_rollup_applies_dst_rules(spark, duck):
+    """A UTC instant after the 1997 spring-forward must land on the EDT
+    local day (UTC-4), not the EST one (UTC-5) — both engines agree via
+    shared IANA tzdata."""
+    import datetime
+
+    # 1997-04-07 04:30 UTC = 00:30 EDT Apr 7 (EST would say 23:30 Apr 6)
+    got = spark.sql(
+        "SELECT CAST(from_utc_timestamp(TIMESTAMP '1997-04-07 04:30:00', "
+        "'America/New_York') AS DATE) AS d"
+    ).collect()[0].d
+    assert got == datetime.date(1997, 4, 7)
+    want = duck.sql(
+        "SELECT CAST(timezone('America/New_York', "
+        "(TIMESTAMP '1997-04-07 04:30:00')::TIMESTAMPTZ) AS DATE)"
+    ).fetchone()[0]
+    assert want == got
+    # and before the switch the -5 h offset holds (23:30 EST Jan 6)
+    got2 = spark.sql(
+        "SELECT CAST(from_utc_timestamp(TIMESTAMP '1997-01-07 04:30:00', "
+        "'America/New_York') AS DATE) AS d"
+    ).collect()[0].d
+    assert got2 == datetime.date(1997, 1, 6)
