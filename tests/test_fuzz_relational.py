@@ -351,3 +351,51 @@ def test_generated_scalar_exprs_match_duckdb(spark, duck_orders, exprs, preds):
     got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
     want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
     assert got == want, sql
+
+
+# ---- set-operation shape: UNION / INTERSECT / EXCEPT ---------------------
+
+set_op = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "EXCEPT ALL", "INTERSECT ALL"]
+)
+
+
+@st.composite
+def setop_ast(draw):
+    preds_a = draw(st.lists(predicate, min_size=0, max_size=2))
+    preds_b = draw(st.lists(predicate, min_size=0, max_size=2))
+    op = draw(set_op)
+    cols = draw(
+        st.sampled_from(
+            [
+                "o_orderstatus",
+                "o_orderstatus, o_orderpriority",
+                "o_custkey % 13, o_orderstatus",
+            ]
+        )
+    )
+    return preds_a, preds_b, op, cols
+
+
+def _branch(cols, preds):
+    where = (
+        " WHERE " + " AND ".join(f"{c} {op} {_sql_lit(v)}" for c, op, v in preds)
+        if preds
+        else ""
+    )
+    return f"SELECT {cols} FROM orders{where}"
+
+
+@given(setop_ast())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_setop_matches_duckdb(spark, duck_orders, ast):
+    preds_a, preds_b, op, cols = ast
+    sql = f"{_branch(cols, preds_a)} {op} {_branch(cols, preds_b)}"
+    spark.read.parquet(PARQUET).createOrReplaceTempView(TABLE)
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
+    assert got == want, sql
