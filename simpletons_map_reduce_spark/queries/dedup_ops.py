@@ -1121,3 +1121,60 @@ def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
             rn(F.col("inter") / F.col("sza"), 4).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_report: cluster-size histogram — the dedup run's observability
+# ---------------------------------------------------------------------------
+
+_SIZE_BUCKET_SQL = """CASE WHEN s = 2 THEN '2'
+     WHEN s = 3 THEN '3'
+     WHEN s = 4 THEN '4'
+     WHEN s <= 8 THEN '5-8'
+     WHEN s <= 16 THEN '9-16'
+     ELSE '17+' END"""
+
+
+def _build_report_oracle() -> str:
+    body = _build_clusters_oracle().strip()
+    assert body.startswith("WITH RECURSIVE ")
+    idx = body.rindex("SELECT doc_id")
+    ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
+    final_select = body[idx:]
+    return f"""
+WITH RECURSIVE {ctes},
+clusters AS ({final_select}),
+sizes AS (SELECT cluster_id, count(*) AS s FROM clusters GROUP BY cluster_id)
+SELECT {_SIZE_BUCKET_SQL} AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(sum(s) - count(*) AS BIGINT) AS n_losers
+FROM sizes
+GROUP BY 1
+"""
+
+
+@register("dedup_report", _build_report_oracle(), tags=("dedup",))
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how much of the corpus is
+    duplicate mass, and in what cluster shapes.
+
+    The report every dedup run ships with — a few huge clusters mean
+    boilerplate/templates (fix extraction upstream), many pairs mean
+    true near-dups (dedup is working).  Composes the registered
+    dedup_clusters relation (so the report can never disagree with the
+    clustering) and reduces it to an O(clusters) size table, then a
+    ≤6-row bucket histogram — after the CC iterations everything here
+    is a rounding error in cost.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("s"))
+    return (
+        sizes.select(F.expr(_SIZE_BUCKET_SQL).alias("size_bucket"), "s")
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("s").alias("n_docs"),
+            (F.sum("s") - F.count("*")).alias("n_losers"),
+        )
+    )
