@@ -270,3 +270,41 @@ def user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM s
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transitions", EVENT_TRANSITIONS_ORACLE, tags=("behavior",))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the behavioral Markov
+    matrix: what users do NEXT after each action).
+
+    ``lag`` over the (user, time, event_id)-ordered stream pairs each
+    event with its predecessor — the same single user_id shuffle every
+    other behavior query rides — and the transition aggregate is
+    O(|event_types|²) rows.  The event_id tiebreak totalizes the order,
+    so simultaneous events pair identically in both engines.  At 100 TB
+    the only cost is the one keyed shuffle; the matrix itself is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

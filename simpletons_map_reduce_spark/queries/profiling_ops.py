@@ -666,3 +666,48 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_disc"
         ),
     )
+
+
+#: equi-depth bucket count.
+EQUI_DEPTH_K = 8
+
+HISTOGRAM_EQUI_DEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, value,
+         ntile({EQUI_DEPTH_K}) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_rn('min(value)', 4)} AS lo,
+       {sql_rn('max(value)', 4)} AS hi
+FROM b
+GROUP BY event_type, bucket
+"""
+
+
+@register("histogram_equi_depth", HISTOGRAM_EQUI_DEPTH_ORACLE, tags=("profiling",))
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: K buckets of (near-)equal row count per
+    group, with their value boundaries — the optimizer-statistics /
+    data-profiling dual of ``value_histogram``'s fixed-width bins
+    (equi-width starves on skewed values; equi-depth adapts boundaries
+    to the distribution, which is what selectivity estimation wants).
+
+    ``ntile`` assigns buckets in one ranking pass; the (event_id)
+    tiebreak makes the assignment total, so both engines split ties
+    identically and min/max boundaries hash-match.  One event_type
+    shuffle serves the window AND the bucket aggregate (partitioning
+    reuse); output is O(groups × K).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.select(
+        "event_type", "value", F.ntile(EQUI_DEPTH_K).over(w).alias("bucket")
+    )
+    return b.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        rn(F.min("value"), 4).alias("lo"),
+        rn(F.max("value"), 4).alias("hi"),
+    )
