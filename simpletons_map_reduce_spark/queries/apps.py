@@ -151,3 +151,32 @@ def file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.concat_ws(" ", F.sort_array(F.collect_list("v"))).alias("joined"),
     )
+
+
+MR_WORDCOUNT_ORACLE = f"""
+SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+FROM ({_WORDS_SQL})
+GROUP BY word
+"""
+
+
+@register("mr_wordcount", MR_WORDCOUNT_ORACLE, tags=("tier-b", "framework"))
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the FRAMEWORK API itself — run_job's
+    map → hash-shuffle → sort-group → reduce pipeline (mapreduce.py ≙
+    mr/worker.go), not the native-expression shortcut.
+
+    This puts the reference's actual programming model (arbitrary Python
+    map/reduce functions: A3/A5/A8/A9, app = mrapps/wc.go) under the
+    driver's strictest gate: the Arrow-batched Python stages must
+    hash-match the ANSI-SQL oracle exactly — values-as-strings and all
+    (§1.2: the KV model carries numbers as strings, so `value` is the
+    stringified count on both sides).  The native `wordcount` entry
+    remains the performance path; this one proves API fidelity.
+    """
+    from ..mapreduce import run_job, wc_map, wc_reduce
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string"), F.col("text")
+    )
+    return run_job(spark, wc_map, wc_reduce, docs)
