@@ -155,3 +155,36 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def dau_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming daily-active-users: per-day DISTINCT user counts.
+
+    Two CHAINED stateful operators — watermark-bounded
+    ``dropDuplicatesWithinWatermark`` on (user_id, day window) feeding a
+    tumbling daily count — the multi-stateful-operator pipeline Spark
+    supports since 3.5 (each stage keeps its own state store; dedup
+    state evicts past the watermark, the day aggregate closes when the
+    watermark passes the day's end).  Batch twin: distinct (user, day)
+    then count per day (tests/test_streaming.py pins equivalence) — the
+    streaming half of the batch `rolling_active_users` family.
+    """
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", watermark)
+        # keep exactly ONE event-time column: the day window inherits the
+        # watermark tag, so the raw ts must not ride along (Spark rejects
+        # two tagged columns at the stateful operator)
+        .select("user_id", F.window("ts", "1 day").alias("w"))
+        .dropDuplicatesWithinWatermark(["user_id", "w"])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            F.col("active_users").cast("long").alias("active_users"),
+        )
+    )

@@ -60,3 +60,30 @@ def test_session_stream_matches_batch_sessionization(spark):
         for r in REGISTRY["events_sessionize"].fn(spark, SF0001).collect()
     }
     assert stream == batch
+
+
+def test_dau_stream_equals_batch_distinct_count(spark):
+    """Chained stateful ops (dedup → daily agg) ≡ batch distinct count."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    from simpletons_map_reduce_spark.streaming.events_stream import (
+        dau_stream,
+        run_to_memory,
+    )
+
+    out = run_to_memory(dau_stream(spark, SF0001), "t_dau")
+    got = {(r.w_start, r.active_users) for r in out.collect()}
+
+    ev = load_table(spark, SF0001, "events")
+    want = {
+        (r.w_start, r.n)
+        for r in ev.select(
+            "user_id", F.window("ts", "1 day").alias("w")
+        )
+        .distinct()
+        .groupBy(F.unix_micros(F.col("w.start")).alias("w_start"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and got
