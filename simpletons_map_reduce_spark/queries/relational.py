@@ -817,3 +817,47 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+INCREMENTAL_JOIN_ORACLE = f"""
+SELECT o_orderkey, o_custkey, c_mktsegment,
+       {sql_rn('o_totalprice', 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("incremental_join", INCREMENTAL_JOIN_ORACLE, tags=("relational",))
+def incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: refresh with the delta,
+    prove equality to the from-scratch join.
+
+    The join half of incremental view maintenance (incremental_agg is
+    the aggregate half): for a materialized V = A ⋈ B, a new batch ΔA
+    refreshes V as V ∪ (ΔA ⋈ B) — the general formula adds A ⋈ ΔB and
+    ΔA ⋈ ΔB when both sides change; here B (customer) is a slowly-
+    changing dimension treated as static for the batch.  The oracle is
+    the DIRECT join of all of A, so the driver's hash-compare IS the
+    maintenance-correctness proof: V_base ∪ (ΔA ⋈ B) ≡ (A ∪ ΔA) ⋈ B.
+
+    At 100 TB this is the difference between re-joining all history
+    every batch and an O(|ΔA|) probe: the base view is already
+    materialized (write_parquet_clustered on the join key in
+    production); only the delta shuffles — and with the dimension
+    broadcast, the refresh is shuffle-FREE.  Union-then-read keeps one
+    partitioning; no dedup step is needed because orderkey stripes are
+    disjoint by construction (append-only CDC).
+    """
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+
+    def enrich(df):
+        return df.join(dim, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_mktsegment",
+            rn(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+
+    base_view = enrich(orders.filter(F.col("o_orderkey") % DELTA_MOD != 0))
+    delta = orders.filter(F.col("o_orderkey") % DELTA_MOD == 0)
+    return base_view.unionAll(enrich(delta))
