@@ -399,3 +399,39 @@ def test_generated_setop_matches_duckdb(spark, duck_orders, ast):
     got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
     want = _nsorted(tuple(r) for r in duck_orders.sql(sql).fetchall())
     assert got == want, sql
+
+
+# ---- correlated-subquery shape: EXISTS / NOT EXISTS ----------------------
+
+
+@given(
+    st.sampled_from(["EXISTS", "NOT EXISTS"]),
+    st.lists(predicate, min_size=0, max_size=2),
+    st.sampled_from(
+        ["", " AND o_totalprice > 50000", " AND o_orderstatus = 'O'"]
+    ),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_generated_exists_matches_duckdb(
+    spark, duck_joined, quantifier, outer_preds, inner_extra
+):
+    where_outer = " AND ".join(
+        f"{c} {op} {_sql_lit(v)}"
+        for c, op, v in outer_preds
+        if not c.startswith("o_")  # customer-side predicates only
+    )
+    sql = (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE "
+        + (f"({where_outer}) AND " if where_outer else "")
+        + f"{quantifier} (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        + f"{inner_extra})"
+    )
+    spark.read.parquet(PARQUET).createOrReplaceTempView("orders")
+    spark.read.parquet(CUSTOMER_PARQUET).createOrReplaceTempView("customer")
+    got = _nsorted(tuple(r) for r in spark.sql(sql).collect())
+    want = _nsorted(tuple(r) for r in duck_joined.sql(sql).fetchall())
+    assert got == want, sql

@@ -54,3 +54,21 @@ def test_ties_broken_deterministically(spark):
     order = [F.col("score").desc(), F.col("id")]
     got = salted_topk(df, ["key"], order, k=4, salt=5).orderBy("rk").collect()
     assert [(r.id, r.rk) for r in got] == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_near_dedup_pairs_invariant_to_input_partitioning(spark):
+    """The dedup pair relation must not depend on how the corpus happens
+    to be partitioned (the property that makes results stable across
+    cluster sizes and AQE re-plans)."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import near_dedup_pairs
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    a = sorted(
+        map(tuple, near_dedup_pairs(docs.repartition(1)).collect())
+    )
+    b = sorted(
+        map(tuple, near_dedup_pairs(docs.repartition(17, "doc_id")).collect())
+    )
+    assert a == b and a
