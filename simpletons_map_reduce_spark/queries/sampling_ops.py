@@ -193,3 +193,68 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _build_leakage_safe_oracle() -> str:
+    from .dedup_ops import _build_clusters_oracle
+
+    rep_hash = sql_md5_mod_prime("CAST(rep AS VARCHAR)")
+    return f"""
+WITH cl AS ({_build_clusters_oracle()}),
+reps AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT doc_id, rep,
+         CASE WHEN {rep_hash} < {TRAIN_CUT} THEN 'train'
+              WHEN {rep_hash} < {VALID_CUT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM reps
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+FROM assigned GROUP BY split
+"""
+
+
+@register("leakage_safe_split", _build_leakage_safe_oracle(), tags=("sampling", "dedup"))
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment that can NEVER split a near-dup
+    cluster across splits — the leakage-safe version of split_assign.
+
+    Hashing doc_id (split_assign) puts near-duplicate documents on
+    independent coin flips, so ~2·p·(1−p) of every dup pair straddles
+    train/test — which is eval contamination by construction.  Here the
+    hashed key is the doc's near-dup CLUSTER REPRESENTATIVE (its
+    dedup_clusters label; singletons represent themselves), so every
+    member of a cluster inherits one flip.  Composes the registered
+    cluster relation; the report counts docs and distinct groups per
+    split (group counts prove the 80/10/10 applies at GROUP grain).
+
+    Scale shape: the cluster relation is the dedup family's persisted
+    output (tiny next to the corpus); the left join is broadcast-or-
+    shuffle by size, the assignment is a scan-stage hash, and the
+    aggregate is O(3) rows.  Same stability property as split_assign:
+    a doc's split moves only if its cluster membership changes.
+    """
+    from .dedup_ops import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cl = dedup_clusters(spark, sf_dir)
+    reps = docs.join(cl, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+    h = md5_mod_prime(F.expr("CAST(rep AS STRING)"))
+    split = (
+        F.when(h < TRAIN_CUT, "train").when(h < VALID_CUT, "valid").otherwise("test")
+    )
+    return (
+        reps.select("rep", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+        )
+    )

@@ -72,3 +72,32 @@ def test_near_dedup_pairs_invariant_to_input_partitioning(spark):
         map(tuple, near_dedup_pairs(docs.repartition(17, "doc_id")).collect())
     )
     assert a == b and a
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup pair may straddle two splits."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.dedup_ops import dedup_clusters
+    from simpletons_map_reduce_spark.functions.hashing import md5_mod_prime
+    from simpletons_map_reduce_spark.queries.sampling_ops import (
+        TRAIN_CUT,
+        VALID_CUT,
+    )
+    from tests.conftest import SF0001
+
+    cl = dedup_clusters(spark, SF0001)
+    h = md5_mod_prime(F.expr("CAST(cluster_id AS STRING)"))
+    split = (
+        F.when(h < TRAIN_CUT, "train")
+        .when(h < VALID_CUT, "valid")
+        .otherwise("test")
+    )
+    per_cluster = (
+        cl.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_cluster, "no clusters on fixture — test vacuous"
+    assert all(r.n_splits == 1 for r in per_cluster)
