@@ -112,8 +112,16 @@ def test_rounding_parity_python_vs_duckdb(x, n):
     scale = float(10**n)
     want = math.floor(x * scale + 0.5) / scale
     con = duckdb.connect()
+    # Feed x as a STRING cast (strtod — exact, like parquet-sourced
+    # doubles).  A bare high-precision literal would parse as a wide
+    # DECIMAL whose scaled integer can exceed 2^53, and DuckDB's
+    # decimal→double conversion then loses the last ulp (hypothesis
+    # found x=900719925.5703125: decimal path gives a product 1 ulp
+    # low).  Real oracle columns come from parquet as true doubles, so
+    # the string cast is the faithful model; oracle SQL embeds only
+    # short literals (thresholds), whose scaled ints are far below 2^53.
     got = con.sql(
-        f"SELECT FLOOR(({x!r}::DOUBLE) * {scale} + 0.5) / {scale}"
+        f"SELECT FLOOR(CAST('{x!r}' AS DOUBLE) * {scale} + 0.5) / {scale}"
     ).fetchone()[0]
     con.close()
     assert got == want, (x, n, got, want)
