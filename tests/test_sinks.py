@@ -165,3 +165,26 @@ def test_orc_roundtrip_and_partition_pruning(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pred_lang" in plan
     assert one.count() > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across write generations: a later batch adds a
+    column; mergeSchema reads both generations with nulls backfilled —
+    the contract a 100 TB lake relies on when operators gain fields."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.parquet(p + "/gen=1")
+    spark.createDataFrame(
+        [(2, "beta", 0.9)], "doc_id long, text string, quality double"
+    ).write.parquet(p + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert set(merged.columns) >= {"doc_id", "text", "quality"}
+    assert rows[1].quality is None  # old generation backfills null
+    assert rows[2].quality == 0.9
+    # predicate on the NEW column still prunes correctly over old files
+    assert merged.filter(F.col("quality") > 0.5).count() == 1
