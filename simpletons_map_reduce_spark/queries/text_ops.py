@@ -643,3 +643,43 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cnts").cast("long").alias("n_distinct_chars"),
         F.when(F.col("n") > 0, rn(ent, 4)).alias("char_entropy"),
     )
+
+
+QUALITY_CALIBRATE_ORACLE = f"""
+WITH q AS ({QUALITY_SCORE_ORACLE}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT q.doc_id, s.source, q.quality,
+       {sql_rn("percent_rank() OVER (PARTITION BY s.source"
+               " ORDER BY q.quality, q.doc_id)", 6)} AS quality_pct
+FROM q JOIN s ON s.doc_id = q.doc_id
+"""
+
+
+@register("quality_calibrate", QUALITY_CALIBRATE_ORACLE, tags=("text", "quality"))
+def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of the quality score.
+
+    Raw heuristic scores are not comparable across sources (a news
+    domain's median beats a forum's p95), so threshold-based filtering
+    per-source over-prunes some domains and under-prunes others; the
+    standard fix is calibrating each doc to its percentile WITHIN its
+    source and filtering on the percentile.  One ranking window per
+    source partition over the registered quality relation (composes
+    quality_score, so calibration can't drift from the score it
+    calibrates); (quality, doc_id) ordering totalizes ties so
+    percent_rank is engine-identical.  At 100 TB the window runs per
+    source partition — the same keyed shuffle any per-source statistic
+    needs — and emits one O(1) column.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            rn(F.percent_rank().over(w), 6).alias("quality_pct"),
+        )
+    )
