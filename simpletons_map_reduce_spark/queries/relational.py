@@ -861,3 +861,61 @@ def incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_view = enrich(orders.filter(F.col("o_orderkey") % DELTA_MOD != 0))
     delta = orders.filter(F.col("o_orderkey") % DELTA_MOD == 0)
     return base_view.unionAll(enrich(delta))
+
+
+#: salt fan-out for the skew-resilient join demo.
+JOIN_SALT = 8
+
+SALTED_JOIN_ORACLE = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_rsum('o_totalprice', 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("salted_join", SALTED_JOIN_ORACLE, tags=("relational", "skew"))
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient shuffle join via key salting — proven against the
+    plain-join oracle.
+
+    When the build side is too big to broadcast AND one join key is hot,
+    a plain shuffle join sends the hot key's entire fact volume to one
+    task.  Salting splits it: the fact side appends salt =
+    pmod(hash(row), S) to its key, the dimension side replicates each
+    row S ways (explode over 0..S-1), and the join runs on
+    (key, salt) — the hot key now spreads across S tasks.  The oracle is
+    the UNSALTED join, so the driver hash-compare proves the rewrite is
+    semantics-preserving; the salted sum uses order-exact integer units
+    (rsum) so the S-way re-association cannot move a rounding boundary.
+
+    AQE's skew-join handles mid-sized skew automatically (pinned in
+    tests/test_skew.py); explicit salting is the portable fallback for
+    extreme single-key skew and for engines/joins AQE can't split.
+    Replication cost: S× the DIMENSION (small side) only — never the
+    fact.
+    """
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    fact = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.hash("o_orderkey"), F.lit(JOIN_SALT)).alias("salt"),
+    )
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1))).alias("salt"),
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (fact.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -101,3 +101,28 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     )
     assert per_cluster, "no clusters on fixture — test vacuous"
     assert all(r.n_splits == 1 for r in per_cluster)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """With a planted 90%-hot key, the salted join's per-(key, salt) group
+    sizes must be ~1/S of the unsalted hot-key volume."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.relational import JOIN_SALT
+
+    n = 10_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+        F.pmod(F.hash("id"), F.lit(JOIN_SALT)).alias("salt"),
+    )
+    sizes = (
+        fact.filter(F.col("k") == 1)
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == JOIN_SALT  # every salt bucket occupied
+    hot = int(n * 0.9)
+    for r in sizes:
+        assert r["count"] < hot / JOIN_SALT * 1.5  # no residual hot bucket
