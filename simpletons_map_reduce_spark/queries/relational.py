@@ -919,3 +919,62 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             rsum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+NESTED_LINES_ORACLE = """
+WITH g AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         string_agg(
+           CAST(l_linenumber AS VARCHAR) || ':' ||
+           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+           ';' ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)
+         ) AS lines_sig
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey, n_lines, lines_sig FROM g
+"""
+
+
+@register("nested_lines", NESTED_LINES_ORACLE, tags=("relational",))
+def nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nest the order's lineitems into an ordered array-of-struct and
+    serialize it canonically — the document-assembly shape (orders with
+    nested line arrays is how a lake hands relational data to JSON/
+    protobuf consumers and how training pipelines pack structured
+    records into documents).
+
+    ``collect_list(struct(...))`` gathers in ONE partial+final aggregate
+    (no window, no second shuffle), ``array_sort`` orders by the struct's
+    leading field, and ``transform`` renders the canonical string both
+    engines can hash — nested VALUES never cross the engine boundary
+    raw, only their deterministic serialization (quantities are integral
+    doubles, so the int cast is exact).  At 100 TB this is one
+    orderkey-keyed shuffle carrying (linenumber, quantity) pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("long").alias("q"),
+            )
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"), arr.alias("lines"))
+        .select(
+            "l_orderkey",
+            "n_lines",
+            F.array_join(
+                F.transform(
+                    "lines",
+                    lambda s: F.concat_ws(":", s["ln"].cast("string"),
+                                          s["q"].cast("string")),
+                ),
+                ";",
+            ).alias("lines_sig"),
+        )
+    )
