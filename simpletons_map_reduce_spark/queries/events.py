@@ -637,3 +637,68 @@ def tz_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+WOW_GROWTH_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_ep,
+         sum(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS units
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+l AS (
+  SELECT day_ep, units,
+         lag(units, 7) OVER (ORDER BY day_ep) AS units_prev
+  FROM daily
+)
+SELECT day_ep,
+       {sql_rn('units / 10000.0', 2)} AS revenue,
+       {sql_rn('units_prev / 10000.0', 2)} AS revenue_prev_week,
+       {sql_rn('(units - units_prev) * 100.0 / units_prev', 4)} AS wow_pct
+FROM l
+WHERE units_prev IS NOT NULL AND units_prev <> 0
+"""
+
+
+@register("wow_growth", WOW_GROWTH_ORACLE, tags=("events",))
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per day — the reporting staple.
+
+    The fact stream collapses to the O(days) daily rollup FIRST (one
+    map-side-combined shuffle, integer 10^-4 units so the comparison
+    base is order-exact); lag(7) then runs over that tiny relation in a
+    single global window — ordering O(days) rows on one task is free,
+    and is the correct plan at any scale BECAUSE the windowed relation
+    is the pre-aggregated calendar, never the stream (the same
+    global-window-over-rollup discipline as moving_revenue /
+    cumulative_users).  Growth is computed from the exact integer units
+    on both engines; zero/absent baselines are excluded, not NaN-coded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_ep")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+            ).alias("units")
+        )
+    )
+    w = Window.orderBy("day_ep")
+    l = daily.withColumn("units_prev", F.lag("units", 7).over(w))
+    return l.filter(
+        F.col("units_prev").isNotNull() & (F.col("units_prev") != 0)
+    ).select(
+        "day_ep",
+        rn(F.col("units") / 10000.0, 2).alias("revenue"),
+        rn(F.col("units_prev") / 10000.0, 2).alias("revenue_prev_week"),
+        rn(
+            (F.col("units") - F.col("units_prev"))
+            * 100.0
+            / F.col("units_prev"),
+            4,
+        ).alias("wow_pct"),
+    )
