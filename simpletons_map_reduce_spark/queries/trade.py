@@ -551,3 +551,55 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(rsum(amount, 2).alias("profit"))
     )
+
+
+#: report size for the co-occurrence ranking.
+BASKET_K = 25
+
+BASKET_PAIRS_ORACLE = f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_K}
+"""
+
+
+@register("basket_pairs", BASKET_PAIRS_ORACLE, tags=("trade",))
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs (market-basket co-occurrence — the
+    frequent-itemset shape behind recommendations).
+
+    The self-join is keyed on the ORDER (the basket), so the pair
+    blowup is Σ C(|basket|, 2) — bounded by the per-order line count
+    (~7 here; a retail basket, not a corpus), which keeps the relation
+    linear in orders.  Dedup to distinct (order, part) FIRST so
+    multi-line parts don't inflate counts, rank with
+    TakeOrderedAndProject on the integer count with a total (a, b)
+    tiebreak.  At 100 TB: one orderkey shuffle for the dedup + the
+    co-located self-join (both sides share the orderkey partitioning —
+    no second exchange), then an O(distinct pairs) aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_K)
+    )
