@@ -15,10 +15,12 @@ warm-up query so JVM/codegen startup isn't billed to the first entry.
 Set SPARK_GRAFT_BENCH_SET=headline to restrict to the headline set (used
 for the big-SF run driven by tools/make_bigdata.py — see SCALE.md).
 
-When the primary run is the default sf0.1, a SECOND JSON line follows with
-the headline set at sf1 (fixtures built once into .benchdata/sf1 via
-tools/make_bigdata.build — ~10× sf0.1, replica docs form planted near-dup
-groups, a deliberate dedup stress).  Set SPARK_GRAFT_SF1=0 to skip it.
+When the primary run is the default sf0.1, the same JSON object carries an
+``"sf1"`` sub-object with the headline set at sf1 (fixtures built once into
+.benchdata/sf1 via tools/make_bigdata.build — ~10× sf0.1, replica docs form
+planted near-dup groups, a deliberate dedup stress).  Everything is printed
+as ONE line at the very end so the driver's output-tail capture can never
+lose the primary sf0.1 metric.  Set SPARK_GRAFT_SF1=0 to skip the extra.
 """
 
 from __future__ import annotations
@@ -122,26 +124,25 @@ def main() -> None:
 
     timings = run_set(spark, names, sf_dir)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "full_total": round(sum(timings.values()), 3),
-                "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "full_total": round(sum(timings.values()), 3),
+        "sf": sf,
+    }
 
-    # Second line: headline set at sf1, only after a default sf0.1 primary
-    # run (local smoke runs at other SFs skip the 10× build).
+    # sf1 extra: headline set at sf1, only after a default sf0.1 primary
+    # run (local smoke runs at other SFs skip the 10× build).  Embedded in
+    # the SAME JSON object — round 3 printed it as a second line after the
+    # primary, and the driver's output-tail capture kept only the sf1 line,
+    # losing the round-over-round sf0.1 metric (VERDICT r3 item 2).  One
+    # line printed at the very end is immune to tail truncation.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1") != "0":
         sf1 = _sf1_dir(spark)
         if sf1 is not None:
-            # Fresh context for the sf1 line: after the 119-query primary
+            # Fresh context for the sf1 extra: after the 134-query primary
             # pass the old context's heap/GC state taxes the first big
             # queries ~2-3× (measured: near_dedup 39 s stale vs 8 s fresh).
             spark.stop()
@@ -156,18 +157,13 @@ def main() -> None:
                 .save()
             )
             t1 = run_set(spark, list(HEADLINE), sf1)
-            print(
-                json.dumps(
-                    {
-                        "metric": "headline_queries_total_sf1",
-                        "value": round(sum(t1.values()), 3),
-                        "unit": "sec",
-                        "queries": t1,
-                        "sf": 1.0,
-                    }
-                ),
-                flush=True,
-            )
+            result["sf1"] = {
+                "value": round(sum(t1.values()), 3),
+                "unit": "sec",
+                "queries": t1,
+                "sf": 1.0,
+            }
+    print(json.dumps(result), flush=True)
     spark.stop()
 
 
