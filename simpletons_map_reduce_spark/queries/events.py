@@ -511,7 +511,7 @@ MAD_K = 3
 ANOMALY_MAD_ORACLE = """
 WITH med AS (
   SELECT event_type,
-         max(CASE WHEN rk = -((-50 * n) // 100) THEN value END) AS med
+         max(CASE WHEN rk = (n + 1) // 2 THEN value END) AS med
   FROM (SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rk,
@@ -526,7 +526,7 @@ dev AS (
 ),
 mad AS (
   SELECT event_type,
-         max(CASE WHEN rk = -((-50 * n) // 100) THEN ad END) AS mad
+         max(CASE WHEN rk = (n + 1) // 2 THEN ad END) AS mad
   FROM (SELECT event_type, ad,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY ad, event_id) AS rk,
@@ -549,12 +549,16 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAD_K × the median absolute deviation of their event_type.
 
     Mean/stddev outlier cuts move with the outliers they hunt; the
-    median/MAD pair is the standard robust alternative, and both medians
-    come from the battle-tested exact rank-selection idiom
-    (value_percentiles' truncating-DIV rank): selection picks a REAL
-    data value (the lower median for odd-sized groups), so every
-    comparison downstream is between doubles both engines hold
-    bit-identically — no float aggregation anywhere.
+    median/MAD pair is the standard robust alternative.  Both medians
+    use the exact rank-selection ``rk = (n + 1) DIV 2`` — the true lower
+    median (odd n selects THE median: n=3 → rank 2; even n selects the
+    lower of the central pair) under the truncating integer division
+    both engines share (Spark ``DIV``, DuckDB ``//``).  Selection picks
+    a REAL data value, so every comparison downstream is between doubles
+    both engines hold bit-identically — no float aggregation anywhere.
+    (ADVICE r3: the previous ``-((-50*n) DIV 100)`` idiom selected rank
+    floor(n/2) — one BELOW the median for odd n, the minimum at n=3 —
+    biasing MAD low and over-flagging small groups.)
 
     Scale shape: three shuffles, ALL on event_type (median, re-join +
     MAD median, final join-filter) over O(groups) / O(rows) relations —
@@ -576,7 +580,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).alias("n"),
         )
         return ranked.groupBy("event_type").agg(
-            F.expr(f"max(CASE WHEN rk = -((-50 * n) DIV 100) THEN {col} END)")
+            F.expr(f"max(CASE WHEN rk = (n + 1) DIV 2 THEN {col} END)")
             .alias(out)
         )
 
@@ -646,16 +650,15 @@ WITH daily AS (
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 l AS (
-  SELECT day_ep, units,
-         lag(units, 7) OVER (ORDER BY day_ep) AS units_prev
-  FROM daily
+  SELECT c.day_ep, c.units, p.units AS units_prev
+  FROM daily c JOIN daily p ON p.day_ep = c.day_ep - 7
 )
 SELECT day_ep,
        {sql_rn('units / 10000.0', 2)} AS revenue,
        {sql_rn('units_prev / 10000.0', 2)} AS revenue_prev_week,
        {sql_rn('(units - units_prev) * 100.0 / units_prev', 4)} AS wow_pct
 FROM l
-WHERE units_prev IS NOT NULL AND units_prev <> 0
+WHERE units_prev <> 0
 """
 
 
@@ -665,13 +668,16 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fact stream collapses to the O(days) daily rollup FIRST (one
     map-side-combined shuffle, integer 10^-4 units so the comparison
-    base is order-exact); lag(7) then runs over that tiny relation in a
-    single global window — ordering O(days) rows on one task is free,
-    and is the correct plan at any scale BECAUSE the windowed relation
-    is the pre-aggregated calendar, never the stream (the same
-    global-window-over-rollup discipline as moving_revenue /
-    cumulative_users).  Growth is computed from the exact integer units
-    on both engines; zero/absent baselines are excluded, not NaN-coded.
+    base is order-exact); the baseline is then a SELF-JOIN of the rollup
+    on ``day_ep - 7`` — pinned to the CALENDAR, not row position.  A
+    ``lag(units, 7)`` window would be a 7-ROW lag: any day absent from
+    the rollup (zero purchases) silently shifts the "previous week" to
+    the wrong date, and because an oracle written the same way drifts
+    identically, the hash gate can never catch it (ADVICE r3).  The
+    self-join is over the O(days) relation, so the equi-join is
+    broadcast-sized at any corpus scale.  Growth is computed from the
+    exact integer units on both engines; zero/absent baselines drop out
+    of the inner join, not NaN-coded.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -687,11 +693,12 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("units")
         )
     )
-    w = Window.orderBy("day_ep")
-    l = daily.withColumn("units_prev", F.lag("units", 7).over(w))
-    return l.filter(
-        F.col("units_prev").isNotNull() & (F.col("units_prev") != 0)
-    ).select(
+    prev = daily.select(
+        (F.col("day_ep") + 7).alias("day_ep"),
+        F.col("units").alias("units_prev"),
+    )
+    l = daily.join(F.broadcast(prev), "day_ep")
+    return l.filter(F.col("units_prev") != 0).select(
         "day_ep",
         rn(F.col("units") / 10000.0, 2).alias("revenue"),
         rn(F.col("units_prev") / 10000.0, 2).alias("revenue_prev_week"),

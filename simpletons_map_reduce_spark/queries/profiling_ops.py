@@ -629,23 +629,32 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ between engines), so they can never hash-match an oracle and
     — worse — aren't bit-stable across AQE re-plans.  Quantities are
     integral and discounts land on basis points, so all five moments
-    (Σx, Σx², Σy, Σy², Σxy) are BIGINT-exact and associative (bounds
-    checked: at sf1 the largest, n·Σxy, sits ~3 orders below 2^63), and
-    the final mean/var/corr are single double expressions over identical
+    (Σx, Σx², Σy, Σy², Σxy) are integer-exact and associative, and the
+    final mean/var/corr are single double expressions over identical
     integers on both engines.  One map-side-combined aggregate, one
     exchange of 5 integers per group — the cheapest possible plan, and
     the same trick rsum uses for money.
+
+    Overflow discipline: the DuckDB oracle's ``sum()`` promotes to
+    HUGEINT, but Spark LONG arithmetic wraps SILENTLY in non-ANSI mode —
+    at 100 TB the n·Σxy product blows past 2^63.  The Spark side
+    therefore accumulates the moments as DECIMAL(38,0) (exact to 10^38;
+    overflow yields NULL, which surfaces as a loudly-null output row
+    instead of a silently wrong one).  Casting the identical integers
+    decimal→double and hugeint→double is bit-equal, so hash parity is
+    unaffected.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
     )
     n = F.col("n").cast("double")
     var_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(

@@ -33,6 +33,8 @@ shipping_priority).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +46,17 @@ from .registry import register
 
 #: the fixed keyword query (mid-frequency terms of the synthetic corpus).
 QUERY_TERMS = ("spark", "merge", "vector")
+
+# The terms are interpolated raw into both the oracle SQL and the Spark
+# ``stack()`` expression (and become column names ``tf_<t>``) — a quote,
+# space, or non-identifier character would break both engines silently at
+# registration time, so reject it loudly at import (ADVICE r3).
+for _t in QUERY_TERMS:
+    if not re.fullmatch(r"[a-z]+", _t):
+        raise ValueError(
+            f"QUERY_TERMS must match [a-z]+ (raw SQL/identifier "
+            f"interpolation): {_t!r}"
+        )
 #: Okapi BM25 defaults.
 BM25_K1 = 1.2
 BM25_B = 0.75

@@ -24,6 +24,9 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Match the Spark session's pinned UTC zone — ts::TIMESTAMPTZ oracles
+    # would otherwise inherit the host OS timezone (ADVICE r3).
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF0001}/{t}.parquet'")
     yield con

@@ -142,11 +142,12 @@ def test_anomaly_mad_brute_force(spark):
         by_type.setdefault(r.event_type, []).append(r)
 
     def med_low(vals):
-        # mirror the engines' rank idiom: Spark DIV / DuckDB // truncate
-        # toward zero (Python // floors — different on negatives!), so
-        # rank = -trunc(-50n/100), the LOWER median for odd n
+        # mirror the engines' rank idiom rk = (n + 1) DIV 2: the true
+        # lower median (odd n → THE median, even n → lower of the
+        # central pair); (n+1)//2 is safe here since n+1 > 0 so Python
+        # floor and Spark/DuckDB truncation agree
         s = sorted(vals)
-        rank = -int((-50 * len(s)) / 100)
+        rank = (len(s) + 1) // 2
         return s[rank - 1]
 
     want = set()

@@ -65,6 +65,11 @@ def main() -> int:
 
     spark = get_session("check-oracle")
     con = duckdb.connect()
+    # Pin the DuckDB session timezone: ts::TIMESTAMPTZ oracles (tz_rollup)
+    # otherwise inherit the HOST OS zone, while Spark is pinned to UTC by
+    # the session factory — on a non-UTC host the gate would spuriously
+    # fail (ADVICE r3).
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written fixtures (e.g. the
         # bench's .benchdata/sf1) are directories of part files — glob those
