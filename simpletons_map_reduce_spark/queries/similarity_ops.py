@@ -140,6 +140,12 @@ FROM pairs WHERE cos_raw >= {DUP_COS_THRESHOLD}
 #: clearly-below-threshold pairs.
 PREFILTER_MARGIN = 1e-9
 
+#: embedding_dedup is O(B²) per label block BY CONTRACT (exact all-pairs);
+#: past this block size it refuses to run instead of silently doing
+#: quadratic work — 5000² = 25M pairs/block is the largest the exact path
+#: should ever score (sf1 max block ≈ 2.2k; sf10 ≈ 22k trips the guard).
+EMB_DEDUP_BLOCK_CAP = 5000
+
 
 @register("embedding_dedup", EMBEDDING_DEDUP_ORACLE, tags=("similarity",))
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,8 +159,36 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per Arrow batch, threshold − 1e-9); the fold — whose sequential
     arithmetic the DuckDB oracle mirrors bit-for-bit — re-scores only the
     survivors, which is O(true dups), not O(pairs).
+
+    Quadratic-contract guard (VERDICT r3): an O(labels) count aggregate is
+    broadcast back onto the scan, and a ``raise_error`` branch inside the
+    filter fails the JOB loudly — naming ``embedding_dedup_ann`` as the
+    scale path — the moment any block exceeds EMB_DEDUP_BLOCK_CAP.  The
+    guard lives in the PLAN (no driver-side count action), so it costs one
+    tiny hash aggregate and works unchanged on a 1000-executor cluster.
     """
     emb = _emb_with_norm(spark, sf_dir)
+    blocks = emb.groupBy("label").agg(F.count("*").alias("block_n"))
+    guard_msg = F.concat(
+        F.lit("embedding_dedup: label block '"),
+        F.col("label").cast("string"),
+        F.lit("' has "),
+        F.col("block_n").cast("string"),
+        F.lit(
+            f" vectors > cap {EMB_DEDUP_BLOCK_CAP}; exact all-pairs is "
+            "O(B^2) per block — use embedding_dedup_ann for blocks this "
+            "size"
+        ),
+    )
+    emb = (
+        emb.join(F.broadcast(blocks), "label")
+        .filter(
+            F.when(
+                F.col("block_n") <= F.lit(EMB_DEDUP_BLOCK_CAP), F.lit(True)
+            ).otherwise(F.raise_error(guard_msg))
+        )
+        .drop("block_n")
+    )
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),

@@ -168,3 +168,33 @@ def test_pair_prefilter_is_lossless_at_threshold(spark):
         .collect()
     }
     assert final == {0}, final  # the fold then applies the exact cut
+
+
+def test_embedding_dedup_block_guard(spark, monkeypatch):
+    """The quadratic-contract guard: oversized label blocks must fail the
+    job LOUDLY (naming the ANN alternative), and the driver-SF fixture
+    blocks must sit comfortably under the default cap."""
+    import pytest
+
+    from simpletons_map_reduce_spark.queries import similarity_ops as so
+
+    # (a) fixture blocks are far below the default cap
+    max_block = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .groupBy("label")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max_block <= so.EMB_DEDUP_BLOCK_CAP // 10
+
+    # (b) with the cap forced below the fixture's block size, executing the
+    # query raises with an actionable message
+    monkeypatch.setattr(so, "EMB_DEDUP_BLOCK_CAP", max_block - 1)
+    with pytest.raises(Exception, match="embedding_dedup_ann"):
+        REGISTRY["embedding_dedup"].fn(spark, SF0001).collect()
+
+    # (c) at the default cap the query still runs (guard is transparent)
+    monkeypatch.setattr(so, "EMB_DEDUP_BLOCK_CAP", 5000)
+    REGISTRY["embedding_dedup"].fn(spark, SF0001).count()
