@@ -75,21 +75,32 @@ def _pil():
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
     """Decode an image payload to an HxW[xC] uint8 array.
 
-    Real path: Pillow (``PIL.Image``), used automatically when installed.
-    Without it this raises — callers can't silently treat fake pixels as
-    real; tests use ``fake_decode``.  The error message names the
-    production dependency (pinned by tests/test_multimodal.py).
+    Decode ladder:
+    1. Pillow (``PIL.Image``) when installed — every format.
+    2. The vendored pure-Python PNG codec (``operators/png.py``, stdlib
+       zlib + numpy) — REAL decode for the one format the standard
+       library can fully express; used whenever the payload carries the
+       PNG signature.
+    3. Otherwise raise — callers can't silently treat fake pixels as
+       real; tests of non-image plumbing use ``fake_decode``.  The error
+       message names the production dependency (pinned by
+       tests/test_multimodal.py).
     """
     Image = _pil()
-    if Image is None:
-        raise NotImplementedError(
-            "decode_image requires Pillow (pip install Pillow) — not "
-            "installed in this container; use fake_decode for tests"
-        )
-    import io
+    if Image is not None:
+        import io
 
-    with Image.open(io.BytesIO(payload)) as img:
-        return np.asarray(img.convert("L") if img.mode == "1" else img)
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("L") if img.mode == "1" else img)
+    from .png import PNG_SIGNATURE, decode_png
+
+    if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "decode_image requires Pillow (pip install Pillow) for non-PNG "
+        "formats — not installed in this container; PNG payloads decode "
+        "via the vendored codec; use fake_decode for tests"
+    )
 
 
 def fake_decode(payload: bytes, mime: str) -> np.ndarray:
@@ -103,14 +114,20 @@ def fake_decode(payload: bytes, mime: str) -> np.ndarray:
     return arr.reshape(8, 8)
 
 
-def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
-    """mapInPandas feature extractor over media rows.
+def _pooled_features(img: np.ndarray) -> list[float]:
+    """FEATURE_DIM mean-pooled float32 features of a decoded image."""
+    flat = img.astype(np.float32).reshape(-1)
+    return (
+        flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)]
+        .reshape(FEATURE_DIM, -1)
+        .mean(axis=1)
+        .tolist()
+    )
 
-    Per Arrow batch: decode each payload (stub), emit (dims + FEATURE_DIM
-    mean-pooled float features).  ``strict=True`` uses the real decoder stub
-    (raises NotImplementedError — the documented production path).
-    """
-    decoder = decode_image if strict else fake_decode
+
+def _feature_kernel(decoder):
+    """mapInPandas kernel: per Arrow batch, decode each payload with
+    ``decoder`` and emit dims + pooled features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,18 +143,45 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
             ):
                 img = decoder(bytes(payload) if payload is not None else b"", mime)
                 h, w = img.shape[:2]
-                flat = img.astype(np.float32).reshape(-1)
-                pooled = flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)].reshape(
-                    FEATURE_DIM, -1
-                ).mean(axis=1)
                 out["media_id"].append(media_id)
                 out["mime"].append(mime)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["feature"].append(pooled.tolist())
+                out["feature"].append(_pooled_features(img))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, FEATURES_SCHEMA)
+    return run
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extractor over media rows.
+
+    Per Arrow batch: decode each payload, emit (dims + FEATURE_DIM
+    mean-pooled float features).  ``strict=True`` uses the real decoder
+    ladder (Pillow → vendored PNG codec → NotImplementedError for other
+    formats — the documented production path).
+    """
+    decoder = decode_image if strict else fake_decode
+    return df.mapInPandas(_feature_kernel(decoder), FEATURES_SCHEMA)
+
+
+def png_roundtrip_features(df: DataFrame) -> DataFrame:
+    """Feature extraction through a REAL PNG encode→decode roundtrip.
+
+    Each payload seeds the deterministic 8×8 pseudo-image (fake_decode),
+    which is then encoded to genuine on-disk-format PNG bytes and decoded
+    back through the PRODUCTION decode ladder (``decode_image`` — the
+    vendored zlib codec when Pillow is absent).  The roundtrip is exact,
+    so the pooled features equal ``extract_features``'s — which is what
+    lets the real codec sit under the driver's hash gate: any chunk
+    framing / DEFLATE / unfilter bug breaks the hash.
+    """
+    from .png import encode_png
+
+    def decoder(payload: bytes, mime: str) -> np.ndarray:
+        return decode_image(encode_png(fake_decode(payload, mime)), "image/png")
+
+    return df.mapInPandas(_feature_kernel(decoder), FEATURES_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

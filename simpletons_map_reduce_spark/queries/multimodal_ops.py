@@ -80,6 +80,46 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same oracle shape as media_features: the PNG roundtrip is exact, so the
+# features must equal the direct sha256-derived ones — an independent SQL
+# re-derivation that any codec bug (chunk framing, DEFLATE, unfiltering)
+# breaks.
+PNG_ROUNDTRIP_ORACLE = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       {", ".join(f"{sql_rn(_feat_sql(k), 4)} AS f{k}" for k in range(N_FEATS))}
+FROM m
+"""
+
+
+@register("png_roundtrip", PNG_ROUNDTRIP_ORACLE, tags=("multimodal",))
+def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec path under the hash gate: sha256-seeded pixels →
+    genuine PNG bytes (vendored encoder) → production decode ladder
+    (operators/png.py when Pillow is absent) → pooled features.
+
+    Hash-matching the independent digest oracle proves the vendored
+    codec's zlib framing, filters, and pixel layout are byte-exact — the
+    roundtrip can only match if decode(encode(img)) == img.  Same
+    embarrassingly-parallel scale shape as media_features (no shuffle).
+    """
+    from ..operators.multimodal import png_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = png_roundtrip_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        *[
+            rn(F.element_at("feature", k + 1).cast("double"), 4).alias(f"f{k}")
+            for k in range(N_FEATS)
+        ],
+    )
+
+
 FRAME_SAMPLE_ORACLE = """
 SELECT doc_id AS media_id,
        'text/plain' AS mime,
