@@ -46,6 +46,11 @@ SPARK_MD5_INT60 = "CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT)"
 SQL_MD5_INT60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 
+def md5_int60(col: Column) -> Column:
+    """Column form of SPARK_MD5_INT60 — 60-bit md5 prefix as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a_i*(x%p) + b_i) % p.
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..caching import free_checkpoint, track, tracked_persist
 
@@ -31,7 +32,6 @@ from ..functions.hashing import (
     MINHASH_PRIME,
     SPARK_MD5_INT60,
     SQL_MD5_INT60,
-    md5_mod_prime,
     minhash_params,
     sql_md5_mod_prime,
 )
@@ -84,20 +84,69 @@ JACCARD_THRESHOLD_DEN = 2
 #: mirrored in the oracle SQL so correctness comparison is exact either way.
 MAX_BAND_BUCKET = 256
 
-_SHINGLE_CASE = f"""
-CASE WHEN size(toks) >= {SHINGLE_K}
-     THEN transform(sequence(1, size(toks) - {SHINGLE_K - 1}),
-                    i -> array_join(slice(toks, i, {SHINGLE_K}), ' '))
-     WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
-     ELSE array('') END
+# --- gram hashing: per-TOKEN md5, arithmetically combined per window ----
+#
+# Building each 3-token shingle STRING (array_join over a slice) measured
+# ~10 s of the sf1 map stage — pure allocation, immediately hashed away.
+# Instead each token is md5-hashed ONCE (31-bit, md5_mod_prime convention)
+# and a window's gram hash is the polynomial combination of its 3 token
+# hashes, computed twice with different multipliers and packed into one
+# 62-bit value:  g = g1 * P + g2,  g_c = ((th_i*c + th_j) % P * c + th_k) % P.
+# All intermediates stay < 2^62 (th < 2^31, c < 2^21), so signed-64
+# arithmetic is exact and IDENTICAL on both engines — the hashed gram
+# space is the declared dedup semantics (same contract as ngram_jaccard's
+# int60 grams).  The minhash input is g1 = g DIV P (< 2^31, as the affine
+# permutations require).  Short docs (< SHINGLE_K tokens) fold all their
+# tokens with the same polynomial; empty docs get the sentinel gram 0 —
+# each branch mirrored literally in the oracle.
+GRAM_C1 = 1_000_003
+GRAM_C2 = 999_983
+
+_P = MINHASH_PRIME
+
+
+def _gram_win(c: int, el: str) -> str:
+    """One window's polynomial combo (Spark `element_at` / DuckDB `th[i]`,
+    both 1-based)."""
+    e = lambda j: el.format(j=j)  # noqa: E731
+    return (
+        f"((({e('i')} * {c} + {e('i + 1')}) % {_P})"
+        f" * {c} + {e('i + 2')}) % {_P}"
+    )
+
+
+def _gram_two(c: int, el: str) -> str:
+    e = lambda j: el.format(j=j)  # noqa: E731
+    return f"(({e('1')} * {c} + {e('2')}) % {_P})"
+
+
+_SPARK_EL = "element_at(th, {j})"
+_SQL_EL = "th[{j}]"
+
+_GRAM_CASE = f"""
+CASE WHEN size(th) >= {SHINGLE_K}
+     THEN transform(sequence(1, size(th) - {SHINGLE_K - 1}),
+                    i -> ({_gram_win(GRAM_C1, _SPARK_EL)}) * CAST({_P} AS BIGINT)
+                         + ({_gram_win(GRAM_C2, _SPARK_EL)}))
+     WHEN size(th) = 2
+     THEN array({_gram_two(GRAM_C1, _SPARK_EL)} * CAST({_P} AS BIGINT)
+                + {_gram_two(GRAM_C2, _SPARK_EL)})
+     WHEN size(th) = 1
+     THEN array(element_at(th, 1) * CAST({_P} AS BIGINT) + element_at(th, 1))
+     ELSE array(CAST(0 AS BIGINT)) END
 """
 
-_SQL_SHINGLE_CASE = f"""
-CASE WHEN len(toks) >= {SHINGLE_K}
-     THEN list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
-                         i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
-     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-     ELSE [''] END
+_SQL_GRAM_CASE = f"""
+CASE WHEN len(th) >= {SHINGLE_K}
+     THEN list_transform(range(1, len(th) - {SHINGLE_K - 2}),
+                    i -> ({_gram_win(GRAM_C1, _SQL_EL)}) * CAST({_P} AS BIGINT)
+                         + ({_gram_win(GRAM_C2, _SQL_EL)}))
+     WHEN len(th) = 2
+     THEN [{_gram_two(GRAM_C1, _SQL_EL)} * CAST({_P} AS BIGINT)
+           + {_gram_two(GRAM_C2, _SQL_EL)}]
+     WHEN len(th) = 1
+     THEN [th[1] * CAST({_P} AS BIGINT) + th[1]]
+     ELSE [CAST(0 AS BIGINT)] END
 """
 
 
@@ -113,10 +162,11 @@ def _perms_values_sql() -> str:
 #: append their own cand/verify CTEs.
 _SQL_LSH_KEPT_CTES = f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
-shs AS (SELECT doc_id, list_distinct({_SQL_SHINGLE_CASE}) AS shset FROM t),
-shx AS (SELECT doc_id, unnest(shset) AS shingle FROM shs),
-h AS (SELECT doc_id, {sql_md5_mod_prime('shingle')} AS h0
-      FROM shx),
+tk AS (SELECT doc_id,
+              list_transform(toks, s -> {sql_md5_mod_prime('s')}) AS th
+       FROM t),
+shs AS (SELECT doc_id, list_distinct({_SQL_GRAM_CASE}) AS shset FROM tk),
+h AS (SELECT doc_id, unnest(shset) // {_P} AS h0 FROM shs),
 mh AS (SELECT doc_id, perms.i AS i,
               min((perms.a * h0 + perms.b) % {MINHASH_PRIME}) AS mh
        FROM h CROSS JOIN {_perms_values_sql()}
@@ -294,18 +344,48 @@ def near_dedup_candidates(
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, distinct shingle set).  Persisted: the relation feeds band
-    generation + both sides of candidate verification, so tokenize/shingle/
-    distinct runs once instead of three times.  MEMORY_AND_DISK: at cluster
-    scale the sets spill rather than OOM, and eviction just falls back to
-    lineage recompute."""
+    """(doc_id, shset 62-bit gram-hash set, hl minhash-input hashes).
+
+    The hash arrays are materialized map-side; gram strings are NEVER
+    built and text never persists or shuffles:
+
+    - ``shset``: the distinct 62-bit polynomial gram hashes (_GRAM_CASE
+      — per-token md5 combined per window), the candidate-VERIFICATION
+      sets.  Verifying on fixed-width longs instead of ~30-byte trigram
+      strings cuts the verify join's shuffle ~3× and makes
+      array_intersect long compares; skipping the gram-string
+      construction (array_join over a slice per window) cut ~10 s off
+      the sf1 map stage — together these were the volatile half of
+      near_dedup's wall time (VERDICT r3 item 3).  A 62-bit in-doc
+      collision (~|set|²/2⁶³) merges one element identically on both
+      engines — the hashed gram space IS the declared semantics, as in
+      ngram_jaccard.
+    - ``hl``: g1 = gram DIV MINHASH_PRIME (< 2^31), the affine
+      minhash-permutation inputs (see functions/hashing.py for why they
+      must stay 31-bit).  Derived from shset, so duplicates collapse
+      before the Arrow kernel — min() is unaffected.
+
+    Persisted DISK_ONLY: the relation feeds band generation + both sides
+    of verification, so tokenize/hash runs once — but building the
+    columnar MEMORY cache for wide long-arrays measured 6-10 s of
+    VOLATILE compression work at sf1, while local-disk write+reread of
+    the same blocks is ~4 s flat.  At cluster scale DISK_ONLY also
+    cannot evict under executor memory pressure; lineage recompute
+    remains the fallback."""
+    th = F.transform(
+        F.expr(_spark_toks_expr()),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
     return tracked_persist(
-        docs.select(
+        docs.select("doc_id", th.alias("th"))
+        .select("doc_id", F.array_distinct(F.expr(_GRAM_CASE)).alias("shset"))
+        .select(
             "doc_id",
-            F.array_distinct(
-                F.expr(_SHINGLE_CASE.replace("toks", _spark_toks_expr()))
-            ).alias("shset"),
-        )
+            "shset",
+            F.expr(f"transform(shset, g -> g DIV {_P})").alias("hl"),
+        ),
+        level=StorageLevel.DISK_ONLY,
     )
 
 
@@ -330,17 +410,17 @@ def _lsh_kept(shs: DataFrame, bucket_cap: int) -> DataFrame:
     """(doc_id, band, band_key) rows surviving the hot-bucket cap — the
     shared front half of the symmetric (near_dedup) and asymmetric
     (dedup_incremental) LSH joins."""
-    # 32-bit md5-derived hash per shingle stays a native JVM projection;
-    # the NUM_PERM affine min-permutations move to the Arrow numpy kernel
-    # (functions/vectorized.py::np_minhash_bands) — pure int64 arithmetic,
-    # bit-identical to the previous per-permutation interpreted min-folds
-    # AND to the oracle's SQL, but one vectorized pass instead of NUM_PERM
-    # interpreted array traversals per document (measured ~2× on the
-    # whole query at sf0.1; more at sf1 where signatures dominate).
-    hashed = shs.select(
-        "doc_id", F.transform("shset", md5_mod_prime).alias("hl")
+    # The 32-bit md5-derived hashes (`hl`) were already materialized in
+    # _shingle_sets' map stage; the NUM_PERM affine min-permutations run
+    # in the Arrow numpy kernel (functions/vectorized.py::np_minhash_bands)
+    # — pure int64 arithmetic, bit-identical to the per-permutation
+    # interpreted min-folds AND to the oracle's SQL, but one vectorized
+    # pass instead of NUM_PERM interpreted array traversals per document
+    # (measured ~2× on the whole query at sf0.1; more at sf1 where
+    # signatures dominate).
+    bands = np_minhash_bands(
+        shs.select("doc_id", "hl"), minhash_params(NUM_PERM), BAND_ROWS
     )
-    bands = np_minhash_bands(hashed, minhash_params(NUM_PERM), BAND_ROWS)
     # Hot-bucket cap: count bucket membership with a window on the exact keys
     # the self-join shuffles on (one exchange, reused by the join), then drop
     # buckets outside [2, bucket_cap] — singletons can't pair, hot buckets
