@@ -7,6 +7,8 @@ contract (see plans/checks.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from simpletons_map_reduce_spark.plans import (
@@ -687,17 +689,185 @@ def test_rolling_active_users_explodes_compact_relation(spark):
     assert plan.find("Generate") < plan.rfind("HashAggregate"), plan
 
 
+#: Shuffle budget per query (VERDICT r3 item 8): the Exchange count of each
+#: declared plan, snapshotted by tools/dump_exchange_budgets.py at sf0.001.
+#: The lint below asserts count <= budget so a refactor cannot silently add
+#: a shuffle to a pinned plan; lowering a count is always fine (tighten the
+#: budget in the same commit).  Regenerate deliberately after a reviewed
+#: plan change — the diff of this dict IS the review evidence.
+EXCHANGE_BUDGET = {
+    "ann_ivf": 1,
+    "ann_lsh": 2,
+    "anomaly_mad": 3,
+    "anti_join": 0,
+    "approx_distinct": 1,
+    "approx_quantiles": 1,
+    "asof_join": 1,
+    "basket_pairs": 3,
+    "big_orders": 1,
+    "binary_meta": 0,
+    "bm25_search": 6,
+    "broadcast_join": 0,
+    "char_entropy": 0,
+    "churned_customers": 2,
+    "click_attribution": 0,
+    "cms_heavy_hitters": 2,
+    "cohort_retention": 2,
+    "contamination_check": 1,
+    "corpus_balance": 3,
+    "corpus_filter": 4,
+    "cube_agg": 1,
+    "cumulative_users": 3,
+    "customer_deciles": 6,
+    "customer_distribution": 2,
+    "dedup_apply": 3,
+    "dedup_clusters": 0,
+    "dedup_incremental": 5,
+    "dedup_report": 2,
+    "disjunctive_filter": 1,
+    "distinct_agg": 2,
+    "doc_chunks": 0,
+    "doc_fingerprint": 1,
+    "embedding_dedup": 2,
+    "embedding_dedup_ann": 1,
+    "embedding_stats": 1,
+    "event_pivot": 1,
+    "event_transitions": 2,
+    "events_hopping": 1,
+    "events_sessionize": 1,
+    "events_tumbling": 1,
+    "exact_dedup": 1,
+    "exists_orders": 1,
+    "file_stats": 1,
+    "filter_scan": 0,
+    "forecast_revenue": 1,
+    "frame_sample": 0,
+    "funnel_analysis": 2,
+    "gap_fill": 2,
+    "grouping_sets": 1,
+    "hash_join": 0,
+    "histogram_equi_depth": 1,
+    "incremental_agg": 2,
+    "incremental_join": 0,
+    "intersect_op": 1,
+    "inverted_index": 1,
+    "key_skew_profile": 3,
+    "lang_id": 2,
+    "latest_events": 1,
+    "leakage_safe_split": 4,
+    "market_share": 3,
+    "media_features": 0,
+    "merge_upsert": 3,
+    "min_cost_supplier": 2,
+    "moving_revenue": 2,
+    "mr_wordcount": 1,
+    "nation_pagerank": 16,
+    "near_dedup": 5,
+    "nested_lines": 1,
+    "ngram_containment": 5,
+    "ngram_counts": 1,
+    "ngram_jaccard": 7,
+    "overstocked_suppliers": 3,
+    "pack_sequences": 1,
+    "peak_concurrency": 4,
+    "per_file_count": 1,
+    "pii_redact": 0,
+    "pipeline_funnel": 9,
+    "png_roundtrip": 0,
+    "pricing_summary": 1,
+    "priority_pivot": 1,
+    "product_profit": 1,
+    "promo_revenue": 1,
+    "props_extract": 1,
+    "quality_calibrate": 1,
+    "quality_score": 0,
+    "quarter_recon": 2,
+    "range_join": 0,
+    "region_revenue": 3,
+    "repetition_stats": 2,
+    "returned_items": 1,
+    "revenue_unpivot": 2,
+    "rolling_active_users": 4,
+    "rollup_agg": 1,
+    "salted_join": 1,
+    "salted_window_rank": 2,
+    "sample_hash": 0,
+    "scalar_avg_filter": 2,
+    "scd_intervals": 1,
+    "semi_join": 0,
+    "shipping_priority": 1,
+    "simhash": 2,
+    "simhash_pairs": 11,
+    "similarity_topk": 1,
+    "span_dedup": 1,
+    "split_assign": 1,
+    "stats_moments": 1,
+    "stratified_sample": 1,
+    "supplier_classes": 3,
+    "supplier_revenue": 2,
+    "table_checks": 6,
+    "table_profile": 2,
+    "text_stats": 0,
+    "tfidf_topterms": 5,
+    "time_rollup": 1,
+    "token_count": 0,
+    "token_fertility": 1,
+    "top_supplier": 2,
+    "top_value_parts": 3,
+    "topk_orders": 0,
+    "triangle_count": 22,
+    "tz_rollup": 1,
+    "unigram_logprob": 4,
+    "union_except": 1,
+    "user_trend": 1,
+    "value_histogram": 1,
+    "value_percentiles": 1,
+    "vocab_coverage": 2,
+    "volume_shipping": 1,
+    "waiting_orders": 3,
+    "weighted_median": 2,
+    "weighted_sample": 0,
+    "window_rank": 1,
+    "wordcount": 1,
+    "wow_growth": 2,
+    "zipf_fit": 1,
+}
+
+_EXCHANGE_RE = re.compile(
+    r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
 def test_registry_wide_plan_lint(spark):
     """EVERY registered query's physical plan is free of the two
     unconditional scale-killers: CartesianProduct (unbounded pair
     blowup) and BatchEvalPython (row-at-a-time Python UDF).  1-row
     broadcast nested-loop joins (scalar hand-offs) and ArrowEvalPython /
     mapInPandas (vectorized kernels) remain allowed — the lint is about
-    the anti-patterns with no legitimate use in this codebase."""
+    the anti-patterns with no legitimate use in this codebase.
+
+    The same pass enforces the shuffle budget: each plan's Exchange count
+    must stay within EXCHANGE_BUDGET, and every query must have a budget
+    entry (a new query ships with its declared shuffle count)."""
     violations = {}
+    over_budget = {}
+    unbudgeted = []
     for name, q in sorted(REGISTRY.items()):
         plan = physical_plan(q.fn(spark, SF0001), "simple")
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if hits:
             violations[name] = hits
+        n_exchanges = len(_EXCHANGE_RE.findall(plan))
+        budget = EXCHANGE_BUDGET.get(name)
+        if budget is None:
+            unbudgeted.append(name)
+        elif n_exchanges > budget:
+            over_budget[name] = {"plan": n_exchanges, "budget": budget}
     assert not violations, violations
+    assert not over_budget, (
+        "shuffle budget exceeded (tools/dump_exchange_budgets.py to review): "
+        f"{over_budget}"
+    )
+    assert not unbudgeted, (
+        f"queries missing an EXCHANGE_BUDGET entry: {unbudgeted}"
+    )
