@@ -14,6 +14,8 @@ exactly the ns→us truncation DuckDB applies, keeping the oracle comparable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,9 +73,19 @@ def spread(df: DataFrame) -> DataFrame:
 
     Small local parquet files arrive as one partition, serializing any
     compute-heavy per-row operator; at production scale the scan already
-    yields thousands of partitions and this is a no-op (no extra shuffle).
+    yields thousands of partitions so the check is pointless — and its
+    ``df.rdd`` probe is itself a driver-side JavaRDD conversion per query
+    build.  Both are therefore gated: only ``local[*]`` sessions (or an
+    explicit ``SPARK_GRAFT_SPREAD=1``) ever run the probe; cluster
+    deployments return the plan untouched.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    forced = os.environ.get("SPARK_GRAFT_SPREAD")
+    if forced == "0":
+        return df
+    if forced != "1" and not spark.sparkContext.master.startswith("local"):
+        return df
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
