@@ -46,8 +46,8 @@ _PRIORITY = [
     # similarity / ANN
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
     "ann_lsh", "binary_meta",
-    # multimodal (png_roundtrip drives the REAL vendored codec)
-    "media_features", "frame_sample", "png_roundtrip",
+    # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
+    "media_features", "frame_sample", "png_roundtrip", "wav_roundtrip",
     # text battery
     "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
     "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",

@@ -184,6 +184,73 @@ def png_roundtrip_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_feature_kernel(decoder), FEATURES_SCHEMA)
 
 
+def fake_pcm(payload: bytes) -> np.ndarray:
+    """Deterministic fake audio: payload sha256 digest → 16 int16 samples.
+
+    The audio twin of ``fake_decode``: content-dependent, stable, and
+    reconstructible in SQL (hex byte pairs, little-endian, two's
+    complement) so the REAL wav codec roundtrip can sit under the
+    driver's hash gate."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return np.frombuffer(digest, dtype="<i2")
+
+
+#: Output of audio feature extraction — all integer-exact (no float policy
+#: needed): sample count, rate, peak magnitude, total energy, and
+#: sign-change count.
+AUDIO_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, "
+    "peak long, energy long, zero_cross long"
+)
+
+AUDIO_SAMPLE_RATE = 16000
+
+
+def _audio_kernel(pipeline):
+    """mapInPandas kernel: per Arrow batch, run ``pipeline`` (payload →
+    (int16 samples, rate)) and emit integer audio statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "sample_rate",
+                "peak", "energy", "zero_cross",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = pipeline(
+                    bytes(payload) if payload is not None else b""
+                )
+                s = samples.astype(np.int64)
+                nonneg = s >= 0
+                out["media_id"].append(media_id)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(rate)
+                out["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["energy"].append(int((s * s).sum()))
+                out["zero_cross"].append(int((nonneg[:-1] != nonneg[1:]).sum()))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def wav_roundtrip_stats(df: DataFrame) -> DataFrame:
+    """Audio statistics through a REAL WAV encode→decode roundtrip.
+
+    Each payload seeds 16 deterministic int16 PCM samples (``fake_pcm``),
+    encoded to genuine RIFF/WAVE bytes (stdlib ``wave`` writer) and decoded
+    back through the independent hand-written RIFF parser
+    (``operators/wav.py::decode_wav``).  The roundtrip is sample-exact, so
+    the integer stats equal the digest-derived ones — which lets the real
+    audio codec sit under the driver's hash gate: any header, framing, or
+    endianness bug breaks the hash."""
+    from .wav import decode_wav, encode_wav
+
+    def pipeline(payload: bytes):
+        return decode_wav(encode_wav(fake_pcm(payload), AUDIO_SAMPLE_RATE))
+
+    return df.mapInPandas(_audio_kernel(pipeline), AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Deterministic frame sampling for video-like media: keep rows whose
     media_id ≡ 0 (mod every_n).  A stand-in for per-file frame extraction —

@@ -120,6 +120,59 @@ def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of fake_pcm + the integer audio stats: sample j of the fake
+# PCM is digest bytes (2j, 2j+1) little-endian two's complement; the REAL
+# wav codec roundtrip (stdlib RIFF writer → independent chunk-parser
+# reader) is sample-exact, so the stats must equal this independent hex
+# re-derivation — any framing/endianness bug in operators/wav.py breaks
+# the hash.
+_N_SAMP = 16
+
+
+def _samp_sql(j: int) -> str:
+    lo = _BYTE.format(p=4 * j + 1)
+    hi = _BYTE.format(p=4 * j + 3)
+    return f"(CASE WHEN {hi} >= 128 THEN -65536 ELSE 0 END + {lo} + 256 * {hi})"
+
+
+def _wav_oracle() -> str:
+    samples = ", ".join(f"{_samp_sql(j)} AS s{j}" for j in range(_N_SAMP))
+    peak = "greatest(" + ", ".join(f"abs(s{j})" for j in range(_N_SAMP)) + ")"
+    energy = " + ".join(f"s{j} * s{j}" for j in range(_N_SAMP))
+    zc = " + ".join(
+        f"(CASE WHEN (s{j} >= 0) <> (s{j + 1} >= 0) THEN 1 ELSE 0 END)"
+        for j in range(_N_SAMP - 1)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+s AS (SELECT media_id, {samples} FROM m)
+SELECT media_id,
+       CAST({_N_SAMP} AS INTEGER) AS n_samples,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST({peak} AS BIGINT) AS peak,
+       CAST({energy} AS BIGINT) AS energy,
+       CAST({zc} AS BIGINT) AS zero_cross
+FROM s
+"""
+
+
+@register("wav_roundtrip", _wav_oracle(), tags=("multimodal",))
+def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec path under the hash gate: sha256-seeded int16 PCM →
+    genuine RIFF/WAVE bytes (stdlib writer) → independent RIFF chunk-parser
+    decode (operators/wav.py) → integer audio stats (peak, energy, zero
+    crossings — no float policy needed).
+
+    Same embarrassingly-parallel scale shape as media_features: payload
+    pruned until the mapInPandas stage, one Arrow batch of payloads per
+    Python call, O(media) fixed-width output rows, zero shuffles.
+    """
+    from ..operators.multimodal import wav_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_roundtrip_stats(documents_as_media(docs))
+
+
 FRAME_SAMPLE_ORACLE = """
 SELECT doc_id AS media_id,
        'text/plain' AS mime,

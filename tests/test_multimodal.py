@@ -71,3 +71,64 @@ def test_frame_sample(media):
     sampled = mm.frame_sample(media, every_n=10)
     ids = [r.media_id for r in sampled.select("media_id").collect()]
     assert ids and all(i % 10 == 0 for i in ids)
+
+
+# ---- WAV codec (operators/wav.py): the real audio decode path ------------
+
+
+def test_wav_roundtrip_exact():
+    """decode(encode(x)) is sample-exact for mono int16 PCM."""
+    import numpy as np
+
+    from simpletons_map_reduce_spark.operators.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=1000, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(samples, sample_rate=22050))
+    assert rate == 22050
+    assert np.array_equal(out, samples)
+
+
+def test_wav_decoder_skips_unknown_chunks():
+    """A LIST/INFO metadata chunk between fmt and data must be skipped."""
+    import numpy as np
+
+    from simpletons_map_reduce_spark.operators.wav import decode_wav, encode_wav
+
+    samples = np.array([1, -2, 300, -32768], dtype=np.int16)
+    raw = encode_wav(samples)
+    # splice a 6-byte LIST chunk (odd size → word-aligned pad) before data
+    data_at = raw.index(b"data")
+    fake = b"LIST" + (5).to_bytes(4, "little") + b"INFOX" + b"\x00"
+    spliced = raw[:data_at] + fake + raw[data_at:]
+    out, rate = decode_wav(spliced)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_decoder_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from simpletons_map_reduce_spark.operators.wav import decode_wav, encode_wav
+
+    raw = bytearray(encode_wav(np.array([0, 1], dtype=np.int16)))
+    fmt_at = raw.index(b"fmt ")
+    struct.pack_into("<H", raw, fmt_at + 8, 3)  # format tag 3 = IEEE float
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+
+
+def test_fake_pcm_matches_digest():
+    """fake_pcm is exactly the sha256 digest as little-endian int16."""
+    import hashlib
+
+    import numpy as np
+
+    payload = b"hello audio"
+    want = np.frombuffer(hashlib.sha256(payload).digest(), dtype="<i2")
+    assert np.array_equal(mm.fake_pcm(payload), want)
+    assert len(mm.fake_pcm(payload)) == 16

@@ -825,6 +825,7 @@ EXCHANGE_BUDGET = {
     "vocab_coverage": 2,
     "volume_shipping": 1,
     "waiting_orders": 3,
+    "wav_roundtrip": 0,
     "weighted_median": 2,
     "weighted_sample": 0,
     "window_rank": 1,
