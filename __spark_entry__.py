@@ -45,7 +45,7 @@ _PRIORITY = [
     "ngram_containment", "dedup_report",
     # similarity / ANN
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
-    "ann_lsh", "binary_meta",
+    "ann_lsh", "ann_pq", "binary_meta",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
     "media_features", "frame_sample", "png_roundtrip", "wav_roundtrip",
     # text battery

@@ -281,3 +281,259 @@ def np_minhash_bands(
     return df.select("doc_id", "hl").mapInPandas(
         kernel, "doc_id long, band int, band_key string"
     )
+
+
+# ---- Product quantization (ann_pq) ---------------------------------------
+#
+# PQ is the memory-bound scale path for vector search: each vector is
+# stored as PQ_M uint8 codes instead of EMB_DIM doubles (64x smaller at
+# dim=64, m=8), the scan computes table lookups instead of dot products,
+# and only per-partition top-C survivors reach the shuffle.  Codebooks and
+# query vectors ship through the same executor-written parquet hand-off as
+# the IVF centroids — never collected to the driver.
+#
+# Everything operates on UNIT vectors (v / ||v||): for unit vectors
+# ||q - x||^2 = 2 - 2cos(q, x), so ascending L2-ADC order is descending
+# cosine order and the exact re-rank stays in cosine space.
+
+_PQ_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+_PQ_QUERY_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def pq_train_codebook(
+    emb: DataFrame, m: int, k: int, sample_cap: int = 4096
+) -> DataFrame:
+    """Learn PQ codebooks on a deterministic sample: one single-partition
+    mapInPandas task runs per-subspace Lloyd iterations and emits
+    (sub, code, center) rows — executor-side training, driver never sees a
+    vector.  Init = the first k sample sub-vectors in vec_id order; argmin
+    ties break to the lowest code (numpy first-min)."""
+    import pandas as pd  # local import: executors re-import per worker
+
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(sample_cap)
+        .select("vec_id", "v", "nv")
+        .coalesce(1)
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        b = pd.concat(parts).sort_values("vec_id")
+        X = np.stack(b["v"].to_numpy()).astype(np.float64)
+        nv = b["nv"].to_numpy(dtype=np.float64)
+        X = X / np.where(nv == 0.0, 1.0, nv)[:, None]
+        n, dim = X.shape
+        dsub = dim // m
+        subs, codes, centers = [], [], []
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            kk = min(k, n)
+            C = Xs[:kk].copy()
+            for _ in range(5):
+                d2 = (
+                    -2.0 * (Xs @ C.T)
+                    + np.einsum("ij,ij->i", C, C)[None, :]
+                )
+                a = np.argmin(d2, axis=1)  # first min = lowest code
+                for c in range(kk):
+                    mask = a == c
+                    if mask.any():
+                        C[c] = Xs[mask].mean(axis=0)
+            for c in range(kk):
+                subs.append(s)
+                codes.append(c)
+                centers.append(C[c].tolist())
+        yield pd.DataFrame({"sub": subs, "code": codes, "center": centers})
+
+    return sample.mapInPandas(kernel, "sub int, code int, center array<double>")
+
+
+def write_pq_model(codebook: DataFrame) -> str:
+    """Persist (sub, code, center) codebook rows for executor-side loads."""
+    root = os.environ.get("SPARK_GRAFT_MODEL_DIR", tempfile.gettempdir())
+    path = os.path.join(root, f"spark-graft-pq-{uuid.uuid4().hex}")
+    codebook.select("sub", "code", "center").write.parquet(path)
+    return path
+
+
+def _load_pq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(CB[m, k, dsub], cnorm2[m, k]) from the parquet hand-off, cached
+    per worker process."""
+    got = _PQ_CACHE.get(path)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(path).to_pydict()
+        sub = np.asarray(d["sub"], dtype=np.int64)
+        code = np.asarray(d["code"], dtype=np.int64)
+        m = int(sub.max()) + 1
+        k = int(code.max()) + 1
+        dsub = len(d["center"][0])
+        CB = np.zeros((m, k, dsub), dtype=np.float64)
+        for i in range(len(sub)):
+            CB[sub[i], code[i]] = np.asarray(d["center"][i], dtype=np.float64)
+        got = (CB, np.einsum("mkd,mkd->mk", CB, CB))
+        _PQ_CACHE[path] = got
+    return got
+
+
+def write_pq_queries(queries: DataFrame) -> str:
+    """Persist the (query_id, qv, nq) query set for executor-side loads."""
+    root = os.environ.get("SPARK_GRAFT_MODEL_DIR", tempfile.gettempdir())
+    path = os.path.join(root, f"spark-graft-pqq-{uuid.uuid4().hex}")
+    queries.select("query_id", "qv", "nq").write.parquet(path)
+    return path
+
+
+def _load_pq_queries(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(query_ids, Q unit vectors) cached per worker process."""
+    got = _PQ_QUERY_CACHE.get(path)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(path).to_pydict()
+        order = np.argsort(np.asarray(d["query_id"], dtype=np.int64))
+        qids = np.asarray(d["query_id"], dtype=np.int64)[order]
+        Q = np.stack([np.asarray(d["qv"][i], dtype=np.float64) for i in order])
+        nq = np.asarray(d["nq"], dtype=np.float64)[order]
+        Q = Q / np.where(nq == 0.0, 1.0, nq)[:, None]
+        got = (qids, Q)
+        _PQ_QUERY_CACHE[path] = got
+    return got
+
+
+def np_pq_encode(emb: DataFrame, model_path: str) -> DataFrame:
+    """(vec_id, codes array<int>) — per batch, reshape unit vectors into
+    subspaces and argmin against each codebook (one matmul per subspace).
+    Narrow: no shuffle; the 64-dim payload dies here."""
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        CB, cn2 = _load_pq_model(model_path)
+        m, k, dsub = CB.shape
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.stack(b["v"].to_numpy()).astype(np.float64)
+            nv = b["nv"].to_numpy(dtype=np.float64)
+            X = X / np.where(nv == 0.0, 1.0, nv)[:, None]
+            codes = np.empty((len(b), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (Xs @ CB[s].T) + cn2[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "v", "nv").mapInPandas(
+        kernel, "vec_id long, codes array<int>"
+    )
+
+
+def np_pq_scan(
+    codes_df: DataFrame, model_path: str, queries_path: str, top_c: int
+) -> DataFrame:
+    """(query_id, vec_id, adc) asymmetric-distance scan with per-partition
+    pruning: each Arrow batch computes every query's distance table ONCE
+    (m×k lookups thereafter) and emits only the local top_c candidates per
+    query — the shuffle carries O(partitions × queries × top_c) rows, not
+    O(n × queries)."""
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        CB, _ = _load_pq_model(model_path)
+        qids, Q = _load_pq_queries(queries_path)
+        m, k, dsub = CB.shape
+        # T[q, s, c] = ||Q[q, s] - CB[s, c]||^2
+        diff = Q.reshape(len(qids), m, 1, dsub) - CB[None, :, :, :]
+        T = np.einsum("qskd,qskd->qsk", diff, diff)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            codes = np.stack(b["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            vec_ids = b["vec_id"].to_numpy()
+            # adc[q, i] = sum_s T[q, s, codes[i, s]]
+            adc = T[:, np.arange(m)[None, :], codes].sum(axis=2)
+            c = min(top_c, adc.shape[1])
+            idx = np.argpartition(adc, c - 1, axis=1)[:, :c]
+            rows_q = np.repeat(qids, c)
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q,
+                    "vec_id": vec_ids[idx.ravel()],
+                    "adc": np.take_along_axis(adc, idx, axis=1).ravel(),
+                }
+            )
+
+    return codes_df.mapInPandas(
+        kernel, "query_id long, vec_id long, adc double"
+    )
+
+
+def np_block_pairs(assigned: DataFrame, min_cos: float) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) near-dup pairs scored INSIDE each cluster
+    block — pair rows that fail the threshold never exist.
+
+    The naive shape (materialize candidate pairs, then join both 64-dim
+    vectors back on) shuffles O(pairs) rows with a 512-byte payload —
+    measured at sf10 that spilled ~77 GB and filled the disk.  Here the
+    only shuffle is the ``applyInPandas`` groupBy of the (vec_id, v, nv)
+    assignment relation itself (O(n) fat rows); each block computes its
+    pairwise cosines as ONE chunked BLAS matmul and emits just the
+    surviving (ids, score) rows.  Chunking bounds kernel memory at
+    CHUNK × |block| doubles, so a pathologically hot block degrades to
+    more chunks, not an OOM.  Scores are numpy doubles rounded with the
+    same floor(x·1e6 + 0.5) rule as functions/rounding.py — within
+    O(dim·eps) of the sequential fold, which is inside this operator's
+    rows-only contract (recall pinned in tests, not bitwise score parity).
+    """
+    import pandas as pd  # local import: executors re-import per worker
+
+    CHUNK = 1024
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nv = pdf["nv"].to_numpy(dtype=np.float64)
+        Xn = X / np.where(nv == 0.0, 1.0, nv)[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for c0 in range(0, n, CHUNK):
+            c1 = min(c0 + CHUNK, n)
+            C = Xn[c0:c1] @ Xn.T  # (chunk, n)
+            # keep strictly-upper pairs (row index < col index globally)
+            rows, cols = np.nonzero(C >= min_cos)
+            grows = rows + c0
+            keep = grows < cols
+            if not keep.any():
+                continue
+            ia, ib = ids[grows[keep]], ids[cols[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(C[rows[keep], cols[keep]])
+        if not out_a:
+            return empty
+        cos = np.concatenate(out_c)
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_sim": np.floor(cos * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return assigned.select("cluster", "vec_id", "v", "nv").groupBy(
+        "cluster"
+    ).applyInPandas(score, "vec_a long, vec_b long, cos_sim double")

@@ -216,7 +216,13 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-K_CAP = 96        # centroid-count ceiling (k = min(⌈√n⌉, K_CAP))
+#: Centroid-count ceiling (k = min(⌈√n⌉, K_CAP)).  Must stay ≥ √n for the
+#: O(n^1.5) pair-work contract of embedding_dedup_ann to hold: at sf10
+#: (200k vectors) the old cap of 96 made blocks ~2k vectors → ~800M
+#: candidate pairs and a >15 min stall; 1024 keeps k = √n up to n = 1M
+#: (the centroid relation is ≤ 1024 × 64 doubles ≈ 0.5 MB — trivially
+#: broadcastable at any cap we'd set).
+K_CAP = 1024
 TRAIN_PER_CENT = 50  # Lloyd trains on ~TRAIN_PER_CENT × k sampled vectors
 MIN_NPROBE = 6
 KMEANS_ITERS = 2  # Lloyd rounds; centroids move little after 2 on this data
@@ -380,50 +386,106 @@ def embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
     """IVF-blocked near-dup pairs over a persisted (vec_id, v, nv)
-    relation (exposed so tests can plant duplicate corpora)."""
+    relation (exposed so tests can plant duplicate corpora).
+
+    Shape (the one that survived sf10 — see SCALE.md): top-2 cluster
+    assignment CARRIES the vectors, and all pair scoring happens inside
+    the per-cluster ``applyInPandas`` kernel (np_block_pairs: one chunked
+    BLAS matmul per block, only surviving pairs are ever emitted as
+    rows).  Two earlier shapes failed at 100× scale and are recorded so
+    they don't come back: (1) ids-only candidate join + vector re-join —
+    the re-join shuffles O(pairs) rows with a 512-byte payload (~77 GB
+    of sort spill at sf10, disk full); (2) the same join with
+    shuffle_hash hints — no sort, but the SECOND vector join still
+    shuffles every pair carrying the first vector.  Here the only
+    shuffles are the O(n) groupBy of the assignment relation and the
+    final O(true dups) pair dedup (min-agg, so a pair straddling two
+    shared clusters keeps one deterministic score).
+    """
     n = emb.count()
     k = min(int(n**0.5) + 1, K_CAP)
     cents = _lloyd_centroids(emb, n, k)
-    # Top-2 assignment vectorized the same way as ann_ivf's argmax pass —
-    # one matmul + stable argsort per Arrow batch, ids-only output (the
-    # candidate join never needs the vectors); the model ships via the
-    # executor-side parquet hand-off, not a driver collect.
-    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=False).select(
-        "vec_id", "cluster"
+    from ..functions.vectorized import np_block_pairs
+
+    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True).select(
+        "cluster", "vec_id", "v", "nv"
     )
-    # candidate ids only — vectors re-join after the pair dedup, so the
-    # cluster self-join never shuffles 64-dim payloads
-    cand = (
-        assigned.alias("a")
-        .join(
-            assigned.alias("b"),
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    pairs = np_block_pairs(assigned, DUP_COS_THRESHOLD)
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.min("cos_sim").alias("cos_sim")
+    )
+
+
+PQ_M = 8          # subspaces (EMB_DIM 64 → 8 dims each)
+PQ_K = 16         # codewords per subspace (4-bit codes)
+PQ_TOP_C = 50     # ADC candidates re-ranked exactly per query
+
+
+@register("ann_pq", None, tags=("similarity",))
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the MEMORY-bound scale path
+    (approximate → rows-only; recall pinned in tests/test_similarity.py).
+
+    IVF (ann_ivf) cuts how many vectors each query touches; PQ cuts what
+    each vector COSTS: the corpus is stored as PQ_M uint8 codes (8 bytes
+    vs 512 for 64 doubles — the compression that lets a 100 TB embedding
+    corpus live in cluster memory), and the scan computes per-subspace
+    table lookups instead of dot products.  Build: codebooks learned
+    per-subspace on a deterministic sample in ONE executor-side task
+    (pq_train_codebook), handed off as parquet — never collected to the
+    driver.  Encode: one narrow Arrow pass, after which the 64-dim
+    payload is never read again.  Search: asymmetric distance (unit
+    vectors, so L2-ADC ascending = cosine descending) with PER-PARTITION
+    top-C pruning — the shuffle carries O(partitions × queries × C) rows,
+    not O(n × queries) — then the ≤ queries×C survivors re-rank through
+    the EXACT JVM cosine fold, so emitted scores are true cosines and
+    only recall is approximate.  Output schema = similarity_topk.
+    """
+    from ..functions.vectorized import (
+        np_pq_encode,
+        np_pq_scan,
+        pq_train_codebook,
+        write_pq_model,
+        write_pq_queries,
+    )
+
+    emb = tracked_persist(_emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    model_path = write_pq_model(pq_train_codebook(emb, PQ_M, PQ_K))
+    queries_path = write_pq_queries(queries)
+    codes = np_pq_encode(emb, model_path)
+    cand = np_pq_scan(codes, model_path, queries_path, PQ_TOP_C)
+    cw = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    survivors = (
+        cand.withColumn("crk", F.row_number().over(cw))
+        .filter((F.col("crk") <= PQ_TOP_C) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        emb.join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(queries), "query_id")
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rn(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("nq"), F.col("nv")
+                ),
+                6,
+            ).alias("score"),
         )
-        .distinct()
     )
-    va = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    vb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    cos_raw = cosine_from_parts(
-        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
-        .select("vec_a", "vec_b", rn(F.col("cos_raw"), 6).alias("cos_sim"))
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "score", "rk")
     )
 
 

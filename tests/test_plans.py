@@ -698,6 +698,7 @@ def test_rolling_active_users_explodes_compact_relation(spark):
 EXCHANGE_BUDGET = {
     "ann_ivf": 1,
     "ann_lsh": 2,
+    "ann_pq": 2,
     "anomaly_mad": 3,
     "anti_join": 0,
     "approx_distinct": 1,
@@ -729,7 +730,7 @@ EXCHANGE_BUDGET = {
     "doc_chunks": 0,
     "doc_fingerprint": 1,
     "embedding_dedup": 2,
-    "embedding_dedup_ann": 1,
+    "embedding_dedup_ann": 2,
     "embedding_stats": 1,
     "event_pivot": 1,
     "event_transitions": 2,

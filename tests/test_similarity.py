@@ -198,3 +198,23 @@ def test_embedding_dedup_block_guard(spark, monkeypatch):
     # (c) at the default cap the query still runs (guard is transparent)
     monkeypatch.setattr(so, "EMB_DEDUP_BLOCK_CAP", 5000)
     REGISTRY["embedding_dedup"].fn(spark, SF0001).count()
+
+
+def test_ann_pq_recall_and_exact_rescoring(spark):
+    """PQ ADC + exact re-rank: recall vs the exact answer, AND every
+    emitted score must equal the exact operator's score for that pair
+    (the re-rank runs the true cosine fold, so PQ can only lose
+    neighbors, never mis-score them)."""
+    exact_rows = REGISTRY["similarity_topk"].fn(spark, SF0001).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact_rows}
+    pq_rows = REGISTRY["ann_pq"].fn(spark, SF0001).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    recall = len(exact & approx) / len(exact)
+    # measured 0.68-0.74 at sf0.001/sf0.01 with m=8, k=16, C=50; floor
+    # pinned below measured so a broken codebook/ADC shows, jitter doesn't.
+    assert recall >= 0.55, f"ann_pq recall {recall:.2f}"
+    for r in pq_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.score == exact_scores[key], key

@@ -1,0 +1,65 @@
+"""Big-SF stress for the candidate-pair family (VERDICT r3 item 6).
+
+The caps that keep the pair-generating operators sub-quadratic (LSH band
+buckets, PPJoin prefix filters, IVF cells) are all verified at sf0.01 /
+sf1; this tool runs the family at 100× the graded scale (sf10 — built by
+``tools/make_bigdata.py --copies 100``) and reports wall time AND output
+cardinality per op, so superlinear candidate growth the caps miss shows
+up as a number, not a hunch.
+
+Note on the fixture's shape: make_bigdata gives every original document
+``copies-1`` near-dup replicas, so the TRUE pair count itself grows
+quadratically in ``copies`` (10-doc groups at sf1 → 45 pairs/group;
+100-doc groups at sf10 → 4950/group).  The scale criterion is therefore
+pairs-proportional work (wall ∝ emitted pairs), not wall ∝ rows.
+
+    python tools/stress_bigsf.py --sf-dir /root/repo/.benchdata/sf10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from simpletons_map_reduce_spark.caching import release_persisted  # noqa: E402
+from simpletons_map_reduce_spark.queries import REGISTRY  # noqa: E402
+from simpletons_map_reduce_spark.session import get_session  # noqa: E402
+
+#: the ops whose cost is driven by candidate-pair generation.
+FAMILY = [
+    "near_dedup",
+    "ngram_jaccard",
+    "dedup_clusters",
+    "dedup_apply",
+    "embedding_dedup_ann",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/.benchdata/sf10")
+    ap.add_argument("--ops", nargs="*", default=FAMILY)
+    args = ap.parse_args()
+
+    spark = get_session("stress-bigsf")
+    # warm-up: footers + python worker pool (see bench.py)
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{args.sf_dir}/{t}.parquet").count()
+
+    out = {}
+    for name in args.ops:
+        t0 = time.time()
+        n = REGISTRY[name].fn(spark, args.sf_dir).count()
+        out[name] = {"wall_s": round(time.time() - t0, 1), "rows": n}
+        release_persisted()
+        print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+    print(json.dumps({"sf_dir": args.sf_dir, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
