@@ -45,19 +45,19 @@ _PRIORITY = [
     "ngram_containment", "dedup_report",
     # similarity / ANN
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
-    "ann_lsh", "ann_pq", "binary_meta",
+    "ann_lsh", "ann_pq",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
     "media_features", "frame_sample", "png_roundtrip", "wav_roundtrip",
     # text battery
     "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
     "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",
-    "char_entropy", "quality_calibrate",
+    "quality_calibrate",
     # corpus LM stats
     "unigram_logprob", "vocab_coverage", "zipf_fit", "span_dedup",
     "token_fertility",
     # search + pipeline + sampling + sketch + packing
     "bm25_search", "corpus_filter", "contamination_check", "pipeline_funnel",
-    "sample_hash", "stratified_sample", "split_assign", "weighted_sample",
+    "stratified_sample", "split_assign", "weighted_sample",
     "leakage_safe_split", "cms_heavy_hitters", "pack_sequences",
 ]
 
