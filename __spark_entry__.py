@@ -45,9 +45,9 @@ _PRIORITY = [
     "ngram_containment", "dedup_report",
     # similarity / ANN
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
-    "ann_lsh", "ann_pq",
+    "ann_lsh", "ann_pq", "semantic_prune",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
-    "media_features", "frame_sample", "png_roundtrip", "wav_roundtrip",
+    "media_features", "png_roundtrip", "wav_roundtrip",
     # text battery
     "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
     "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",

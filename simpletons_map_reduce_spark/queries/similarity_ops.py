@@ -416,6 +416,71 @@ def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
+SEMANTIC_PRUNE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.v', 'b.v')} AS cos_raw
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dropped AS (SELECT DISTINCT vec_b AS vec_id FROM pairs
+            WHERE cos_raw >= {DUP_COS_THRESHOLD})
+SELECT e.vec_id, e.label,
+       CAST(count(*) OVER (PARTITION BY e.label) AS BIGINT) AS kept_in_label
+FROM e ANTI JOIN dropped d ON e.vec_id = d.vec_id
+"""
+
+
+@register("semantic_prune", SEMANTIC_PRUNE_ORACLE, tags=("similarity",))
+def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style corpus pruning: drop every vector that has a
+    LOWER-id neighbor above the duplicate threshold in its block; the
+    survivors are the semantic representatives a training run keeps.
+
+    Policy is deliberately order-deterministic (drop b of every (a<b)
+    above-threshold pair) rather than sequential-greedy, so the oracle can
+    mirror it exactly and a 1000-way parallel run keeps the same answer —
+    sequential greediness would make the kept-set depend on visit order.
+    Composes the exact pair relation (same lossless einsum prefilter and
+    fold re-score as embedding_dedup), then one broadcast anti-join: the
+    corpus scan streams once, dropped ids are O(dups).  The ANN twin at
+    scale swaps the label blocks for learned IVF clusters exactly as
+    embedding_dedup_ann does.
+    """
+    emb = tracked_persist(_emb_with_norm(spark, sf_dir))
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b", "va", "na", "vb", "nb")
+    surv = np_pair_prefilter(pairs, DUP_COS_THRESHOLD - PREFILTER_MARGIN)
+    cos_raw = cosine_from_parts(
+        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    dropped = (
+        surv.select("vec_b", cos_raw.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+    w = Window.partitionBy("label")
+    return kept.select(
+        "vec_id", "label", F.count("*").over(w).cast("long").alias("kept_in_label")
+    )
+
+
 PQ_M = 8          # subspaces (EMB_DIM 64 → 8 dims each)
 PQ_K = 16         # codewords per subspace (4-bit codes)
 PQ_TOP_C = 50     # ADC candidates re-ranked exactly per query
