@@ -445,9 +445,32 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold re-score as embedding_dedup), then one broadcast anti-join: the
     corpus scan streams once, dropped ids are O(dups).  The ANN twin at
     scale swaps the label blocks for learned IVF clusters exactly as
-    embedding_dedup_ann does.
+    embedding_dedup_ann does.  Carries embedding_dedup's in-plan
+    block-size guard: past EMB_DEDUP_BLOCK_CAP vectors per label the job
+    fails loudly instead of silently scoring O(B²) pairs.
     """
     emb = tracked_persist(_emb_with_norm(spark, sf_dir))
+    blocks = emb.groupBy("label").agg(F.count("*").alias("block_n"))
+    guard_msg = F.concat(
+        F.lit("semantic_prune: label block '"),
+        F.col("label").cast("string"),
+        F.lit("' has "),
+        F.col("block_n").cast("string"),
+        F.lit(
+            f" vectors > cap {EMB_DEDUP_BLOCK_CAP}; exact all-pairs is "
+            "O(B^2) per block — swap the label blocks for learned IVF "
+            "clusters (embedding_dedup_ann's shape) at this size"
+        ),
+    )
+    emb = (
+        emb.join(F.broadcast(blocks), "label")
+        .filter(
+            F.when(
+                F.col("block_n") <= F.lit(EMB_DEDUP_BLOCK_CAP), F.lit(True)
+            ).otherwise(F.raise_error(guard_msg))
+        )
+        .drop("block_n")
+    )
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),

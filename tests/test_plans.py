@@ -795,7 +795,7 @@ EXCHANGE_BUDGET = {
     "sample_hash": 0,
     "scalar_avg_filter": 2,
     "scd_intervals": 1,
-    "semantic_prune": 2,
+    "semantic_prune": 5,
     "semi_join": 0,
     "shipping_priority": 1,
     "simhash": 2,

@@ -218,3 +218,36 @@ def test_ann_pq_recall_and_exact_rescoring(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert r.score == exact_scores[key], key
+
+
+def test_semantic_prune_block_guard_and_semantics(spark, monkeypatch):
+    """semantic_prune carries the same quadratic-contract guard as
+    embedding_dedup, and its kept-set is exactly corpus minus the
+    vec_b side of the exact above-threshold pair relation."""
+    import pytest
+
+    from simpletons_map_reduce_spark.queries import similarity_ops as so
+
+    kept = {r.vec_id for r in REGISTRY["semantic_prune"].fn(spark, SF0001).collect()}
+    dup_bs = {
+        r.vec_b for r in REGISTRY["embedding_dedup"].fn(spark, SF0001).collect()
+    }
+    all_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert kept == all_ids - dup_bs
+
+    max_block = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .groupBy("label")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+        .m
+    )
+    monkeypatch.setattr(so, "EMB_DEDUP_BLOCK_CAP", max_block - 1)
+    with pytest.raises(Exception, match="IVF"):
+        REGISTRY["semantic_prune"].fn(spark, SF0001).collect()
