@@ -41,13 +41,13 @@ _PRIORITY = [
     "wordcount", "inverted_index", "per_file_count", "file_stats", "mr_wordcount",
     # dedup family
     "exact_dedup", "near_dedup", "dedup_incremental", "ngram_jaccard",
-    "simhash", "simhash_pairs", "dedup_apply", "dedup_clusters",
+    "simhash", "dedup_apply", "dedup_clusters",
     "ngram_containment", "dedup_report",
     # similarity / ANN
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
     "ann_lsh", "ann_pq", "semantic_prune",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
-    "media_features", "png_roundtrip", "wav_roundtrip",
+    "media_features", "media_dedup", "png_roundtrip", "wav_roundtrip",
     # text battery
     "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
     "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",

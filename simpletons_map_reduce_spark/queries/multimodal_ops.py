@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn, sql_rn
+from ..functions.vectors import sql_cosine
 from ..operators.multimodal import documents_as_media, extract_features
 from ..sources.tables import load_table
 from .registry import register
@@ -198,4 +199,119 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = frame_sample(documents_as_media(docs), every_n=10)
     return media.select(
         "media_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# media_dedup: near-duplicate media via DECODED features — the
+# multimodal → similarity composition an image-dedup pipeline runs
+# (decode → pooled features → blocked pair cosine).
+# ---------------------------------------------------------------------------
+
+#: cosine threshold over the 8 leading pooled features (the digest repeats
+#: after 32 bytes, so features 8..15 mirror 0..7 and carry no information).
+#: All-positive mean-of-bytes vectors concentrate high: within-source p99
+#: ≈ 0.986 at sf0.01, so 0.99 keeps ~the top percent of pairs.
+MEDIA_DEDUP_TAU = 0.99
+N_MEDIA_FEATS = 8
+
+#: same quadratic-block contract as embedding_dedup: exact all-pairs per
+#: source block refuses to run past this size (sf10 source blocks ~25k
+#: would be O(B²); swap the block key for LSH/IVF exactly as the
+#: embedding family does).
+MEDIA_BLOCK_CAP = 5000
+
+
+def _media_dedup_oracle() -> str:
+    feats = ", ".join(f"{_feat_sql(k)} AS f{k}" for k in range(N_MEDIA_FEATS))
+    arr = "[" + ", ".join(f"f{k}" for k in range(N_MEDIA_FEATS)) + "]"
+    return f"""
+WITH m AS (SELECT doc_id, source, sha256(text) AS hx FROM documents),
+f AS (SELECT doc_id, source, {feats} FROM m),
+v AS (SELECT doc_id, source, {arr}::DOUBLE[] AS v FROM f),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {sql_cosine('a.v', 'b.v')} AS cos
+      FROM v a JOIN v b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, {sql_rn('cos', 6)} AS cos_sim
+FROM p WHERE cos >= {MEDIA_DEDUP_TAU}
+"""
+
+
+@register("media_dedup", _media_dedup_oracle(), tags=("multimodal", "dedup"))
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection over DECODED pooled features,
+    blocked by source — hash-checked end-to-end through the Arrow decode
+    kernel.
+
+    The pipeline an image-dedup job runs: decode payloads (mapInPandas,
+    deterministic fake decoder — same contract as media_features),
+    mean-pool to a feature vector, then pair vectors within a block and
+    keep cosine >= MEDIA_DEDUP_TAU.  The pooled float32 means are exact
+    (sums of 4 uint8, power-of-two divide), so the DuckDB oracle
+    re-derives the SAME doubles from the digest hex and the sequential
+    cosine folds agree bit-for-bit — the whole decode → feature → pair
+    path sits under the hash gate.  Feature vectors are 64 bytes, so
+    unlike raw-embedding pair joins the blocked self-join's payload is
+    trivially shuffle-safe.  Carries the family's in-plan block-size
+    guard (raise past MEDIA_BLOCK_CAP rows per source).
+    """
+    from ..functions.vectors import cosine_from_parts, dot, norm2
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs)).select(
+        F.col("media_id").alias("doc_id"),
+        F.transform(
+            F.slice("feature", 1, N_MEDIA_FEATS), lambda x: x.cast("double")
+        ).alias("v"),
+    )
+    src = docs.select("doc_id", "source")
+    blocks = src.groupBy("source").agg(F.count("*").alias("block_n"))
+    guard_msg = F.concat(
+        F.lit("media_dedup: source block '"),
+        F.col("source"),
+        F.lit("' has "),
+        F.col("block_n").cast("string"),
+        F.lit(
+            f" media > cap {MEDIA_BLOCK_CAP}; exact all-pairs is O(B^2) "
+            "per block — swap the source block for an LSH/IVF key (the "
+            "embedding_dedup_ann shape) at this size"
+        ),
+    )
+    src = (
+        src.join(F.broadcast(blocks), "source")
+        .filter(
+            F.when(
+                F.col("block_n") <= F.lit(MEDIA_BLOCK_CAP), F.lit(True)
+            ).otherwise(F.raise_error(guard_msg))
+        )
+        .drop("block_n")
+    )
+    fv = feats.join(F.broadcast(src), "doc_id").withColumn(
+        "nv", norm2(F.col("v"))
+    )
+    a = fv.select(
+        "source",
+        F.col("doc_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = fv.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    cos = cosine_from_parts(
+        dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= MEDIA_DEDUP_TAU)
+        .select("doc_a", "doc_b", rn(F.col("cos"), 6).alias("cos_sim"))
     )

@@ -757,6 +757,7 @@ EXCHANGE_BUDGET = {
     "latest_events": 1,
     "leakage_safe_split": 4,
     "market_share": 3,
+    "media_dedup": 4,
     "media_features": 0,
     "merge_upsert": 3,
     "min_cost_supplier": 2,

@@ -37,6 +37,11 @@ FAMILY = [
     "dedup_clusters",
     "dedup_apply",
     "embedding_dedup_ann",
+    "dedup_incremental",
+    "ngram_containment",
+    "simhash_pairs",
+    "dedup_report",
+    "ann_pq",
 ]
 
 
