@@ -47,14 +47,14 @@ _PRIORITY = [
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
     "ann_lsh", "ann_pq", "semantic_prune",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
-    "media_features", "media_dedup", "png_roundtrip", "wav_roundtrip",
+    "media_features", "media_dedup", "media_resize", "png_roundtrip",
+    "wav_roundtrip",
     # text battery
     "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
     "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",
     "quality_calibrate",
     # corpus LM stats
-    "unigram_logprob", "vocab_coverage", "zipf_fit", "span_dedup",
-    "token_fertility",
+    "unigram_logprob", "vocab_coverage", "zipf_fit", "token_fertility",
     # search + pipeline + sampling + sketch + packing
     "bm25_search", "corpus_filter", "contamination_check", "pipeline_funnel",
     "stratified_sample", "split_assign", "weighted_sample",

@@ -257,3 +257,49 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     the *selection* (the distributed part) is real; frame decode is the
     stubbed step above."""
     return df.filter(F.col("media_id") % every_n == 0)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Resize a decoded image: area-mean when the factors divide exactly
+    (the common thumbnail/downsample path — float32-exact for uint8
+    inputs with power-of-two areas), nearest-neighbor otherwise.
+
+    Returns float32 for the area path (means), input dtype for nearest.
+    """
+    h, w = img.shape[:2]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"invalid target size {out_h}x{out_w}")
+    if h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        return (
+            img.astype(np.float32)
+            .reshape(out_h, fh, out_w, fw, *img.shape[2:])
+            .mean(axis=(1, 3))
+        )
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ri, ci)]
+
+
+def resize_media(df: DataFrame, out_h: int, out_w: int, decoder=None) -> DataFrame:
+    """mapInPandas resize stage: decode each payload and emit the resized
+    pixel grid row-major as ``px array<float>`` — the thumbnail stage of a
+    media pipeline, same Arrow batch shape and payload-pruning posture as
+    extract_features."""
+    decoder = decoder or fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "px": []}
+            for media_id, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                img = decoder(bytes(payload) if payload is not None else b"", mime)
+                small = resize_image(img, out_h, out_w)
+                out["media_id"].append(media_id)
+                out["px"].append(
+                    small.astype(np.float32).reshape(-1).tolist()
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, "media_id long, px array<float>")

@@ -315,3 +315,62 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= MEDIA_DEDUP_TAU)
         .select("doc_a", "doc_b", rn(F.col("cos"), 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# media_resize: the thumbnail stage (decode → area-mean downsample),
+# hash-checked — pixel (r, c) of the 4×4 output averages the 2×2 input
+# block, and the 8×8 fake image is the digest repeated, so output pixel
+# values are re-derivable from hex (byte i of the image = digest byte
+# i mod 32; means of 4 uint8 are float32-exact).
+# ---------------------------------------------------------------------------
+
+RESIZE_H = 4
+RESIZE_W = 4
+
+
+def _img_byte_sql(i: int) -> str:
+    return _BYTE.format(p=2 * (i % 32) + 1)
+
+
+def _resize_px_sql(r: int, c: int) -> str:
+    idx = [16 * r + 2 * c, 16 * r + 2 * c + 1, 16 * r + 8 + 2 * c, 16 * r + 8 + 2 * c + 1]
+    return "((" + " + ".join(_img_byte_sql(i) for i in idx) + ") / 4.0)"
+
+
+def _media_resize_oracle() -> str:
+    cols = ", ".join(
+        f"{sql_rn(_resize_px_sql(r, c), 4)} AS p{r * RESIZE_W + c}"
+        for r in range(RESIZE_H)
+        for c in range(RESIZE_W)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id, {cols} FROM m
+"""
+
+
+@register("media_resize", _media_resize_oracle(), tags=("multimodal",))
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage declared and hash-checked: Arrow decode → 2×2
+    area-mean downsample (operators/multimodal.py::resize_media) → 4×4
+    pixel grid as columns.
+
+    Area-mean with power-of-two block area is float32-exact, so the
+    DuckDB oracle re-derives every output pixel from the digest hex —
+    an interpolation/indexing bug in resize_image breaks the hash, not
+    just a unit test.  Same embarrassingly-parallel shape as the other
+    kernels: payload pruned until the mapInPandas stage, O(media) output
+    rows, zero shuffles.
+    """
+    from ..operators.multimodal import documents_as_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = resize_media(documents_as_media(docs), RESIZE_H, RESIZE_W)
+    return small.select(
+        "media_id",
+        *[
+            rn(F.element_at("px", k + 1).cast("double"), 4).alias(f"p{k}")
+            for k in range(RESIZE_H * RESIZE_W)
+        ],
+    )

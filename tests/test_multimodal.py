@@ -132,3 +132,21 @@ def test_fake_pcm_matches_digest():
     want = np.frombuffer(hashlib.sha256(payload).digest(), dtype="<i2")
     assert np.array_equal(mm.fake_pcm(payload), want)
     assert len(mm.fake_pcm(payload)) == 16
+
+
+def test_resize_image_area_and_nearest():
+    """Area path: 2x2 block means, float32-exact; nearest path: index map."""
+    import numpy as np
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    small = mm.resize_image(img, 4, 4)
+    assert small.dtype == np.float32
+    assert small[0, 0] == (0 + 1 + 8 + 9) / 4.0
+    assert small[3, 3] == (54 + 55 + 62 + 63) / 4.0
+    near = mm.resize_image(img, 3, 5)
+    assert near.shape == (3, 5)
+    assert near[0, 0] == img[0, 0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.resize_image(img, 0, 4)

@@ -759,6 +759,7 @@ EXCHANGE_BUDGET = {
     "market_share": 3,
     "media_dedup": 4,
     "media_features": 0,
+    "media_resize": 0,
     "merge_upsert": 3,
     "min_cost_supplier": 2,
     "moving_revenue": 2,
