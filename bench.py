@@ -1,12 +1,13 @@
-"""Benchmark harness — one JSON line per run (driver contract).
+"""Benchmark harness — short final JSON line (driver contract).
 
 Runs EVERY registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-{"metric": ..., "value": headline_total_sec, "unit": "sec",
- "queries": {...all queries...}, "full_total": ..., "sf": ...}.
-``value`` stays the headline-set total so rounds compare like-for-like;
-``queries`` carries per-query times for the whole registry (superlinear
-candidate-pair ops included — sf0.01 can't expose those).
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The FINAL stdout line is
+{"metric": "headline_queries_total", "value": headline_total_sec,
+ "unit": "sec", "sf": ..., "full_total": ..., "sf1_value": ...};
+per-query timings for the whole registry (superlinear candidate-pair ops
+included — sf0.01 can't expose those) are printed as earlier
+``queries_detail`` / ``sf1_detail`` JSON lines.
+``value`` stays the headline-set total so rounds compare like-for-like.
 
 Each query is forced through the noop sink (computes every output column,
 unlike count() which lets Catalyst prune the plan), timed after a session
@@ -15,12 +16,18 @@ warm-up query so JVM/codegen startup isn't billed to the first entry.
 Set SPARK_GRAFT_BENCH_SET=headline to restrict to the headline set (used
 for the big-SF run driven by tools/make_bigdata.py — see SCALE.md).
 
-When the primary run is the default sf0.1, the same JSON object carries an
-``"sf1"`` sub-object with the headline set at sf1 (fixtures built once into
-.benchdata/sf1 via tools/make_bigdata.build — ~10× sf0.1, replica docs form
-planted near-dup groups, a deliberate dedup stress).  Everything is printed
-as ONE line at the very end so the driver's output-tail capture can never
-lose the primary sf0.1 metric.  Set SPARK_GRAFT_SF1=0 to skip the extra.
+When the primary run is the default sf0.1, a ``"sf1"`` detail line carries
+the headline set at sf1 (fixtures built once into .benchdata/sf1 via
+tools/make_bigdata.build — ~10× sf0.1, replica docs form planted near-dup
+groups, a deliberate dedup stress).  Set SPARK_GRAFT_SF1=0 to skip the extra.
+
+Output protocol (VERDICT r4 item 1 — two rounds of bench evidence were lost
+to output truncation): the full per-query detail objects are printed as
+EARLIER lines, and the LAST line is a SHORT (<200 byte) JSON object carrying
+only the scalar metrics.  The driver keeps a bounded tail of stdout, so only
+a short final line is truncation-proof; round 3's "everything on one line"
+fix made the single line longer than the tail window and its head (with
+``"metric"``/``"value"``) was cut off.
 """
 
 from __future__ import annotations
@@ -124,21 +131,26 @@ def main() -> None:
 
     timings = run_set(spark, names, sf_dir)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    full_total = round(sum(timings.values()), 3)
+    # Per-query detail FIRST (may exceed the driver's stdout-tail window —
+    # that's fine, it is diagnostic); the short headline line goes LAST.
+    print(
+        json.dumps(
+            {"metric": "queries_detail", "sf": sf, "queries": timings}
+        ),
+        flush=True,
+    )
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "full_total": round(sum(timings.values()), 3),
         "sf": sf,
+        "full_total": full_total,
     }
 
     # sf1 extra: headline set at sf1, only after a default sf0.1 primary
-    # run (local smoke runs at other SFs skip the 10× build).  Embedded in
-    # the SAME JSON object — round 3 printed it as a second line after the
-    # primary, and the driver's output-tail capture kept only the sf1 line,
-    # losing the round-over-round sf0.1 metric (VERDICT r3 item 2).  One
-    # line printed at the very end is immune to tail truncation.
+    # run (local smoke runs at other SFs skip the 10× build).  Detail is
+    # its own earlier line; only the scalar total rides the final line.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1") != "0":
         sf1 = _sf1_dir(spark)
         if sf1 is not None:
@@ -157,12 +169,14 @@ def main() -> None:
                 .save()
             )
             t1 = run_set(spark, list(HEADLINE), sf1)
-            result["sf1"] = {
-                "value": round(sum(t1.values()), 3),
-                "unit": "sec",
-                "queries": t1,
-                "sf": 1.0,
-            }
+            print(
+                json.dumps(
+                    {"metric": "sf1_detail", "sf": 1.0, "queries": t1}
+                ),
+                flush=True,
+            )
+            result["sf1_value"] = round(sum(t1.values()), 3)
+    # The LAST line: short, scalar-only, truncation-proof (~140 bytes).
     print(json.dumps(result), flush=True)
     spark.stop()
 

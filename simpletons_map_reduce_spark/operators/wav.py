@@ -45,7 +45,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     Independent RIFF chunk walk (not stdlib ``wave``): validates the
     RIFF/WAVE header, reads ``fmt `` (PCM, 16-bit only), then ``data``.
     Unknown chunks are skipped by their declared size (word-aligned), so
-    files with LIST/INFO metadata decode fine.
+    files with LIST/INFO metadata decode fine.  Declared sizes are
+    validated against the payload length and a second ``data`` chunk is
+    rejected — a truncated or ambiguous file raises instead of silently
+    decoding fewer samples (the codec's never-fake-silently contract).
     """
     if payload[:4] != WAV_SIGNATURE or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -55,6 +58,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only "
+                f"{len(payload) - pos - 8} remain (truncated payload)"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             tag, channels, rate, _byterate, _align, bits = struct.unpack_from(
@@ -66,6 +74,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 )
             fmt = (channels, rate)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("multiple data chunks (ambiguous payload)")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:

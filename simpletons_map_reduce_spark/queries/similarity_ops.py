@@ -372,9 +372,12 @@ def embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real cluster raise it so k keeps tracking √n).  Each vector is
     assigned to its TOP-2 nearest centroids for candidate generation
     (standard multi-probe: a dup pair straddling a cluster boundary
-    still collides in one of the four assignment combinations); pairs
-    are deduped on ids only, then verified with the exact cosine, so
-    every emitted pair is truly above threshold — only recall is
+    still collides in one of the four assignment combinations); pair
+    scoring happens INSIDE the per-cluster ``applyInPandas`` BLAS kernel
+    (np_block_pairs — see embedding_dedup_ann_pairs), with the threshold
+    applied to the numpy cosine, so emitted scores can differ from the
+    JVM fold by O(dim·eps) at the boundary — within this operator's
+    rows-only (recall-pinned, not bitwise) contract; only recall is
     approximate.  TRUE near-dup groups (cos ≈ 1) collide with certainty
     (identical vectors share an argmax centroid); recall is pinned on a
     planted-duplicate corpus in tests/test_similarity.py — far pairs at

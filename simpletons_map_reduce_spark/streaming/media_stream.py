@@ -25,7 +25,7 @@ from .dedup_stream import DOCS_RAW_SCHEMA
 def media_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over documents → media schema → Arrow decode kernel.
 
-    Returns the streaming (media_id, mime, width, height, feature) relation;
+    Returns the streaming (media_id, width, height, feature) relation;
     run it with events_stream.run_to_memory (append mode — no aggregation)."""
     from ..session import ensure_confs
 

@@ -122,6 +122,25 @@ def test_wav_decoder_rejects_non_pcm():
         decode_wav(b"not a wav at all")
 
 
+def test_wav_decoder_rejects_truncated_and_duplicate_data():
+    """A data chunk whose declared size overruns the payload, or a second
+    data chunk, must raise — never silently decode fewer/ambiguous samples
+    (ADVICE r4)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simpletons_map_reduce_spark.operators.wav import decode_wav, encode_wav
+
+    samples = np.array([1, -2, 300, -32768], dtype=np.int16)
+    raw = encode_wav(samples)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(raw[:-2])  # data chunk now 2 bytes short of its size field
+    data_at = raw.index(b"data")
+    second = raw[:data_at] + raw[data_at:] + raw[data_at:]
+    with _pytest.raises(ValueError, match="multiple data"):
+        decode_wav(second)
+
+
 def test_fake_pcm_matches_digest():
     """fake_pcm is exactly the sha256 digest as little-endian int16."""
     import hashlib

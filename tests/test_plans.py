@@ -838,6 +838,13 @@ EXCHANGE_BUDGET = {
     "zipf_fit": 1,
 }
 
+#: Deliberately excludes roundrobinpartitioning: the only source of
+#: round-robin exchanges in this codebase is ``spread()``'s local-mode
+#: small-file fan-out (sources/tables.py), which is gated OFF on cluster
+#: masters — it does not exist in the 100 TB plan, so budgeting it here
+#: would pin a test-harness artifact, not a scale property.  Any OTHER
+#: round-robin (a hot-path ``df.repartition(n)`` without keys) would show
+#: up in the per-query plan pins above and in bench wall time.
 _EXCHANGE_RE = re.compile(
     r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
 )
