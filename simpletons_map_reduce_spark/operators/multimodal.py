@@ -125,9 +125,13 @@ def _pooled_features(img: np.ndarray) -> list[float]:
     )
 
 
-def _feature_kernel(decoder):
+def _feature_kernel(decoder, echo_block: bool = False):
     """mapInPandas kernel: per Arrow batch, decode each payload with
-    ``decoder`` and emit dims + pooled features."""
+    ``decoder`` and emit dims + pooled features.  With ``echo_block`` the
+    input's ``block_key`` column is passed through unchanged — block
+    propagation costs zero joins (the alternative, re-joining features to
+    an O(media) key relation, forced a broadcast of the whole corpus's
+    keys — VERDICT r4 item 4)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -138,6 +142,8 @@ def _feature_kernel(decoder):
                 "height": [],
                 "feature": [],
             }
+            if echo_block:
+                out["block_key"] = pdf["block_key"].tolist()
             for media_id, mime, payload in zip(
                 pdf["media_id"], pdf["mime"], pdf["payload"]
             ):
@@ -153,16 +159,28 @@ def _feature_kernel(decoder):
     return run
 
 
-def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def extract_features(
+    df: DataFrame, strict: bool = False, block_key: str | None = None
+) -> DataFrame:
     """mapInPandas feature extractor over media rows.
 
     Per Arrow batch: decode each payload, emit (dims + FEATURE_DIM
     mean-pooled float features).  ``strict=True`` uses the real decoder
     ladder (Pillow → vendored PNG codec → NotImplementedError for other
     formats — the documented production path).
+
+    ``block_key``: name of a ``meta`` entry echoed through the kernel as a
+    trailing ``block_key string`` column — downstream blocked-pair stages
+    (media_dedup) get their block id with no join at all.
     """
     decoder = decode_image if strict else fake_decode
-    return df.mapInPandas(_feature_kernel(decoder), FEATURES_SCHEMA)
+    if block_key is None:
+        return df.mapInPandas(_feature_kernel(decoder), FEATURES_SCHEMA)
+    keyed = df.withColumn("block_key", F.element_at("meta", F.lit(block_key)))
+    return keyed.mapInPandas(
+        _feature_kernel(decoder, echo_block=True),
+        FEATURES_SCHEMA + ", block_key string",
+    )
 
 
 def png_roundtrip_features(df: DataFrame) -> DataFrame:

@@ -3,6 +3,7 @@ from .checks import (
     has_pushed_filters,
     reads_only_columns,
     uses_broadcast_join,
+    count_broadcast_hints,
     count_exchanges,
     has_whole_stage_codegen,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "has_pushed_filters",
     "reads_only_columns",
     "uses_broadcast_join",
+    "count_broadcast_hints",
     "count_exchanges",
     "has_whole_stage_codegen",
 ]

@@ -72,6 +72,22 @@ def count_exchanges(df: DataFrame) -> int:
     )
 
 
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    Counts ``F.broadcast(...)`` call sites (ResolvedHint nodes), not
+    size-based broadcasts Catalyst/AQE elect on its own: an explicit hint
+    is unconditional — it ships the relation to every executor at ANY
+    scale — so each one is a reviewed promise that the relation is
+    bounded by contract (a query-literal set, a k-row aggregate, a
+    capped top-k), never something that grows with the corpus.
+    tests/test_plans.py pins the per-query count so a new unbounded
+    broadcast cannot slip in silently (VERDICT r4 item 2).
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint (strategy=broadcast")
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """True if the *executed* plan ran whole-stage-codegen stages.
 

@@ -26,7 +26,7 @@ at 100 TB of media.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn, sql_rn
@@ -252,21 +252,29 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine folds agree bit-for-bit — the whole decode → feature → pair
     path sits under the hash gate.  Feature vectors are 64 bytes, so
     unlike raw-embedding pair joins the blocked self-join's payload is
-    trivially shuffle-safe.  Carries the family's in-plan block-size
-    guard (raise past MEDIA_BLOCK_CAP rows per source).
+    trivially shuffle-safe.
+
+    Block propagation is join-free (VERDICT r4 item 3): ``source``
+    already rides the media ``meta`` map, so the feature kernel echoes it
+    as ``block_key`` — the O(docs) broadcast re-join this replaced was
+    the plan's one unbounded broadcast.  The family's in-plan block-size
+    guard (raise past MEDIA_BLOCK_CAP rows per source) is a window count
+    over the SAME source partitioning the pair join shuffles on.
     """
+    from ..caching import tracked_persist
     from ..functions.vectors import cosine_from_parts, dot, norm2
     from ..operators.multimodal import documents_as_media, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_media(docs)).select(
+    feats = extract_features(
+        documents_as_media(docs), block_key="source"
+    ).select(
         F.col("media_id").alias("doc_id"),
+        F.col("block_key").alias("source"),
         F.transform(
             F.slice("feature", 1, N_MEDIA_FEATS), lambda x: x.cast("double")
         ).alias("v"),
     )
-    src = docs.select("doc_id", "source")
-    blocks = src.groupBy("source").agg(F.count("*").alias("block_n"))
     guard_msg = F.concat(
         F.lit("media_dedup: source block '"),
         F.col("source"),
@@ -278,17 +286,16 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_dedup_ann shape) at this size"
         ),
     )
-    src = (
-        src.join(F.broadcast(blocks), "source")
+    block_w = Window.partitionBy("source")
+    fv = tracked_persist(
+        feats.withColumn("block_n", F.count("*").over(block_w))
         .filter(
             F.when(
                 F.col("block_n") <= F.lit(MEDIA_BLOCK_CAP), F.lit(True)
             ).otherwise(F.raise_error(guard_msg))
         )
         .drop("block_n")
-    )
-    fv = feats.join(F.broadcast(src), "doc_id").withColumn(
-        "nv", norm2(F.col("v"))
+        .withColumn("nv", norm2(F.col("v")))
     )
     a = fv.select(
         "source",

@@ -12,6 +12,7 @@ import re
 from pyspark.sql import functions as F
 
 from simpletons_map_reduce_spark.plans import (
+    count_broadcast_hints,
     count_exchanges,
     has_pushed_filters,
     has_whole_stage_codegen,
@@ -757,7 +758,7 @@ EXCHANGE_BUDGET = {
     "latest_events": 1,
     "leakage_safe_split": 4,
     "market_share": 3,
-    "media_dedup": 4,
+    "media_dedup": 2,
     "media_features": 0,
     "media_resize": 0,
     "merge_upsert": 3,
@@ -838,6 +839,64 @@ EXCHANGE_BUDGET = {
     "zipf_fit": 1,
 }
 
+#: Explicit broadcast-HINT budget (VERDICT r4 item 2): every F.broadcast()
+#: call site is an unconditional promise that the hinted relation is
+#: BOUNDED BY CONTRACT — it ships whole to every executor at any corpus
+#: size, so only relations whose cardinality does not grow with the data
+#: may be hinted: query/dimension literals (N_QUERIES vectors, nation/
+#: region/part dims), k-row aggregates (per-label block counts, CMS
+#: counters, scalar thresholds), capped top-k survivors, or the
+#: documented-bounded eval set (contamination_check).  Queries absent
+#: from this dict must have ZERO hints; notably the ngram family's
+#: per-gram dfreq relation (Heaps'-law unbounded) and media_dedup's
+#: O(docs) source map are NOT here — those broadcasts were the r4 scale
+#: defects and the lint keeps them out.  Regenerate deliberately via
+#: tools/dump_exchange_budgets.py; the diff is the review evidence.
+BROADCAST_BUDGET = {
+    "ann_ivf": 1,
+    "ann_lsh": 1,
+    "ann_pq": 2,
+    "anomaly_mad": 3,
+    "bm25_search": 2,
+    "broadcast_join": 1,
+    "churned_customers": 2,
+    "cms_heavy_hitters": 1,
+    "contamination_check": 1,
+    "corpus_balance": 1,
+    "customer_deciles": 1,
+    "disjunctive_filter": 1,
+    "embedding_dedup": 2,
+    "incremental_join": 2,
+    "key_skew_profile": 1,
+    "market_share": 4,
+    "merge_upsert": 1,
+    "min_cost_supplier": 3,
+    "nation_pagerank": 4,
+    "overstocked_suppliers": 1,
+    "pipeline_funnel": 2,
+    "product_profit": 3,
+    "promo_revenue": 1,
+    "region_revenue": 2,
+    "returned_items": 1,
+    "rolling_active_users": 1,
+    "scalar_avg_filter": 1,
+    "semantic_prune": 4,
+    "shipping_priority": 1,
+    "similarity_topk": 1,
+    "supplier_classes": 2,
+    "supplier_revenue": 2,
+    "table_checks": 1,
+    "tfidf_topterms": 1,
+    "top_supplier": 1,
+    "top_value_parts": 1,
+    "triangle_count": 18,
+    "unigram_logprob": 2,
+    "vocab_coverage": 1,
+    "volume_shipping": 2,
+    "waiting_orders": 1,
+    "wow_growth": 1,
+}
+
 #: Deliberately excludes roundrobinpartitioning: the only source of
 #: round-robin exchanges in this codebase is ``spread()``'s local-mode
 #: small-file fan-out (sources/tables.py), which is gated OFF on cluster
@@ -858,14 +917,19 @@ def test_registry_wide_plan_lint(spark):
     mapInPandas (vectorized kernels) remain allowed — the lint is about
     the anti-patterns with no legitimate use in this codebase.
 
-    The same pass enforces the shuffle budget: each plan's Exchange count
+    The same pass enforces the shuffle budget (each plan's Exchange count
     must stay within EXCHANGE_BUDGET, and every query must have a budget
-    entry (a new query ships with its declared shuffle count)."""
+    entry — a new query ships with its declared shuffle count) and the
+    broadcast-hint budget (each plan's explicit F.broadcast() hint count
+    must stay within BROADCAST_BUDGET — zero for queries absent from the
+    dict — so an unbounded-relation broadcast cannot reappear)."""
     violations = {}
     over_budget = {}
+    over_hints = {}
     unbudgeted = []
     for name, q in sorted(REGISTRY.items()):
-        plan = physical_plan(q.fn(spark, SF0001), "simple")
+        df = q.fn(spark, SF0001)
+        plan = physical_plan(df, "simple")
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if hits:
             violations[name] = hits
@@ -875,11 +939,31 @@ def test_registry_wide_plan_lint(spark):
             unbudgeted.append(name)
         elif n_exchanges > budget:
             over_budget[name] = {"plan": n_exchanges, "budget": budget}
+        n_hints = count_broadcast_hints(df)
+        hint_budget = BROADCAST_BUDGET.get(name, 0)
+        if n_hints > hint_budget:
+            over_hints[name] = {"plan": n_hints, "budget": hint_budget}
     assert not violations, violations
     assert not over_budget, (
         "shuffle budget exceeded (tools/dump_exchange_budgets.py to review): "
         f"{over_budget}"
     )
+    assert not over_hints, (
+        "broadcast-hint budget exceeded — is the new hinted relation "
+        "bounded by contract? (tools/dump_exchange_budgets.py to review): "
+        f"{over_hints}"
+    )
     assert not unbudgeted, (
         f"queries missing an EXCHANGE_BUDGET entry: {unbudgeted}"
     )
+
+
+def test_ngram_and_media_dedup_have_no_broadcast_hints(spark):
+    """The r4 scale defects stay fixed: the ngram family must not hint its
+    per-gram dfreq relation (unbounded under Heaps' law) and media_dedup
+    must not hint an O(docs) key relation — strategy choice belongs to
+    AQE there.  Pinned directly (not just via the budget dict) because
+    these are the named 100 TB OOM shapes."""
+    for name in ("ngram_jaccard", "ngram_containment", "media_dedup"):
+        df = REGISTRY[name].fn(spark, SF0001)
+        assert count_broadcast_hints(df) == 0, name

@@ -85,18 +85,13 @@ def test_range_join_matches_bruteforce_theta_join(spark):
 def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     """Prefix filtering must find EVERY pair above threshold (the guarantee
     LSH lacks) — compare against the all-pairs verification at sf0.001."""
-    from simpletons_map_reduce_spark.queries.dedup_ops import (
-        _TRIGRAM_CASE,
-        _spark_toks_expr,
-    )
+    from simpletons_map_reduce_spark.queries.dedup_ops import _ngram_sets
 
     docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
-    ng = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(_TRIGRAM_CASE.replace("toks", _spark_toks_expr()))
-        ).alias("s"),
-    )
+    # brute force pairs EVERY doc over the same gram sets the operator
+    # uses — only the candidate-generation strategy (prefix join vs
+    # all-pairs) differs, which is exactly the property under test.
+    ng = _ngram_sets(docs).select("doc_id", F.col("ngh").alias("s"))
     na = ng.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     nb = ng.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     brute = (

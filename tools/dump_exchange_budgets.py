@@ -1,9 +1,11 @@
-"""Dump per-query Exchange counts for the registry-wide shuffle budget lint.
+"""Dump per-query Exchange and broadcast-hint counts for the registry-wide
+plan lints.
 
-Prints a Python dict literal mapping query name -> current Exchange count
-at sf0.001, for embedding in tests/test_plans.py as EXCHANGE_BUDGET.
-Run after a deliberate plan change to regenerate; the diff in the test
-file is then the reviewed evidence that a shuffle was added on purpose.
+Prints Python dict literals mapping query name -> current Exchange count /
+explicit-broadcast-hint count at sf0.001, for embedding in
+tests/test_plans.py as EXCHANGE_BUDGET / BROADCAST_BUDGET.  Run after a
+deliberate plan change to regenerate; the diff in the test file is then
+the reviewed evidence that a shuffle or broadcast was added on purpose.
 """
 
 from __future__ import annotations
@@ -13,7 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from simpletons_map_reduce_spark.plans import count_exchanges  # noqa: E402
+from simpletons_map_reduce_spark.plans import (  # noqa: E402
+    count_broadcast_hints,
+    count_exchanges,
+)
 from simpletons_map_reduce_spark.queries import REGISTRY  # noqa: E402
 from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 
@@ -23,14 +28,22 @@ SF_DIR = "/root/testdata/sf0.001"
 def main() -> None:
     spark = get_session()
     counts: dict[str, int] = {}
+    hints: dict[str, int] = {}
     for name, q in sorted(REGISTRY.items()):
         try:
-            counts[name] = count_exchanges(q.fn(spark, SF_DIR))
+            df = q.fn(spark, SF_DIR)
+            counts[name] = count_exchanges(df)
+            hints[name] = count_broadcast_hints(df)
         except Exception as exc:  # pragma: no cover - diagnostic tool
             print(f"# ERROR {name}: {exc}", file=sys.stderr)
     print("EXCHANGE_BUDGET = {")
     for name, n in counts.items():
         print(f'    "{name}": {n},')
+    print("}")
+    print("BROADCAST_BUDGET = {")
+    for name, n in hints.items():
+        if n:
+            print(f'    "{name}": {n},')
     print("}")
 
 
