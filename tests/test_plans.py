@@ -700,6 +700,7 @@ EXCHANGE_BUDGET = {
     "ann_ivf": 1,
     "ann_lsh": 2,
     "ann_pq": 2,
+    "ann_recall_report": 10,
     "anomaly_mad": 3,
     "anti_join": 0,
     "approx_distinct": 1,
@@ -856,6 +857,7 @@ BROADCAST_BUDGET = {
     "ann_ivf": 1,
     "ann_lsh": 1,
     "ann_pq": 2,
+    "ann_recall_report": 7,
     "anomaly_mad": 3,
     "bm25_search": 2,
     "broadcast_join": 1,

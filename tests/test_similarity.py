@@ -61,6 +61,22 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.6, f"ann_ivf recall {recall:.2f}"
 
 
+def test_ann_recall_report_values(spark):
+    """The official ANN-quality row: floor met, every planted twin found,
+    counts consistent with the fixture."""
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        N_QUERIES,
+        TOPK_K,
+    )
+
+    row = REGISTRY["ann_recall_report"].fn(spark, SF0001).collect()[0]
+    assert row.n_queries == N_QUERIES
+    assert row.k == TOPK_K
+    assert row.exact_pairs == N_QUERIES * TOPK_K
+    assert row.ivf_recall_ge_floor == 1
+    assert row.planted_found == N_QUERIES
+
+
 def test_embedding_dedup_ann_finds_planted_dups(spark):
     """IVF-blocked dedup must recover planted near-duplicate groups: true
     dups (cos ≈ 1) share an argmax centroid, so blocking cannot separate
