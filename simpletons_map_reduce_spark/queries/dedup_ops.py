@@ -1003,6 +1003,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the driver.
     """
     pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    return clusters_from_pairs(pairs)
+
+
+def clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Pointer-doubling connected components over any (doc_a, doc_b) pair
+    relation (exposed so composed queries — pipeline_funnel_fused — can
+    cluster pairs built from an already-persisted corpus relation)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().persist()

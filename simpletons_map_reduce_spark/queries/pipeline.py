@@ -135,6 +135,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     finer char-gram pass that near_dedup's shingles already provide).
     """
     docs = load_table(spark, sf_dir, "documents")
+    return contaminated_pairs(docs)
+
+
+def contaminated_pairs(docs: DataFrame) -> DataFrame:
+    """The contamination pair relation over any (doc_id, text) relation —
+    exposed so pipeline_funnel_fused can run it on an already-persisted
+    corpus frame."""
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
     grams_expr = F.when(
         F.size("toks") >= CONTAM_N,
@@ -279,6 +286,95 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pred_lang") == "und", 1)
         .when(F.col("quality") < MIN_QUALITY, 2)
         .when(~F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS), 3)
+        .when(~F.col("ok_exact"), 4)
+        .when(F.col("is_near_loser").isNotNull(), 5)
+        .when(F.col("is_contam").isNotNull(), 6)
+        .otherwise(n_stages)
+    )
+    hist = (
+        flags.select(drop_stage.alias("drop_stage"))
+        .groupBy("drop_stage")
+        .agg(F.count("*").alias("n"))
+    )
+    stages = spark.createDataFrame(
+        list(enumerate(FUNNEL_STAGES)), "stage_no int, stage string"
+    )
+    return (
+        stages.join(
+            F.broadcast(hist), F.col("drop_stage") > F.col("stage_no"), "left"
+        )
+        .groupBy(F.col("stage_no").cast("long").alias("stage_no"), "stage")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("docs"))
+    )
+
+
+@register("pipeline_funnel_fused", _build_funnel_oracle(), tags=("pipeline",))
+def pipeline_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of pipeline_funnel: the same ≤7-row histogram
+    with the per-doc gates FUSED into one projection over ONE persisted
+    corpus scan (VERDICT r4 item 8).
+
+    pipeline_funnel composes the registered operator FUNCTIONS (each
+    loading documents itself — ~5 pruned text scans, lang_id's explode +
+    two shuffles, plus per-gate joins back on doc_id).  Here the cheap
+    gates evaluate as expressions on the scan itself:
+
+    - lang:    ``lang_hit_expr`` (any-stopword hit ≡ pred_lang <> 'und')
+    - quality: ``quality_exprs`` (the identical arithmetic, 4-dp rounded)
+    - tokens:  ``token_count_expr`` (the identical BPE regex count)
+    - exact:   min(doc_id) over the sha256 window (one exchange)
+
+    so no per-gate join exists at all — the flag row is born in the scan
+    projection.  Drift safety: the expressions are the SAME functions the
+    registered operators evaluate (imported from text_ops), and the
+    oracle is the SAME nested-SQL funnel oracle, so fused vs composed is
+    oracle-checked equal (plus pinned directly in tests/test_pipeline.py).
+    The expensive relations keep their pipelines — near-dup losers
+    (near_dedup_pairs → clusters_from_pairs) and contamination run off
+    the SAME persisted (doc_id, text) frame, so the parquet scan happens
+    once and every consumer reads the cached relation.
+    """
+    from ..caching import tracked_persist
+    from ..sources.tables import spread
+    from .dedup_ops import clusters_from_pairs, near_dedup_pairs
+    from .text_ops import lang_hit_expr, quality_exprs, token_count_expr
+    from ..functions.rounding import rn
+
+    docs = tracked_persist(
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    _, _, _, quality = quality_exprs()
+    w = Window.partitionBy(F.sha2("text", 256))
+    flags = docs.select(
+        "doc_id",
+        lang_hit_expr().alias("ok_lang"),
+        # the registered gate compares the 4-dp ROUNDED score
+        (rn(quality, 4) >= MIN_QUALITY).alias("ok_q"),
+        token_count_expr()
+        .cast("long")
+        .between(MIN_TOKENS, MAX_TOKENS)
+        .alias("ok_tok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_exact"),
+    )
+    near_losers = (
+        clusters_from_pairs(near_dedup_pairs(docs).select("doc_a", "doc_b"))
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_near_loser"))
+    )
+    contam = (
+        contaminated_pairs(docs)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    flags = flags.join(near_losers, "doc_id", "left").join(
+        contam, "doc_id", "left"
+    )
+    n_stages = len(FUNNEL_STAGES)
+    drop_stage = (
+        F.when(~F.col("ok_lang"), 1)
+        .when(~F.col("ok_q"), 2)
+        .when(~F.col("ok_tok"), 3)
         .when(~F.col("ok_exact"), 4)
         .when(F.col("is_near_loser").isNotNull(), 5)
         .when(F.col("is_contam").isNotNull(), 6)

@@ -172,11 +172,18 @@ FROM t
 """
 
 
+def token_count_expr():
+    """BPE-regex token count of the ``text`` column — shared by
+    token_count and pipeline_funnel_fused so the fused gate can never
+    drift from the registered operator."""
+    return F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 @register("token_count", TOKEN_COUNT_ORACLE, tags=("text",))
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-style pre-tokenizer regex."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+    n_tokens = token_count_expr()
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -258,6 +265,16 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ALL_STOPWORDS = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
 
+
+def lang_hit_expr():
+    """True iff the doc has ANY stopword hit over the ``text`` column —
+    exactly lang_id's ``pred_lang <> 'und'`` predicate (a doc is 'und'
+    iff no token matches any language's list).  Shared with
+    pipeline_funnel_fused so the fused gate can never drift from the
+    registered operator."""
+    toks = tokens_lower(F.col("text"))
+    return F.size(F.filter(toks, lambda x: x.isin(_ALL_STOPWORDS))) > 0
+
 QUALITY_SCORE_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
@@ -289,11 +306,10 @@ FROM m
 """
 
 
-@register("quality_score", QUALITY_SCORE_ORACLE, tags=("text",))
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: letter/punctuation/stopword ratios plus a
-    length prior, combined into one score in [0, 1]."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_exprs():
+    """(alpha_ratio, punct_ratio, stop_ratio, quality) expressions over the
+    ``text`` column — shared by quality_score and pipeline_funnel_fused so
+    the fused gate can never drift from the registered operator."""
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace("text", r"[^\p{L}]", ""))
     n_space = F.length(F.regexp_replace("text", r"[^\s]", ""))
@@ -315,6 +331,15 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.2) * F.least(n_words / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * stop_ratio
     )
+    return alpha_ratio, punct_ratio, stop_ratio, quality
+
+
+@register("quality_score", QUALITY_SCORE_ORACLE, tags=("text",))
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: letter/punctuation/stopword ratios plus a
+    length prior, combined into one score in [0, 1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha_ratio, punct_ratio, stop_ratio, quality = quality_exprs()
     return docs.select(
         "doc_id",
         rn(alpha_ratio, 4).alias("alpha_ratio"),

@@ -26,3 +26,22 @@ def test_funnel_is_monotone_and_anchored(spark):
     assert counts[-1] > 0, "everything filtered out — funnel is vacuous"
     # at least one gate must actually drop something on the fixture
     assert counts[-1] < counts[0]
+
+
+def test_funnel_fused_equals_composed(spark):
+    """The fused single-scan funnel must produce the EXACT histogram of the
+    operator-composed one — the drift the fused variant refuses by
+    importing the registered gates' own expressions."""
+    from simpletons_map_reduce_spark.caching import release_persisted
+
+    composed = sorted(
+        (r.stage_no, r.stage, r.docs)
+        for r in REGISTRY["pipeline_funnel"].fn(spark, SF0001).collect()
+    )
+    release_persisted()
+    fused = sorted(
+        (r.stage_no, r.stage, r.docs)
+        for r in REGISTRY["pipeline_funnel_fused"].fn(spark, SF0001).collect()
+    )
+    release_persisted()
+    assert fused == composed

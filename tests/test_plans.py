@@ -778,6 +778,7 @@ EXCHANGE_BUDGET = {
     "per_file_count": 1,
     "pii_redact": 0,
     "pipeline_funnel": 9,
+    "pipeline_funnel_fused": 7,
     "png_roundtrip": 0,
     "pricing_summary": 1,
     "priority_pivot": 1,
@@ -876,6 +877,7 @@ BROADCAST_BUDGET = {
     "nation_pagerank": 4,
     "overstocked_suppliers": 1,
     "pipeline_funnel": 2,
+    "pipeline_funnel_fused": 2,
     "product_profit": 3,
     "promo_revenue": 1,
     "region_revenue": 2,
