@@ -514,18 +514,22 @@ ranked AS (
     FROM x JOIN df USING (g)
     WHERE df.dfreq <= {NJ_MAX_DF}
 ),
-pref AS (SELECT doc_id, sz, g FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
-prefb AS (SELECT doc_id, sz, g,
+pref AS (SELECT doc_id, sz, g, rn FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
+prefb AS (SELECT doc_id, sz, g, rn,
                  count(*) OVER (PARTITION BY g) AS bsz,
                  row_number() OVER (PARTITION BY g
                                     ORDER BY {_DOC_ORD_SQL}, doc_id) AS brn
           FROM pref),
-pref2 AS (SELECT doc_id, sz, g FROM prefb
-          WHERE bsz >= 2 AND brn <= {NJ_BUCKET_CAP}),
+pref2 AS (SELECT doc_id, sz, g, rn, (bsz > {NJ_BUCKET_CAP}) AS sat
+          FROM prefb WHERE bsz >= 2 AND brn <= {NJ_BUCKET_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pref2 a JOIN pref2 b ON a.g = b.g AND a.doc_id < b.doc_id
-         AND least(a.sz, b.sz) * {NJ_THRESHOLD_DEN}
-             >= greatest(a.sz, b.sz) * {NJ_THRESHOLD_NUM}),
+         AND (CASE WHEN a.sat OR b.sat
+              THEN least(a.sz, b.sz) * {NJ_THRESHOLD_DEN}
+                   >= greatest(a.sz, b.sz) * {NJ_THRESHOLD_NUM}
+              ELSE (1 + least(a.sz - a.rn, b.sz - b.rn))
+                   * {NJ_THRESHOLD_NUM + NJ_THRESHOLD_DEN}
+                   >= (a.sz + b.sz) * {NJ_THRESHOLD_NUM} END)),
 verified AS (
     SELECT doc_a, doc_b,
            len(list_intersect(na.ngh, nb.ngh)) AS inter,
@@ -628,27 +632,59 @@ def _prefix_candidates(
     order_w = Window.partitionBy("g").orderBy(F.expr(_DOC_ORD), "doc_id")
     pref = tracked_persist(
         ranked.filter(F.expr(f"rn <= {_NJ_PREFIX}"))
-        .select("doc_id", "sz", "g")
+        .select("doc_id", "sz", "g", "rn")
         .withColumn("bsz", F.count("*").over(bucket_w))
         .withColumn("brn", F.row_number().over(order_w))
         .filter((F.col("bsz") >= 2) & (F.col("brn") <= bucket_cap))
-        .select("doc_id", "sz", "g")
+        .select(
+            "doc_id", "sz", "g", "rn",
+            (F.col("bsz") > bucket_cap).alias("sat"),
+        )
     )
-    # PPJoin length filter, applied INSIDE the bucket join: jaccard >= t
-    # forces min(sz)·DEN >= max(sz)·NUM (inter <= min, uni >= max), so
-    # size-mismatched pairs are rejected before the distinct and before any
-    # gram-set payload moves — lossless, mirrored in the oracle.  Measured
-    # at sf0.1: candidates 118,806 → a fraction, and the verify join's
-    # array_intersect work shrinks with them.
+    # PPJoin POSITIONAL filter, applied INSIDE the bucket join: jaccard
+    # >= t forces overlap o >= ceil(t/(1+t)·(sza+szb)) = ceil(NUM·(sza+
+    # szb)/(NUM+DEN)), and a match on a gram at global ranks (rna, rnb)
+    # bounds the remaining overlap at 1 + min(sza-rna, szb-rnb) — every
+    # OTHER shared element a true pair could still have sits strictly
+    # later in BOTH sets under the global (dfreq, g) order, PROVIDED no
+    # earlier shared gram exists.  rn IS the global rank: dropped hot
+    # grams (dfreq > max_df) sort strictly after every kept row, so kept
+    # ranks are unchanged by the df filter.  Lossless at any true pair's
+    # FIRST shared gram (the prefix-filter principle guarantees that gram
+    # lies within both prefixes, and at it the bound holds by definition
+    # of the overlap).  SAMPLING CAVEAT: when a bucket is sampled (bsz >
+    # cap), a pair's first shared gram may have been dropped and its
+    # surviving matches sit late — there the "nothing shared earlier"
+    # premise breaks and the positional test would wrongly reject
+    # (measured at sf10 dup-mass: pairs 3.1M → 1.5M), so matches where
+    # EITHER side came through a saturated bucket fall back to the plain
+    # length filter (min·DEN >= max·NUM — the rna = rnb = 1 relaxation,
+    # which the positional test subsumes elsewhere).  Candidate volume in
+    # saturated buckets is already bounded by the cap itself.  Measured at
+    # sf1: candidates 4.33M → 2.48M, emitted pairs −0.05% (pairs whose
+    # first shared gram died in a SATURATED bucket but whose surviving
+    # match sits in an unsaturated one — undetectable locally, inside the
+    # sampling contract); sf10 dup-mass pairs identical (3,108,835).
+    pos_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+        )
+    ) * (NJ_THRESHOLD_NUM + NJ_THRESHOLD_DEN) >= (
+        F.col("a.sz") + F.col("b.sz")
+    ) * NJ_THRESHOLD_NUM
+    len_ok = (
+        F.least(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_DEN
+        >= F.greatest(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_NUM
+    )
     return (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_DEN
-                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * NJ_THRESHOLD_NUM
+            & F.when(F.col("a.sat") | F.col("b.sat"), len_ok).otherwise(
+                pos_ok
             ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
