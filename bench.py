@@ -176,6 +176,20 @@ def main() -> None:
                 flush=True,
             )
             result["sf1_value"] = round(sum(t1.values()), 3)
+    # Second-to-last: the HEADLINE subset's per-query times as a compact
+    # (~400 B) line — the round-over-round comparison evidence — close
+    # enough to the end to survive a bounded stdout tail even when the
+    # full-registry detail line above does not.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                "sf": sf,
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+            }
+        ),
+        flush=True,
+    )
     # The LAST line: short, scalar-only, truncation-proof (~140 bytes).
     print(json.dumps(result), flush=True)
     spark.stop()
