@@ -22,6 +22,11 @@ QUERIES = [
     "top_supplier",        # integer-unit argmax tie set
     "stats_moments",       # integer moments
     "near_dedup",          # LSH candidate generation + verification
+    "ngram_jaccard",       # dfreq join strategy is AQE's choice (round 5:
+                           # broadcast hint removed) — result must not
+                           # depend on which strategy it picks
+    "media_dedup",         # kernel-echoed block key + window guard
+    "pipeline_funnel_fused",  # fused gates + composed pair pipelines
 ]
 
 
