@@ -506,13 +506,21 @@ ng AS (SELECT doc_id, list_distinct({_SQL_GRAM_CASE}) AS ngh FROM tk),
 x AS (SELECT doc_id, len(ngh) AS sz, unnest(ngh) AS g FROM ng),
 df AS (SELECT g, count(*) AS dfreq FROM x GROUP BY g)"""
 
-NGRAM_JACCARD_ORACLE = f"""
+def build_ngram_jaccard_oracle(
+    max_df: int = NJ_MAX_DF, bucket_cap: int = NJ_BUCKET_CAP
+) -> str:
+    """DuckDB oracle for ``ngram_jaccard_pairs`` with explicit caps — the
+    registry uses the defaults; the fuzz family
+    (tests/test_fuzz_dedup.py) pairs random caps with random corpora so
+    the md5-ordered bucket sampling and the saturation-aware positional
+    CASE are cross-engine-checked far beyond the fixtures."""
+    return f"""
 {_SQL_NGRAM_CTES},
 ranked AS (
     SELECT x.doc_id, x.sz, x.g, df.dfreq,
            row_number() OVER (PARTITION BY x.doc_id ORDER BY df.dfreq, x.g) AS rn
     FROM x JOIN df USING (g)
-    WHERE df.dfreq <= {NJ_MAX_DF}
+    WHERE df.dfreq <= {max_df}
 ),
 pref AS (SELECT doc_id, sz, g, rn FROM ranked WHERE rn <= {_NJ_PREFIX_SQL}),
 prefb AS (SELECT doc_id, sz, g, rn,
@@ -520,8 +528,8 @@ prefb AS (SELECT doc_id, sz, g, rn,
                  row_number() OVER (PARTITION BY g
                                     ORDER BY {_DOC_ORD_SQL}, doc_id) AS brn
           FROM pref),
-pref2 AS (SELECT doc_id, sz, g, rn, (bsz > {NJ_BUCKET_CAP}) AS sat
-          FROM prefb WHERE bsz >= 2 AND brn <= {NJ_BUCKET_CAP}),
+pref2 AS (SELECT doc_id, sz, g, rn, (bsz > {bucket_cap}) AS sat
+          FROM prefb WHERE bsz >= 2 AND brn <= {bucket_cap}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pref2 a JOIN pref2 b ON a.g = b.g AND a.doc_id < b.doc_id
          AND (CASE WHEN a.sat OR b.sat
@@ -543,6 +551,9 @@ SELECT doc_a, doc_b, {sql_rn('inter * 1.0 / uni', 4)} AS jaccard
 FROM verified
 WHERE inter * {NJ_THRESHOLD_DEN} >= uni * {NJ_THRESHOLD_NUM}
 """
+
+
+NGRAM_JACCARD_ORACLE = build_ngram_jaccard_oracle()
 
 
 @register("ngram_jaccard", NGRAM_JACCARD_ORACLE, tags=("dedup",))

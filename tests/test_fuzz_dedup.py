@@ -1,0 +1,88 @@
+"""Randomized differential testing of the ngram dedup pipeline.
+
+The curated oracle checks run the FIXED caps on FIXED fixtures; this
+family generates boilerplate-heavy corpora (tiny vocabulary → saturated
+prefix buckets) together with random (max_df, bucket_cap) parameters and
+runs the SAME pipeline on Spark and DuckDB, comparing pairs exactly.
+That cross-engine-checks the subtlest round-5 logic far beyond the
+fixtures: the md5(doc_id)-ordered deterministic bucket sampling, the
+saturation flag, and the bucket-aware positional-filter CASE — any
+divergence in hash mirroring, window ordering, or integer threshold
+arithmetic surfaces as a row diff on a shrinkable example.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simpletons_map_reduce_spark.caching import release_persisted
+from simpletons_map_reduce_spark.queries.dedup_ops import (
+    build_ngram_jaccard_oracle,
+    ngram_jaccard_pairs,
+)
+
+#: tiny vocabulary → heavy gram sharing → saturated buckets at small cap
+VOCAB = ["alpha", "bravo", "carol", "delta", "every", "faded", "gamma", "hotel"]
+
+
+@st.composite
+def corpus_and_caps(draw):
+    n_templates = draw(st.integers(min_value=2, max_value=4))
+    templates = [
+        draw(
+            st.lists(
+                st.sampled_from(VOCAB), min_size=0, max_size=12
+            )
+        )
+        for _ in range(n_templates)
+    ]
+    docs = []
+    n_docs = draw(st.integers(min_value=6, max_value=28))
+    for i in range(n_docs):
+        base = list(templates[draw(st.integers(0, n_templates - 1))])
+        # small mutation: maybe append/drop one token → near-dups, not
+        # only exact replicas
+        if base and draw(st.booleans()):
+            base = base[:-1]
+        if draw(st.booleans()):
+            base.append(draw(st.sampled_from(VOCAB)))
+        docs.append((i, " ".join(base)))
+    max_df = draw(st.integers(min_value=3, max_value=40))
+    bucket_cap = draw(st.integers(min_value=2, max_value=8))
+    return docs, max_df, bucket_cap
+
+
+@given(corpus_and_caps())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_jaccard_matches_duckdb_on_generated_corpora(spark, case):
+    docs, max_df, bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                sdf, max_df=max_df, bucket_cap=bucket_cap
+            ).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            build_ngram_jaccard_oracle(max_df=max_df, bucket_cap=bucket_cap)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (max_df, bucket_cap, docs)
