@@ -1139,17 +1139,24 @@ _NC_PREFIX_SQL = (
     f" // {NC_THRESHOLD_DEN}) + 1"
 )
 
-NGRAM_CONTAINMENT_ORACLE = f"""
+def build_ngram_containment_oracle(
+    max_df: int = NJ_MAX_DF, bucket_cap: int = NJ_BUCKET_CAP
+) -> str:
+    """DuckDB oracle for ``ngram_containment_pairs`` with explicit caps
+    (registry uses the defaults; tests/test_fuzz_dedup.py pairs random
+    caps with random corpora — same rationale as
+    build_ngram_jaccard_oracle)."""
+    return f"""
 {_SQL_NGRAM_CTES},
 kept AS (SELECT x.doc_id, x.sz, x.g, df.dfreq
-         FROM x JOIN df USING (g) WHERE df.dfreq <= {NJ_MAX_DF}),
+         FROM x JOIN df USING (g) WHERE df.dfreq <= {max_df}),
 fullb AS (SELECT doc_id, sz, g,
                  count(*) OVER (PARTITION BY g) AS bsz,
                  row_number() OVER (PARTITION BY g
                                     ORDER BY {_DOC_ORD_SQL}, doc_id) AS brn
           FROM kept),
 fullg AS (SELECT doc_id, sz, g FROM fullb
-          WHERE bsz >= 2 AND brn <= {NJ_BUCKET_CAP}),
+          WHERE bsz >= 2 AND brn <= {bucket_cap}),
 ranked AS (SELECT doc_id, sz, g,
                   row_number() OVER (PARTITION BY doc_id
                                      ORDER BY dfreq, g) AS rn
@@ -1171,6 +1178,9 @@ SELECT doc_small, doc_big,
 FROM verified
 WHERE inter * {NC_THRESHOLD_DEN} >= len(ngh) * {NC_THRESHOLD_NUM}
 """
+
+
+NGRAM_CONTAINMENT_ORACLE = build_ngram_containment_oracle()
 
 
 @register("ngram_containment", NGRAM_CONTAINMENT_ORACLE, tags=("dedup",))
@@ -1198,9 +1208,14 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs)
 
 
-def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
+def ngram_containment_pairs(
+    docs: DataFrame,
+    max_df: int = NJ_MAX_DF,
+    bucket_cap: int = NJ_BUCKET_CAP,
+) -> DataFrame:
     """Containment pairs over an arbitrary (doc_id, text) relation —
-    exposed so tests can plant contained/quoting corpora."""
+    exposed so tests can plant contained/quoting corpora and fuzz the
+    caps."""
     from ..functions.rounding import rn
 
     ng = _ngram_sets(docs)
@@ -1208,7 +1223,7 @@ def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
     dfreq = x.groupBy("g").agg(F.count("*").alias("dfreq"))
     # no broadcast hint: dfreq is unbounded (Heaps' law) — AQE picks the
     # strategy at runtime; see _prefix_candidates for the full rationale.
-    kept = x.join(dfreq, "g").filter(F.col("dfreq") <= NJ_MAX_DF)
+    kept = x.join(dfreq, "g").filter(F.col("dfreq") <= max_df)
     # hash-ordered bucket sampling (not whole-bucket drop) — same graceful
     # recall contract as _prefix_candidates, mirrored in the oracle.
     bucket_w = Window.partitionBy("g")
@@ -1217,7 +1232,7 @@ def ngram_containment_pairs(docs: DataFrame) -> DataFrame:
         kept.select("doc_id", "sz", "g")
         .withColumn("bsz", F.count("*").over(bucket_w))
         .withColumn("brn", F.row_number().over(order_w))
-        .filter((F.col("bsz") >= 2) & (F.col("brn") <= NJ_BUCKET_CAP))
+        .filter((F.col("bsz") >= 2) & (F.col("brn") <= bucket_cap))
         .select("doc_id", "sz", "g")
     )
     pref = (

@@ -20,7 +20,9 @@ from hypothesis import strategies as st
 
 from simpletons_map_reduce_spark.caching import release_persisted
 from simpletons_map_reduce_spark.queries.dedup_ops import (
+    build_ngram_containment_oracle,
     build_ngram_jaccard_oracle,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
 
@@ -82,6 +84,41 @@ def test_ngram_jaccard_matches_duckdb_on_generated_corpora(spark, case):
         tuple(r)
         for r in con.sql(
             build_ngram_jaccard_oracle(max_df=max_df, bucket_cap=bucket_cap)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (max_df, bucket_cap, docs)
+
+
+@given(corpus_and_caps())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_containment_matches_duckdb_on_generated_corpora(spark, case):
+    docs, max_df, bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        got = sorted(
+            (r.doc_small, r.doc_big, r.containment)
+            for r in ngram_containment_pairs(
+                sdf, max_df=max_df, bucket_cap=bucket_cap
+            ).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            build_ngram_containment_oracle(
+                max_df=max_df, bucket_cap=bucket_cap
+            )
         ).fetchall()
     )
     con.close()
