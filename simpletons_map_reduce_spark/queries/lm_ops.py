@@ -75,18 +75,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean log2 unigram probability under the corpus LM.
 
     Two aggregations over ONE exploded-token relation: (1) the LM table
-    tok → count (|vocab| rows — broadcast back), (2) per-doc mean of
-    log2(cnt/N).  The corpus total N is a 1-row aggregate broadcast by the
-    cross join.  The corpus shuffles once (token counts); scoring reuses
-    the exploded relation map-side via the broadcast LM — at 100 TB the
-    token explode runs twice at worst (cheap projection) but never
-    shuffles twice.
+    tok → count (|vocab| rows), (2) per-doc mean of log2(cnt/N).  The
+    corpus total N is a 1-row aggregate broadcast by the cross join.
+    The LM join carries NO broadcast hint: vocabulary grows with the
+    corpus (Heaps' law — same argument as the ngram dfreq relation), so
+    the strategy is AQE's runtime call — broadcast whenever the LM is
+    actually small (every tested SF; scoring then reuses the exploded
+    relation map-side), skew-aware SMJ when a 100 TB vocabulary isn't.
     """
     e = _exploded_tokens(spark, sf_dir)
     lm = e.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = lm.agg(F.sum("cnt").cast("double").alias("n"))
     return (
-        e.join(F.broadcast(lm), "tok")
+        e.join(lm, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -117,16 +117,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥K distinct word
     n-grams with a held-out benchmark doc.
 
-    Scaling contract: the broadcast build side must be a genuinely BOUNDED
-    external eval set (MMLU/GSM8K-style: thousands of docs, millions of
-    grams — comfortably broadcastable).  The id-stripe used here is a
-    STAND-IN for that eval-set table so the oracle can check the join on
-    driver data; it is ~1/CONTAM_BENCH_MOD of the corpus, which at 100 TB
-    would NOT fit a broadcast — production swaps the stripe for the real
-    eval-set scan and keeps the identical plan shape.  (If an eval set ever
-    outgrew broadcast, drop F.broadcast and let AQE pick a shuffle join —
-    the query is correct either way; only the no-corpus-shuffle guarantee
-    is broadcast-dependent.)  With a bounded build side the 100 TB corpus
+    Scaling contract: the build side must be a genuinely BOUNDED external
+    eval set (MMLU/GSM8K-style: thousands of docs, millions of grams —
+    comfortably broadcastable).  The id-stripe used here is a STAND-IN for
+    that eval-set table so the oracle can check the join on driver data;
+    it is ~1/CONTAM_BENCH_MOD of the corpus, which at 100 TB would NOT
+    fit a broadcast — so the join carries NO broadcast hint and the
+    strategy is AQE's runtime call: broadcast whenever the build side is
+    actually small (every tested SF, and any real eval set), shuffle join
+    if it ever isn't — the query is correct either way; only the
+    no-corpus-shuffle guarantee is broadcast-dependent.  With a bounded
+    build side the 100 TB corpus
     never shuffles raw text: each doc is tokenized and reduced to distinct
     grams map-side, probed against the broadcast, and only the surviving
     (doc, bench, gram-hit) counts enter the aggregate exchange.
@@ -157,7 +158,7 @@ def contaminated_pairs(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "gram"
     )
     return (
-        grams.join(F.broadcast(bench), "gram")
+        grams.join(bench, "gram")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))

@@ -598,7 +598,10 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
-    kept = emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+    # no broadcast hint on dropped: its cardinality is the corpus's dup
+    # mass — O(n) on dup-heavy corpora — so the anti-join strategy is
+    # AQE's runtime call (broadcast when dups are actually few).
+    kept = emb.join(dropped, "vec_id", "left_anti")
     w = Window.partitionBy("label")
     return kept.select(
         "vec_id", "label", F.count("*").over(w).cast("long").alias("kept_in_label")
