@@ -854,8 +854,7 @@ EXCHANGE_BUDGET = {
 #: size, so only relations whose cardinality does not grow with the data
 #: may be hinted: query/dimension literals (N_QUERIES vectors, nation/
 #: region/part dims), k-row aggregates (per-label block counts, CMS
-#: counters, scalar thresholds), capped top-k survivors, or the
-#: documented-bounded eval set (contamination_check).  Queries absent
+#: counters, scalar thresholds), or capped top-k survivors.  Queries absent
 #: from this dict must have ZERO hints; notably the ngram family's
 #: per-gram dfreq relation (Heaps'-law unbounded) and media_dedup's
 #: O(docs) source map are NOT here — those broadcasts were the r4 scale
