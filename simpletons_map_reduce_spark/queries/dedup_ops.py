@@ -157,10 +157,11 @@ def _perms_values_sql() -> str:
     return f"(VALUES {rows}) AS perms(i, a, b)"
 
 
-#: Shared SQL front half (shingle sets → MinHash bands → capped buckets);
-#: the symmetric (near_dedup) and asymmetric (dedup_incremental) oracles
-#: append their own cand/verify CTEs.
-_SQL_LSH_KEPT_CTES = f"""
+def _sql_lsh_kept_ctes(bucket_cap: int = MAX_BAND_BUCKET) -> str:
+    """Shared SQL front half (shingle sets → MinHash bands → capped
+    buckets); the symmetric (near_dedup) and asymmetric
+    (dedup_incremental) oracles append their own cand/verify CTEs."""
+    return f"""
 WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
 tk AS (SELECT doc_id,
               list_transform(toks, s -> {sql_md5_mod_prime('s')}) AS th
@@ -178,10 +179,20 @@ counted AS (SELECT doc_id, band, band_key,
                    count(*) OVER (PARTITION BY band, band_key) AS bsz
             FROM bands),
 kept AS (SELECT doc_id, band, band_key FROM counted
-         WHERE bsz BETWEEN 2 AND {MAX_BAND_BUCKET})"""
+         WHERE bsz BETWEEN 2 AND {bucket_cap})"""
 
-NEAR_DEDUP_ORACLE = f"""
-{_SQL_LSH_KEPT_CTES},
+
+_SQL_LSH_KEPT_CTES = _sql_lsh_kept_ctes()
+
+
+def build_near_dedup_oracle(bucket_cap: int = MAX_BAND_BUCKET) -> str:
+    """DuckDB oracle for ``near_dedup_pairs`` with an explicit bucket cap
+    (registry uses the default; tests/test_fuzz_dedup.py pairs random
+    caps with random corpora so the whole MinHash mirror — per-token
+    md5, polynomial gram combination, affine permutations, band keys,
+    bucket caps — is cross-engine-checked beyond the fixtures)."""
+    return f"""
+{_sql_lsh_kept_ctes(bucket_cap)},
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
@@ -198,6 +209,9 @@ SELECT doc_a, doc_b, {sql_rn('inter * 1.0 / uni', 4)} AS jaccard
 FROM verified
 WHERE inter * {JACCARD_THRESHOLD_DEN} >= uni * {JACCARD_THRESHOLD_NUM}
 """
+
+
+NEAR_DEDUP_ORACLE = build_near_dedup_oracle()
 
 
 @register("near_dedup", NEAR_DEDUP_ORACLE, tags=("dedup",))

@@ -20,8 +20,10 @@ from hypothesis import strategies as st
 
 from simpletons_map_reduce_spark.caching import release_persisted
 from simpletons_map_reduce_spark.queries.dedup_ops import (
+    build_near_dedup_oracle,
     build_ngram_containment_oracle,
     build_ngram_jaccard_oracle,
+    near_dedup_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
@@ -88,6 +90,41 @@ def test_ngram_jaccard_matches_duckdb_on_generated_corpora(spark, case):
     )
     con.close()
     assert got == want, (max_df, bucket_cap, docs)
+
+
+@given(corpus_and_caps())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_near_dedup_matches_duckdb_on_generated_corpora(spark, case):
+    """The whole MinHash mirror — per-token md5, polynomial gram combos
+    (incl. the 0/1/2-token short-doc branches), 32 affine permutations,
+    band keys, the [2, cap] bucket filter, exact verification — on
+    random corpora with a random band-bucket cap."""
+    docs, _max_df, bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in near_dedup_pairs(sdf, bucket_cap=bucket_cap).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            build_near_dedup_oracle(bucket_cap=bucket_cap)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (bucket_cap, docs)
 
 
 @given(corpus_and_caps())
