@@ -133,6 +133,43 @@ def test_near_dedup_matches_duckdb_on_generated_corpora(spark, case):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+def test_simhash_pairs_match_duckdb_on_generated_corpora(spark, case):
+    """Frequency-weighted bit votes, banded fingerprint join, hamming
+    verification — the third candidate strategy, fuzzed on the same
+    random corpora (operator parameters are fixed constants; the corpus
+    is the random input)."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        _build_simhash_pairs_oracle,
+        simhash_pairs_from,
+    )
+
+    docs, _max_df, _bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        got = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs_from(spark, sdf).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(_build_simhash_pairs_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want, docs
+
+
+@given(corpus_and_caps())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_ngram_containment_matches_duckdb_on_generated_corpora(spark, case):
     docs, max_df, bucket_cap = case
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
