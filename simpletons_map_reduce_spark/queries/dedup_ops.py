@@ -269,8 +269,14 @@ def near_dedup_pairs(
 #: the "newly crawled batch" (~10%), the rest the standing corpus.
 NEW_BATCH_MOD = 10
 
-DEDUP_INCREMENTAL_ORACLE = f"""
-{_SQL_LSH_KEPT_CTES},
+def build_dedup_incremental_oracle(
+    bucket_cap: int = MAX_BAND_BUCKET,
+) -> str:
+    """DuckDB oracle for the asymmetric new-batch-vs-corpus LSH probe
+    with an explicit bucket cap (registry uses the default; fuzzed in
+    tests/test_fuzz_dedup.py)."""
+    return f"""
+{_sql_lsh_kept_ctes(bucket_cap)},
 cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
          FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
@@ -290,6 +296,9 @@ WHERE inter * {JACCARD_THRESHOLD_DEN} >= uni * {JACCARD_THRESHOLD_NUM}
 """
 
 
+DEDUP_INCREMENTAL_ORACLE = build_dedup_incremental_oracle()
+
+
 @register("dedup_incremental", DEDUP_INCREMENTAL_ORACLE, tags=("dedup",))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: which NEW documents near-duplicate the
@@ -303,8 +312,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined relation, exactly as the oracle does.
     """
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return dedup_incremental_pairs(docs)
+
+
+def dedup_incremental_pairs(
+    docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Asymmetric new-vs-corpus pairs over any (doc_id, text) relation
+    (exposed so tests can plant corpora and fuzz the bucket cap)."""
     shs = _shingle_sets(docs)
-    kept = _lsh_kept(shs, MAX_BAND_BUCKET)
+    kept = _lsh_kept(shs, bucket_cap)
     new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
     corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
     cand = (

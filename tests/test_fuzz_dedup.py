@@ -133,6 +133,47 @@ def test_near_dedup_matches_duckdb_on_generated_corpora(spark, case):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+def test_dedup_incremental_matches_duckdb_on_generated_corpora(spark, case):
+    """The asymmetric new-batch-vs-corpus probe over the same random
+    corpora + band-bucket caps — the modulo batch split plus the shared
+    MinHash mirror."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        build_dedup_incremental_oracle,
+        dedup_incremental_pairs,
+    )
+
+    docs, _max_df, bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        got = sorted(
+            (r.new_doc, r.corpus_doc, r.jaccard)
+            for r in dedup_incremental_pairs(
+                sdf, bucket_cap=bucket_cap
+            ).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            build_dedup_incremental_oracle(bucket_cap=bucket_cap)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (bucket_cap, docs)
+
+
+@given(corpus_and_caps())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_simhash_pairs_match_duckdb_on_generated_corpora(spark, case):
     """Frequency-weighted bit votes, banded fingerprint join, hamming
     verification — the third candidate strategy, fuzzed on the same
