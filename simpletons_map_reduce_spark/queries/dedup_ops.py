@@ -972,11 +972,12 @@ def simhash_pairs_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
 # dedup_clusters: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def _build_clusters_oracle() -> str:
+def _build_clusters_oracle(near_oracle: str | None = None) -> str:
     """Recursive-CTE twin of the iterative label propagation: cluster id =
     min doc_id reachable through near-dup pairs.  Reuses NEAR_DEDUP_ORACLE's
-    CTE list verbatim so the two queries can never disagree on the graph."""
-    body = NEAR_DEDUP_ORACLE.strip()
+    CTE list verbatim so the two queries can never disagree on the graph
+    (pass a ``build_near_dedup_oracle(cap)`` body to fuzz other caps)."""
+    body = (near_oracle or NEAR_DEDUP_ORACLE).strip()
     assert body.startswith("WITH ")
     idx = body.rindex("SELECT doc_a")
     ctes = body[len("WITH "):idx].rstrip().rstrip(",")

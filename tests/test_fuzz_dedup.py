@@ -129,6 +129,52 @@ def test_near_dedup_matches_duckdb_on_generated_corpora(spark, case):
 
 @given(corpus_and_caps())
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_clusters_match_recursive_cte_on_generated_corpora(spark, case):
+    """Pointer-doubling label propagation ≡ recursive-CTE transitive
+    closure on the near-dup graph induced by a random corpus + random
+    bucket cap — the strongest algorithmic property in the dedup family
+    (min-reachable-id per connected component), checked against an
+    independent formulation, not a reimplementation."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        _build_clusters_oracle,
+        clusters_from_pairs,
+    )
+
+    docs, _max_df, bucket_cap = case
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        pairs = near_dedup_pairs(sdf, bucket_cap=bucket_cap).select(
+            "doc_a", "doc_b"
+        )
+        got = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in clusters_from_pairs(pairs).collect()
+        )
+    finally:
+        release_persisted()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            _build_clusters_oracle(
+                build_near_dedup_oracle(bucket_cap=bucket_cap)
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (bucket_cap, docs)
+
+
+@given(corpus_and_caps())
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
