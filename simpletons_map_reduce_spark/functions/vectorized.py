@@ -211,7 +211,10 @@ def np_pair_prefilter(pairs: DataFrame, min_cos: float) -> DataFrame:
 
 
 def np_minhash_bands(
-    df: DataFrame, params: list[tuple[int, int]], band_rows: int
+    df: DataFrame,
+    params: list[tuple[int, int]],
+    band_rows: int,
+    carry: str | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) MinHash-LSH band rows, vectorized.
 
@@ -226,6 +229,10 @@ def np_minhash_bands(
     array passes per document, with no parity consequence.  Narrow (no
     shuffle); the band explode happens inside the kernel.  Empty hash
     lists mirror concat_ws-over-NULLs ('' key per band).
+
+    ``carry``: optional extra input column echoed through the kernel
+    (repeated per band row) — the streaming near-dedup twin carries the
+    verification shingle sets so the stateful probe needs no join.
     """
     from .hashing import MINHASH_PRIME
 
@@ -270,17 +277,20 @@ def np_minhash_bands(
                 out_keys[:, j] = k
             if (~nonempty).any():  # concat_ws over all-NULL mins is ''
                 out_keys[~nonempty, :] = ""
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(doc_ids, n_bands),
-                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(b)),
-                    "band_key": out_keys.ravel(),
-                }
-            )
+            out = {
+                "doc_id": np.repeat(doc_ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(b)),
+                "band_key": out_keys.ravel(),
+            }
+            if carry is not None:
+                out[carry] = np.repeat(b[carry].to_numpy(), n_bands)
+            yield pd.DataFrame(out)
 
-    return df.select("doc_id", "hl").mapInPandas(
-        kernel, "doc_id long, band int, band_key string"
+    cols = ["doc_id", "hl"] + ([carry] if carry is not None else [])
+    schema = "doc_id long, band int, band_key string" + (
+        f", {carry} array<bigint>" if carry is not None else ""
     )
+    return df.select(*cols).mapInPandas(kernel, schema)
 
 
 # ---- Product quantization (ann_pq) ---------------------------------------

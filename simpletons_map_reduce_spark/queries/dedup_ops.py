@@ -403,20 +403,29 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     the same blocks is ~4 s flat.  At cluster scale DISK_ONLY also
     cannot evict under executor memory pressure; lineage recompute
     remains the fallback."""
+    return tracked_persist(
+        shingle_projection(docs), level=StorageLevel.DISK_ONLY
+    )
+
+
+def shingle_projection(docs: DataFrame) -> DataFrame:
+    """The UNPERSISTED (doc_id, shset, hl) projection — a pure map-side
+    expression, so it runs unchanged on a STREAMING DataFrame (persist is
+    batch-only), which is what lets streaming/near_dedup_stream.py share
+    the exact signature pipeline with the batch operator."""
     th = F.transform(
         F.expr(_spark_toks_expr()),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         % MINHASH_PRIME,
     )
-    return tracked_persist(
+    return (
         docs.select("doc_id", th.alias("th"))
         .select("doc_id", F.array_distinct(F.expr(_GRAM_CASE)).alias("shset"))
         .select(
             "doc_id",
             "shset",
             F.expr(f"transform(shset, g -> g DIV {_P})").alias("hl"),
-        ),
-        level=StorageLevel.DISK_ONLY,
+        )
     )
 
 
