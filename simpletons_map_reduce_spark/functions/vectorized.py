@@ -214,7 +214,7 @@ def np_minhash_bands(
     df: DataFrame,
     params: list[tuple[int, int]],
     band_rows: int,
-    carry: str | None = None,
+    carry: dict[str, str] | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) MinHash-LSH band rows, vectorized.
 
@@ -230,9 +230,10 @@ def np_minhash_bands(
     shuffle); the band explode happens inside the kernel.  Empty hash
     lists mirror concat_ws-over-NULLs ('' key per band).
 
-    ``carry``: optional extra input column echoed through the kernel
-    (repeated per band row) — the streaming near-dedup twin carries the
-    verification shingle sets so the stateful probe needs no join.
+    ``carry``: optional {column: sql_type} map of extra input columns
+    echoed through the kernel (repeated per band row) — the streaming
+    near-dedup twin carries the verification shingle sets (and its TTL
+    variant the event timestamp) so the stateful probe needs no join.
     """
     from .hashing import MINHASH_PRIME
 
@@ -282,13 +283,13 @@ def np_minhash_bands(
                 "band": np.tile(np.arange(n_bands, dtype=np.int32), len(b)),
                 "band_key": out_keys.ravel(),
             }
-            if carry is not None:
-                out[carry] = np.repeat(b[carry].to_numpy(), n_bands)
+            for c in carry or ():
+                out[c] = np.repeat(b[c].to_numpy(), n_bands)
             yield pd.DataFrame(out)
 
-    cols = ["doc_id", "hl"] + ([carry] if carry is not None else [])
-    schema = "doc_id long, band int, band_key string" + (
-        f", {carry} array<bigint>" if carry is not None else ""
+    cols = ["doc_id", "hl"] + list(carry or ())
+    schema = "doc_id long, band int, band_key string" + "".join(
+        f", {c} {t}" for c, t in (carry or {}).items()
     )
     return df.select(*cols).mapInPandas(kernel, schema)
 

@@ -26,10 +26,11 @@ Contracts (pinned in tests/test_near_dedup_stream.py):
   (which drops over-cap buckets whole); on corpora where no bucket
   saturates the two are equivalent and the twin test pins output
   equality with batch ``near_dedup_pairs``;
-- state per bucket is bounded by ``bucket_cap`` gram sets.  A production
-  deployment adds the event-time TTL eviction pattern of
-  streaming/stateful.py (crawl dedup usually scopes to a recency
-  window); kept out here so the twin comparison is exact.
+- state per bucket is bounded by ``bucket_cap`` gram sets.  The base
+  twin keeps state forever so the batch comparison is exact;
+  ``near_dedup_stream_ttl_from`` is the production variant — member
+  expiry on probe (a document matches only members ingested within the
+  TTL of its own event time) plus watermark-driven idle-bucket cleanup.
 """
 
 from __future__ import annotations
@@ -123,7 +124,10 @@ def near_dedup_stream_from(
     """
     shs = shingle_projection(docs)
     bands = np_minhash_bands(
-        shs, minhash_params(NUM_PERM), BAND_ROWS, carry="shset"
+        shs,
+        minhash_params(NUM_PERM),
+        BAND_ROWS,
+        carry={"shset": "array<bigint>"},
     )
     return bands.groupBy("band", "band_key").applyInPandasWithState(
         _make_probe(bucket_cap),
@@ -131,6 +135,149 @@ def near_dedup_stream_from(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: TTL-variant state: member ids, gram sets, and ingest epoch-ms.
+TTL_STATE_SCHEMA = "ids array<long>, sets array<array<long>>, tss array<long>"
+
+
+def _make_ttl_probe(bucket_cap: int, ttl_ms: int):
+    def probe(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # bucket idle past TTL: drop it whole — cleanup for buckets
+            # that never receive another probe
+            state.remove()
+            return
+        ids, sets, tss = state.get if state.exists else ([], [], [])
+        ids, sets, tss = list(ids), [list(s) for s in sets], list(tss)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        rows = []
+        max_ts_ms = 0
+        for pdf in pdfs:
+            for doc_id, shset, ts in zip(
+                pdf["doc_id"], pdf["shset"], pdf["ingest_ts"]
+            ):
+                rows.append(
+                    (int(doc_id), [int(g) for g in shset],
+                     int(ts.value // 1_000_000))
+                )
+        rows.sort(key=lambda r: (r[2], r[0]))
+        for doc_id, shset, ts_ms in rows:
+            max_ts_ms = max(max_ts_ms, ts_ms)
+            # member-level expiry ON PROBE: a document matches only
+            # members ingested within ttl of ITS OWN event time — the
+            # recency contract is data-driven, so it cannot depend on
+            # micro-batch boundaries or timeout scheduling (expired
+            # members also free their cap slots)
+            live = [
+                k for k in range(len(ids)) if tss[k] >= ts_ms - ttl_ms
+            ]
+            ids = [ids[k] for k in live]
+            sets = [sets[k] for k in live]
+            tss = [tss[k] for k in live]
+            sh = set(shset)
+            for old_id, old_set in zip(ids, sets):
+                if old_id == doc_id:
+                    continue
+                inter = len(sh.intersection(old_set))
+                uni = len(sh) + len(old_set) - inter
+                if inter * JACCARD_THRESHOLD_DEN >= uni * JACCARD_THRESHOLD_NUM:
+                    a, b = min(old_id, doc_id), max(old_id, doc_id)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(_rn4(inter / uni))
+            if len(ids) < bucket_cap:
+                ids.append(doc_id)
+                sets.append(shset)
+                tss.append(ts_ms)
+        state.update((ids, sets, tss))
+        # idle-bucket cleanup: fires once the watermark passes the last
+        # activity + TTL (watermark-driven ⇒ deterministic on replay —
+        # the stateful.py pattern)
+        state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}
+            )
+
+    return probe
+
+
+def near_dedup_stream_ttl_from(
+    docs: DataFrame,
+    bucket_cap: int = MAX_BAND_BUCKET,
+    ttl: str = "10 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """TTL-evicting streaming near-dup over a (doc_id, text, ingest_ts)
+    streaming relation — the production shape the base twin documents.
+
+    A document matches only members ingested within ``ttl`` of its OWN
+    event time — member-level expiry applied on probe, so the recency
+    contract is data-driven and independent of micro-batch boundaries
+    (expired members also free their cap slots).  Buckets idle past the
+    TTL (as observed via the watermark) are additionally dropped whole
+    by an event-time timeout — cleanup for buckets that never receive
+    another probe, the stateful.py idle pattern.  Exact-once dedup over
+    unbounded history is impossible in bounded state; compose with a
+    periodic batch near_dedup compaction for the lambda shape, exactly
+    as dedup_stream.py documents for exact dedup.
+    """
+    from .stateful import _duration_ms
+
+    bands = np_minhash_bands(
+        shingle_projection_with(docs, extra=["ingest_ts"]),
+        minhash_params(NUM_PERM),
+        BAND_ROWS,
+        carry={"shset": "array<bigint>", "ingest_ts": "timestamp"},
+    )
+    return (
+        bands.withWatermark("ingest_ts", watermark)
+        .groupBy("band", "band_key")
+        .applyInPandasWithState(
+            _make_ttl_probe(bucket_cap, _duration_ms(ttl)),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def shingle_projection_with(docs: DataFrame, extra: list[str]) -> DataFrame:
+    """``shingle_projection`` with extra source columns carried through
+    the same map-side expressions (a stream cannot re-join the timestamp
+    on doc_id without paying a second stateful operator)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import MINHASH_PRIME
+    from ..queries.dedup_ops import _GRAM_CASE, _P, _spark_toks_expr
+
+    th = F.transform(
+        F.expr(_spark_toks_expr()),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+    return (
+        docs.select("doc_id", *extra, th.alias("th"))
+        .select(
+            "doc_id",
+            *extra,
+            F.array_distinct(F.expr(_GRAM_CASE)).alias("shset"),
+        )
+        .select(
+            "doc_id",
+            *extra,
+            "shset",
+            F.expr(f"transform(shset, g -> g DIV {_P})").alias("hl"),
+        )
     )
 
 

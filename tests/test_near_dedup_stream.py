@@ -82,6 +82,66 @@ def test_near_dedup_stream_probes_across_micro_batches(spark, tmp_path):
     assert all(r.jaccard >= 0.5 for r in out)
 
 
+def test_near_dedup_stream_ttl_evicts_stale_buckets(spark, tmp_path):
+    """TTL variant: a near-dup arriving AFTER the bucket idled past the
+    TTL (as observed via the watermark) finds evicted state and emits
+    nothing; with a large TTL the same replay pairs across batches."""
+    import pyspark.sql.functions as F
+
+    from simpletons_map_reduce_spark.streaming.near_dedup_stream import (
+        near_dedup_stream_ttl_from,
+    )
+
+    root = str(tmp_path / "ttl_in")
+    # t=1000s: two near-dups seed the bucket state
+    _write_docs(
+        spark, f"{root}/b0",
+        [_doc(1, _BASE), _doc(2, _BASE + " quebec")], mtime=1_000,
+    )
+    # t=100000s: unrelated doc advances the watermark far past ttl
+    _write_docs(
+        spark, f"{root}/b1",
+        [_doc(50, "zulu yankee xray whiskey victor uniform tango sierra")],
+        mtime=2_000,
+    )
+    # a late near-dup of doc 1 — arrives after the bucket's TTL fired
+    _write_docs(
+        spark, f"{root}/b2", [_doc(90, _BASE)], mtime=3_000,
+    )
+
+    def run(name, ttl):
+        raw = (
+            spark.readStream.format("parquet")
+            .schema(DOCS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .load(f"{root}/*")
+        )
+        # event time: doc 50 at 100000 s places the watermark far past
+        # docs 1/2 (at ~1000 s) + any reasonable ttl; doc 90 at 100090 s
+        docs = raw.select(
+            "doc_id",
+            "text",
+            F.timestamp_micros(
+                (F.when(F.col("doc_id") < 10, F.col("doc_id") + 1000)
+                 .otherwise(F.col("doc_id") + 100_000)) * 1_000_000
+            ).alias("ingest_ts"),
+        )
+        return run_to_memory(
+            near_dedup_stream_ttl_from(
+                docs, ttl=ttl, watermark="10 seconds"
+            ),
+            name,
+            mode="append",
+        ).collect()
+
+    evicted = {(r.doc_a, r.doc_b)
+               for r in run("t_near_ttl_short", "10 minutes")}
+    assert evicted == {(1, 2)}, evicted  # doc 90 probed an evicted bucket
+    kept = {(r.doc_a, r.doc_b) for r in run("t_near_ttl_long", "100 hours")}
+    assert kept == {(1, 2), (1, 90), (2, 90)}, kept
+
+
 def test_near_dedup_stream_cap_is_arrival_order(spark, tmp_path):
     """With bucket_cap = 2, only the first two arrivals of a bucket are
     stored: a third identical doc still PROBES (pairs with both stored
