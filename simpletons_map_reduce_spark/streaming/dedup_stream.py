@@ -38,17 +38,28 @@ DOCS_RAW_SCHEMA = T.StructType(
 )
 
 
+def docs_raw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet, handling BOTH fixture
+    layouts: the driver's single ``documents.parquet`` FILE (file-stream
+    sources need a directory, so glob-filter the sf dir) and
+    Spark-written ``documents.parquet/`` DIRECTORIES of part files
+    (big-SF fixtures — load the directory itself; the glob would reject
+    the ``part-*`` leaf names)."""
+    import os
+
+    ensure_confs(spark)
+    reader = spark.readStream.format("parquet").schema(DOCS_RAW_SCHEMA)
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+
 def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet with a deterministic synthetic
     ingest timestamp (derived from doc_id so tests are replayable; a real
     ingest source carries its own event time)."""
-    ensure_confs(spark)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(DOCS_RAW_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    raw = docs_raw_stream(spark, sf_dir)
     return raw.select(
         "doc_id",
         F.md5("text").alias("content_hash"),

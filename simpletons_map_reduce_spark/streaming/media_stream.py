@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import documents_as_media, extract_features
-from .dedup_stream import DOCS_RAW_SCHEMA
 
 
 def media_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,15 +26,9 @@ def media_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the streaming (media_id, width, height, feature) relation;
     run it with events_stream.run_to_memory (append mode — no aggregation)."""
-    from ..session import ensure_confs
+    from .dedup_stream import docs_raw_stream
 
-    ensure_confs(spark)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(DOCS_RAW_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    raw = docs_raw_stream(spark, sf_dir)
     return extract_features(documents_as_media(raw)).select(
         "media_id", "width", "height", F.col("feature")
     )

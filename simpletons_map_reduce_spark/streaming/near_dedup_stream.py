@@ -52,7 +52,6 @@ from ..queries.dedup_ops import (
     NUM_PERM,
     shingle_projection,
 )
-from .dedup_stream import DOCS_RAW_SCHEMA
 
 OUTPUT_SCHEMA = "doc_a long, doc_b long, jaccard double"
 #: per-bucket state: parallel arrays of member ids and their gram sets.
@@ -285,15 +284,9 @@ def near_dedup_stream(
     spark: SparkSession, sf_dir: str, bucket_cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:
     """Streaming twin of near_dedup over the sf documents table."""
-    from ..session import ensure_confs
+    from .dedup_stream import docs_raw_stream
 
-    ensure_confs(spark)
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(DOCS_RAW_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    raw = docs_raw_stream(spark, sf_dir)
     return near_dedup_stream_from(
         raw.select("doc_id", "text"), bucket_cap
     )
