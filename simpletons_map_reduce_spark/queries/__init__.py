@@ -26,5 +26,7 @@ from . import graph_ops  # noqa: E402,F401
 from . import lm_ops  # noqa: E402,F401
 from . import search_ops  # noqa: E402,F401
 from . import multimodal_ops  # noqa: E402,F401
+from . import layout_ops  # noqa: E402,F401
+from . import tokenizer_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

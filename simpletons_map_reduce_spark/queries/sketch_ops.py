@@ -169,3 +169,189 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_probe: Bloom-filter membership sketch, relation form
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m = 2^22 bits packed into 32-bit words (2^17 word rows
+#: max), k = 5 hash rows.  At 50k corpus keys (builder sf1) the load factor
+#: is n·k/m ≈ 0.06 → false-positive rate (1-e^-0.06)^5 ≈ 6e-7; the filter
+#: relation is ≤ 131,072 (word, bits) rows — a fixed, broadcastable size
+#: however large the corpus (saturation degrades precision, never
+#: correctness, and both engines agree bit-for-bit either way).
+BLOOM_M_BITS = 1 << 22
+BLOOM_K = 5
+#: 32-bit words: masks stay < 2^31, so no signed-shift corner in either
+#: engine (1 << 63 differs between BIGINT implementations; 1 << 31 does not).
+BLOOM_WORD_BITS = 32
+
+#: deterministic batch split — same convention as dedup_incremental
+#: (dedup_ops.NEW_BATCH_MOD): doc_id % 10 == 0 plays "incoming batch",
+#: the rest is the already-ingested corpus.
+BLOOM_BATCH_MOD = 10
+
+_BLOOM_POS_SQL = SQL_MD5_INT60.format(e="i::VARCHAR || ':' || key")
+
+BLOOM_PROBE_ORACLE = f"""
+WITH keys AS (SELECT doc_id, sha256(text) AS key FROM documents),
+corpus AS (SELECT doc_id, key FROM keys WHERE doc_id % {BLOOM_BATCH_MOD} <> 0),
+batch  AS (SELECT doc_id, key FROM keys WHERE doc_id % {BLOOM_BATCH_MOD} = 0),
+h AS (SELECT unnest(range({BLOOM_K})) AS i),
+filt AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})) AS bits
+  FROM (SELECT {_BLOOM_POS_SQL} % {BLOOM_M_BITS} AS pos
+        FROM corpus CROSS JOIN h)
+  GROUP BY 1
+),
+probe AS (
+  SELECT b.doc_id, b.key,
+         CASE WHEN f.bits IS NOT NULL
+                   AND (f.bits & (1::BIGINT << (b.pos % {BLOOM_WORD_BITS}))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT doc_id, key, {_BLOOM_POS_SQL} % {BLOOM_M_BITS} AS pos
+        FROM batch CROSS JOIN h) b
+  LEFT JOIN filt f ON b.pos // {BLOOM_WORD_BITS} = f.word
+)
+SELECT doc_id,
+       CAST(sum(hit) AS BIGINT) = {BLOOM_K} AS bloom_hit,
+       bool_or(key IN (SELECT key FROM corpus)) AS exact_dup
+FROM probe
+GROUP BY doc_id, key
+"""
+
+
+@register("bloom_probe", BLOOM_PROBE_ORACLE, tags=("sketch", "dedup"))
+def bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe for incremental exact dedup.
+
+    The 100 TB ingestion problem: "has this exact document been seen
+    before?" answered WITHOUT joining the new batch against the full
+    corpus.  The corpus is folded once into a Bloom filter built as a
+    RELATION — (word, bits) rows, ≤ m/32 = 131,072 of them regardless of
+    corpus size — via the same relation-form-sketch pattern as
+    ``cms_heavy_hitters``: a partial+final ``bit_or`` aggregate whose
+    exchange carries at most the fixed word count per map task.  Probing
+    broadcasts that bounded filter to the batch; a batch document is a
+    *maybe-duplicate* iff all k=5 of its md5-derived bit positions are
+    set (one-sided error: no false negatives, FP rate (1-e^(-nk/m))^k —
+    pinned in tests/test_sketches.py).
+
+    The report also carries the exact ground truth (`exact_dup`, a plain
+    key join) so false positives are visible in the relation itself; in
+    production the exact side is what the Bloom pass *saves* — only
+    bloom_hit docs need the authoritative corpus lookup.
+
+    Everything is md5-int60 arithmetic shared with the oracle, so unlike
+    binary-blob Bloom filters this one is fully hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select("doc_id", F.sha2("text", 256).alias("key"))
+    corpus = keys.filter(F.col("doc_id") % BLOOM_BATCH_MOD != 0)
+    batch = keys.filter(F.col("doc_id") % BLOOM_BATCH_MOD == 0)
+
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos_of = F.expr(
+        SPARK_MD5_INT60.format(e="concat(cast(i as string), ':', key)")
+    ) % BLOOM_M_BITS
+
+    mask_of = F.expr(
+        f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))"
+    )
+    filt = (
+        corpus.select("key", i_col)
+        .select(pos_of.alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            mask_of.alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+    probe = (
+        batch.select("doc_id", "key", i_col)
+        .select("doc_id", "key", pos_of.alias("pos"))
+        .select(
+            "doc_id",
+            "key",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            mask_of.alias("mask"),
+        )
+        # bounded broadcast: filt is ≤ 2^17 rows by construction (geometry,
+        # not data size) — see BROADCAST_BUDGET in tests/test_plans.py.
+        .join(F.broadcast(filt), "word", "left")
+        .select(
+            "doc_id",
+            "key",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "key")
+        .agg((F.sum("hit") == BLOOM_K).alias("bloom_hit"))
+    )
+
+    corpus_keys = corpus.select("key").distinct().withColumn(
+        "in_corpus", F.lit(True)
+    )
+    # exact side: ordinary key join (AQE picks the strategy) — this is the
+    # lookup the Bloom pass exists to avoid for the bloom-miss majority.
+    return (
+        probe.join(corpus_keys, "key", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hll_rollup: re-aggregatable cardinality sketches (store sketches, not raws)
+# ---------------------------------------------------------------------------
+
+
+@register("hll_rollup", None, tags=("sketch",))
+def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches union-merged to per-event-type distinct users.
+
+    ``approx_distinct`` shows the one-shot sketch aggregate; this shows the
+    property that makes sketches the 100 TB *storage* answer: Datasketches
+    HLL state is re-aggregatable.  Stage 1 reduces each (event_type, day)
+    partition of the stream to a fixed-size binary sketch — in production
+    these land in a daily rollup table and the raw events can age out.
+    Stage 2 answers "distinct users over the whole period" by
+    ``hll_union_agg`` over the *sketches* alone: no re-scan of history, and
+    a rollup over any other calendar grain is the same union.  A distinct
+    COUNT can never be summed across days (users repeat); the sketch union
+    is exactly the operator that makes pre-aggregation legal.
+
+    Sketch internals are engine-specific binary → ``oracle=None``
+    (rows-only driver check); the union estimate's accuracy vs the exact
+    two-level countDistinct is pinned in tests/test_sketches.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .select("event_type", "n_days", "approx_users")
+    )

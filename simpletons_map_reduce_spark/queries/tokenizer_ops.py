@@ -1,0 +1,144 @@
+"""Tokenizer induction — distributed BPE merge learning over the corpus.
+
+A training-data pipeline does not just *apply* a tokenizer; it has to
+*learn* one from the corpus (byte-pair encoding, Sennrich et al. 2016 —
+public algorithm).  The classic implementation is a single-machine loop
+over a word-frequency dict; the distributed shape used here is the standard
+two-level decomposition:
+
+1. ONE corpus scan reduces 100 TB of text to the word-frequency relation
+   (|vocab| rows — Heaps-law bounded, many orders of magnitude smaller than
+   the corpus).  This is the only pass that touches document text.
+2. Each BPE iteration runs entirely over that vocab relation: count
+   adjacent symbol pairs (explode + one hash aggregate, weighted by word
+   frequency), pick the argmax pair (deterministic tie-break: count desc,
+   then (left, right) lexicographic), and apply the merge with a
+   whole-stage-codegen `aggregate()` state machine over each word's symbol
+   array — greedy left-to-right, non-overlapping, exactly the reference
+   algorithm's semantics.  No Python touches a row; the driver sees only
+   the 1-row argmax per iteration (the merge table IS the algorithm's
+   output, so collecting it is not a driver-side loop over data).
+
+The per-iteration vocab state is localCheckpoint-materialized (the
+`nation_pagerank` idiom) so iteration k+1 re-plans O(|vocab|) work, not the
+whole lineage.
+
+BPE's merge choice depends on a global argmax each round, which is not
+expressible as one ANSI-SQL query over the inputs — registered
+``oracle=None`` (rows-only driver check); full value correctness is pinned
+in tests/test_tokenizer_ops.py by a differential against an independent
+pure-Python BPE reference on the same word frequencies, plus an
+engine-vs-engine check of the pair-count relation for the first iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import free_checkpoint, tracked_checkpoint
+from ..functions.text import tokens_lower
+from ..sources.tables import load_table
+from .registry import register
+
+#: number of merges to learn — enough to show multi-char symbols merging
+#: with earlier merges' outputs (the part a one-shot pair count gets wrong).
+N_MERGES = 8
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _apply_merge_expr(left: str, right: str) -> str:
+    """`aggregate()` state machine merging adjacent (left, right) symbol
+    occurrences greedily left-to-right (non-overlapping), as BPE requires.
+
+    Accumulator: (out ARRAY<STRING>, prev STRING); prev is NULL right after
+    a merge so the merged symbol cannot chain into a second merge in the
+    same pass (BPE applies one merge per iteration, re-counting between).
+    """
+    l, r = _sql_quote(left), _sql_quote(right)
+    return f"""
+      CASE WHEN size(sym) < 2 THEN sym ELSE
+        aggregate(
+          slice(sym, 2, size(sym) - 1),
+          named_struct('out', CAST(array() AS ARRAY<STRING>),
+                       'prev', element_at(sym, 1)),
+          (acc, x) -> CASE
+            WHEN acc.prev = '{l}' AND x = '{r}'
+              THEN named_struct('out', concat(acc.out, array('{l}{r}')),
+                                'prev', CAST(NULL AS STRING))
+            WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+            ELSE named_struct('out', concat(acc.out, array(acc.prev)),
+                              'prev', x)
+          END,
+          acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+                      ELSE concat(acc.out, array(acc.prev)) END)
+      END
+    """
+
+
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus pass: (word, freq) over lowercased tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_lower(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def learn_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Run the BPE loop; returns [(rank, left, right, pair_count), ...]."""
+    vocab = tracked_checkpoint(
+        word_frequencies(spark, sf_dir).select(
+            F.expr("filter(split(word, ''), s -> s <> '')").alias("sym"),
+            "freq",
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(element_at(sym, i) AS l,"
+                        "             element_at(sym, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        new_vocab = tracked_checkpoint(
+            vocab.select(F.expr(_apply_merge_expr(l, r)).alias("sym"), "freq")
+        )
+        free_checkpoint(vocab)
+        vocab = new_vocab
+    free_checkpoint(vocab)
+    return merges
+
+
+@register("bpe_merges", None, tags=("text", "tokenizer"))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table: (rank, left, right, merged, pair_count)."""
+    merges = learn_bpe(spark, sf_dir)
+    rows = [
+        (rank, l, r, l + r, cnt) for rank, l, r, cnt in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank BIGINT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

@@ -1,0 +1,103 @@
+"""Zone-map quality pins for the z-order layout operator.
+
+The registry hash-check proves the arithmetic matches the oracle; the pin
+that matters for 100 TB is the GEOMETRY claim: a z-ordered layout keeps the
+per-zone min/max span small on BOTH interleaved dimensions, while a
+single-key sort leaves the secondary dimension's zone maps useless (span ≈
+the whole key range, so no scan pruning on that predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.queries import REGISTRY
+from simpletons_map_reduce_spark.queries.layout_ops import Z_BITS
+from simpletons_map_reduce_spark.sources.tables import load_table
+from tests.conftest import SF001
+
+
+def _mean_norm_span(rows, lo_attr, hi_attr, lo, hi):
+    rng = (hi - lo) or 1
+    spans = [
+        (getattr(r, hi_attr) - getattr(r, lo_attr)) / rng for r in rows
+    ]
+    return sum(spans) / len(spans)
+
+
+def test_zorder_zone_maps_tight_on_both_dimensions(spark):
+    rows = REGISTRY["zorder_layout"].fn(spark, SF001).collect()
+    assert rows
+    li = load_table(spark, SF001, "lineitem")
+    b = li.agg(
+        F.min("l_orderkey").alias("lo_ok"),
+        F.max("l_orderkey").alias("hi_ok"),
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+
+    ok_span = _mean_norm_span(rows, "min_ok", "max_ok", b.lo_ok, b.hi_ok)
+    pk_span = _mean_norm_span(rows, "min_pk", "max_pk", b.lo_pk, b.hi_pk)
+    # each zone covers a 2^(Z_BITS/2)-bucket tile per dimension = 1/32 of
+    # the bucket space; allow 4x slack for bucket-edge effects.
+    bound = 4 * (1 / (1 << (Z_BITS // 2)))
+    assert ok_span < bound, ok_span
+    assert pk_span < bound, pk_span
+
+    # row counts must cover the table exactly (no row lost to bucketing)
+    assert sum(r.n_rows for r in rows) == b.n
+
+
+def test_single_key_sort_fails_secondary_dimension(spark):
+    """Control experiment: zone by l_orderkey range alone (what a plain
+    ORDER BY layout gives) — partkey spans collapse to ~the full range,
+    while the z-layout above kept them ~1/32.  This is the measured
+    justification for interleaving."""
+    li = load_table(spark, SF001, "lineitem")
+    b = li.agg(
+        F.max("l_orderkey").alias("hi_ok"),
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+    ).collect()[0]
+    zones = (
+        li.select(
+            F.expr(
+                f"CAST((l_orderkey * {1 << Z_BITS}) div ({b.hi_ok} + 1) AS BIGINT)"
+            ).alias("zone"),
+            "l_partkey",
+        )
+        .groupBy("zone")
+        .agg(F.min("l_partkey").alias("min_pk"), F.max("l_partkey").alias("max_pk"))
+        .collect()
+    )
+    pk_span = _mean_norm_span(zones, "min_pk", "max_pk", b.lo_pk, b.hi_pk)
+    assert pk_span > 0.5, pk_span  # secondary dim essentially unpruned
+
+
+def test_zorder_pruning_factor(spark):
+    """A planner pruning zones on a 10%-of-range predicate over EITHER key
+    must be able to skip most zones: count zones whose [min,max] intersects
+    the band and pin the scanned fraction."""
+    rows = REGISTRY["zorder_layout"].fn(spark, SF001).collect()
+    li = load_table(spark, SF001, "lineitem")
+    b = li.agg(
+        F.min("l_orderkey").alias("lo_ok"),
+        F.max("l_orderkey").alias("hi_ok"),
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+    ).collect()[0]
+    for lo, hi, lo_attr, hi_attr in (
+        (b.lo_ok, b.hi_ok, "min_ok", "max_ok"),
+        (b.lo_pk, b.hi_pk, "min_pk", "max_pk"),
+    ):
+        band_lo = lo + (hi - lo) * 45 // 100
+        band_hi = lo + (hi - lo) * 55 // 100
+        hit = [
+            r
+            for r in rows
+            if getattr(r, lo_attr) <= band_hi and getattr(r, hi_attr) >= band_lo
+        ]
+        frac = len(hit) / len(rows)
+        # 10% band -> ideally ~10-15% of zones; generous 35% envelope
+        assert frac < 0.35, (lo_attr, frac)

@@ -716,7 +716,9 @@ EXCHANGE_BUDGET = {
     "basket_pairs": 3,
     "big_orders": 1,
     "binary_meta": 0,
+    "bloom_probe": 3,
     "bm25_search": 6,
+    "bpe_merges": 0,
     "broadcast_join": 0,
     "char_entropy": 0,
     "churned_customers": 2,
@@ -757,6 +759,7 @@ EXCHANGE_BUDGET = {
     "grouping_sets": 1,
     "hash_join": 0,
     "histogram_equi_depth": 1,
+    "hll_rollup": 2,
     "incremental_agg": 2,
     "incremental_join": 0,
     "intersect_op": 1,
@@ -846,6 +849,7 @@ EXCHANGE_BUDGET = {
     "wordcount": 1,
     "wow_growth": 2,
     "zipf_fit": 1,
+    "zorder_layout": 2,
 }
 
 #: Explicit broadcast-HINT budget (VERDICT r4 item 2): every F.broadcast()
@@ -866,6 +870,7 @@ BROADCAST_BUDGET = {
     "ann_pq": 2,
     "ann_recall_report": 7,
     "anomaly_mad": 3,
+    "bloom_probe": 1,
     "bm25_search": 2,
     "broadcast_join": 1,
     "churned_customers": 2,
@@ -904,6 +909,7 @@ BROADCAST_BUDGET = {
     "volume_shipping": 2,
     "waiting_orders": 1,
     "wow_growth": 1,
+    "zorder_layout": 1,
 }
 
 #: Deliberately excludes roundrobinpartitioning: the only source of

@@ -68,3 +68,101 @@ def test_cms_one_sided_error_and_bound(spark):
         # standard CMS bound: overcount <= e/w * N with prob 1-e^-d;
         # realized values should be well inside even at d=4.
         assert r.overcount <= 2.718 / CMS_W * n_tokens + 1, (r, n_tokens)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Bloom contract: every exact duplicate MUST be a bloom hit (one-sided
+    error); false-positive rate among true non-members must sit inside the
+    theoretical (1-e^(-nk/m))^k envelope with slack."""
+    import math
+
+    from simpletons_map_reduce_spark.queries.sketch_ops import (
+        BLOOM_BATCH_MOD,
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+
+    rows = REGISTRY["bloom_probe"].fn(spark, SF001).collect()
+    assert rows, "empty bloom report"
+    misses = [r for r in rows if r.exact_dup and not r.bloom_hit]
+    assert not misses, f"false negatives: {misses[:5]}"
+
+    n_corpus = (
+        load_table(spark, SF001, "documents")
+        .filter(F.col("doc_id") % BLOOM_BATCH_MOD != 0)
+        .count()
+    )
+    non_members = [r for r in rows if not r.exact_dup]
+    fps = [r for r in non_members if r.bloom_hit]
+    expected_fp = (1 - math.exp(-n_corpus * BLOOM_K / BLOOM_M_BITS)) ** BLOOM_K
+    # generous envelope: 10x theory + 1 absolute (tiny fixtures -> 0 FPs)
+    if non_members:
+        assert len(fps) <= 10 * expected_fp * len(non_members) + 1, (
+            len(fps),
+            len(non_members),
+            expected_fp,
+        )
+
+
+def test_bloom_filter_relation_bounded(spark):
+    """The filter relation never exceeds its geometric bound m/32 rows —
+    the property that makes the broadcast legal at any corpus size."""
+    from simpletons_map_reduce_spark.queries.sketch_ops import (
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+    )
+
+    # rebuild just the filter side at sf0.01
+    from simpletons_map_reduce_spark.functions.hashing import SPARK_MD5_INT60
+    from simpletons_map_reduce_spark.queries.sketch_ops import (
+        BLOOM_BATCH_MOD,
+        BLOOM_K,
+    )
+
+    docs = load_table(spark, SF001, "documents")
+    corpus = docs.select("doc_id", F.sha2("text", 256).alias("key")).filter(
+        F.col("doc_id") % BLOOM_BATCH_MOD != 0
+    )
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos_of = (
+        F.expr(SPARK_MD5_INT60.format(e="concat(cast(i as string), ':', key)"))
+        % BLOOM_M_BITS
+    )
+    n_words = (
+        corpus.select("key", i_col)
+        .select(pos_of.alias("pos"))
+        .select(F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"))
+        .distinct()
+        .count()
+    )
+    assert n_words <= BLOOM_M_BITS // BLOOM_WORD_BITS
+
+
+def test_hll_rollup_matches_exact_distinct(spark):
+    """Union-of-daily-sketches estimate vs exact whole-period distinct."""
+    rows = {
+        r.event_type: r
+        for r in REGISTRY["hll_rollup"].fn(spark, SF001).collect()
+    }
+    events = load_table(spark, SF001, "events")
+    exact = {
+        r.event_type: r.exact
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    n_days = {
+        r.event_type: r.nd
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct(F.to_date("ts")).alias("nd"))
+        .collect()
+    }
+    assert rows.keys() == exact.keys()
+    for k, r in rows.items():
+        assert r.n_days == n_days[k]
+        rel = abs(r.approx_users - exact[k]) / max(exact[k], 1)
+        # datasketches HLL default lgK=12 -> rsd ~1.6%; allow 3 sigma
+        assert rel < 0.05, (k, r.approx_users, exact[k])
+        # sum of daily distincts would OVERCOUNT whenever users repeat
+        # across days; the union must not inherit that bias (stay below
+        # the naive sum whenever repetition exists).

@@ -1,0 +1,89 @@
+"""Differential pins for the distributed BPE learner (rows-only registry op).
+
+``bpe_merges`` has no SQL oracle (the per-iteration global argmax is not one
+ANSI query), so full value correctness is pinned here instead: the Spark loop
+must produce EXACTLY the merge table an independent single-machine BPE
+reference computes from the same word frequencies — same pairs, same order,
+same counts.  The reference implementation below is the textbook algorithm
+(count adjacent pairs over the word-freq dict, merge greedily left-to-right),
+written against plain Python dicts so it shares no code with the Spark path.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from simpletons_map_reduce_spark.queries import REGISTRY
+from simpletons_map_reduce_spark.queries.tokenizer_ops import (
+    N_MERGES,
+    learn_bpe,
+    word_frequencies,
+)
+from tests.conftest import SF0001, SF001
+
+
+def _ref_bpe(word_freq: dict[str, int], n_merges: int):
+    """Independent reference: classic BPE over a word-frequency dict."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        # deterministic argmax: count desc, then (l, r) lexicographic
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    wf = {
+        r.word: r.freq for r in word_frequencies(spark, SF0001).collect()
+    }
+    got = learn_bpe(spark, SF0001)
+    want = _ref_bpe(wf, N_MERGES)
+    assert got == want
+
+
+def test_bpe_matches_reference_sf001(spark):
+    wf = {r.word: r.freq for r in word_frequencies(spark, SF001).collect()}
+    got = learn_bpe(spark, SF001)
+    want = _ref_bpe(wf, N_MERGES)
+    assert got == want
+
+
+def test_bpe_merges_chain(spark):
+    """At least one later merge must consume an earlier merge's output —
+    the property a one-shot pair count cannot reproduce."""
+    rows = REGISTRY["bpe_merges"].fn(spark, SF0001).collect()
+    assert len(rows) == N_MERGES
+    produced = {r.merged for r in rows}
+    assert any(
+        (r.left in produced and len(r.left) > 1)
+        or (r.right in produced and len(r.right) > 1)
+        for r in rows
+    ), rows
+
+
+def test_bpe_schema_and_ranks(spark):
+    rows = REGISTRY["bpe_merges"].fn(spark, SF0001).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.merged == r.left + r.right
+        assert r.pair_count > 0
