@@ -258,3 +258,94 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("rep").alias("n_groups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights: temperature-flattened source sampling rates
+# ---------------------------------------------------------------------------
+
+#: temperature alpha = 0.5 (p_s^alpha reweighting).  Written as sqrt so both
+#: engines evaluate the IEEE-correctly-rounded primitive instead of pow's
+#: libm-dependent codepath; the weight is floored to integer micro-units so
+#: the cross-source SUM is exact bigint arithmetic (float sums over a
+#: GROUP BY have engine/order-dependent last ulps — the rsum lesson).
+MIX_W_SCALE = 1_000_000
+
+def _mixture_oracle() -> str:
+    from ..functions.rounding import sql_rn
+
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text,
+              '[\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]'))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(toks * {MIX_W_SCALE}.0)) AS BIGINT) AS wgt FROM t
+),
+tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+         CAST(sum(wgt) AS BIGINT) AS total_w
+  FROM w
+)
+SELECT source, n_docs, toks,
+       {sql_rn('toks * 1.0 / total_toks', 6)} AS share,
+       {sql_rn('wgt * 1.0 / total_w', 6)} AS target_share,
+       {sql_rn('(wgt * 1.0 / total_w) / (toks * 1.0 / total_toks)', 6)} AS boost
+FROM w CROSS JOIN tot
+"""
+
+
+MIXTURE_WEIGHTS_ORACLE = _mixture_oracle()
+
+
+@register("mixture_weights", MIXTURE_WEIGHTS_ORACLE, tags=("sampling",))
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for temperature-flattened data mixing.
+
+    The standard multilingual/multi-domain trick (alpha-sampling): a
+    source's natural token share p_s is flattened to q_s proportional to
+    p_s^alpha (alpha = 0.5), boosting rare sources without letting any
+    single domain dominate.  ``boost`` = q_s / p_s is the up/down-sampling
+    factor a pipeline feeds into weighted_sample / split_assign.
+
+    Plan shape: ONE corpus scan reduced by a partial+final aggregate on
+    source (token counting is the shared BPE-regex expression from
+    token_count, evaluated in the scan projection), then a 1-row total
+    broadcast back over the |sources| relation — nothing after the first
+    aggregate touches more than |sources| rows, so the operator is scan
+    bound at any corpus size.
+
+    Parity note: the temperature weight is floor(sqrt(toks*10^6)) as a
+    BIGINT, so cross-source sums stay exact integers; every emitted ratio
+    is a single double division + half-up rounding, written with identical
+    association in both engines.
+    """
+    from ..functions.rounding import rn
+    from .text_ops import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_expr().cast("long")).cast("long").alias("toks"),
+    )
+    w = t.withColumn(
+        "wgt",
+        F.expr(f"CAST(floor(sqrt(toks * {MIX_W_SCALE}.0)) AS BIGINT)"),
+    )
+    tot = w.agg(
+        F.sum("toks").cast("long").alias("total_toks"),
+        F.sum("wgt").cast("long").alias("total_w"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        rn(F.expr("toks * 1.0 / total_toks"), 6).alias("share"),
+        rn(F.expr("wgt * 1.0 / total_w"), 6).alias("target_share"),
+        rn(
+            F.expr("(wgt * 1.0 / total_w) / (toks * 1.0 / total_toks)"), 6
+        ).alias("boost"),
+    )
