@@ -318,3 +318,65 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         rn(F.sum("n_chars") / F.sum("n_toks"), 4).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets: CCNet-style head/middle/tail LM filtering
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3
+
+PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH lp AS ({UNIGRAM_LOGPROB_ORACLE}),
+j AS (
+  SELECT d.doc_id, d.lang, lp.mean_logprob
+  FROM lp JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT doc_id, lang, mean_logprob,
+         ntile({PPL_BUCKETS}) OVER (PARTITION BY lang
+                                    ORDER BY mean_logprob DESC, doc_id) AS t
+  FROM j
+)
+SELECT doc_id, lang, mean_logprob,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b
+"""
+
+
+@register("perplexity_buckets", PERPLEXITY_BUCKETS_ORACLE, tags=("lm",))
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail terciles by LM score (CCNet's split).
+
+    The public CCNet recipe buckets each language's documents into
+    perplexity terciles under a reference LM and trains preferentially on
+    the "head"; here the reference LM is the corpus unigram model the
+    engine already maintains (``unigram_logprob``), and the tercile is an
+    ``ntile`` over (lang) ordered by the ROUNDED per-doc score plus
+    doc_id — a deterministic total order, so both engines cut the
+    terciles identically.
+
+    Plan shape: the unigram relation (one exploded-scan + two aggregates,
+    see unigram_logprob) joined back to the O(docs) (doc_id, lang)
+    projection, then ONE window exchange on lang.  Nothing here touches
+    more than O(docs) rows after the LM scoring, and the per-language
+    ranking is the same sort a 100 TB run pays for any per-group
+    quantile cut.
+    """
+    lp = unigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lp.join(docs, "doc_id").select("doc_id", "lang", "mean_logprob")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_logprob").desc(), "doc_id"
+    )
+    t = F.ntile(PPL_BUCKETS).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        F.when(t == 1, "head")
+        .when(t == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

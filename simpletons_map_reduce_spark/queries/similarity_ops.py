@@ -806,3 +806,106 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_classify: exact-kNN majority-vote labeling over the embedding corpus
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+KNN_CLASSIFY_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+      FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, v, label FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id, c.label,
+           {sql_rn(sql_cosine('q.qv', 'c.v'), 6)} AS score
+    FROM q CROSS JOIN c
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rk
+    FROM scored
+),
+votes AS (
+    SELECT query_id, true_label, label, count(*) AS n_votes
+    FROM ranked WHERE rk <= {KNN_K}
+    GROUP BY query_id, true_label, label
+),
+winner AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, label) AS vrk
+    FROM votes
+)
+SELECT query_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       (label = true_label) AS correct
+FROM winner WHERE vrk = 1
+"""
+
+
+@register("knn_classify", KNN_CLASSIFY_ORACLE, tags=("similarity",))
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote k-NN labeling: the retrieval-as-annotation pattern.
+
+    Training pipelines use embedding neighbors to PROPAGATE labels
+    (quality tiers, topics, licenses) from a small annotated seed to the
+    whole corpus.  This is that operator in its exact form: each query
+    vector takes the majority label of its k=5 nearest corpus neighbors
+    (cosine), ties broken deterministically (votes desc, then smallest
+    label; neighbor rank by 6-dp rounded score then vec_id — the same
+    total order similarity_topk pins).
+
+    Plan: the query set is tiny by contract → broadcast; ONE corpus scan
+    scores map-side (JVM fold over the array, no Python); the top-k
+    window and the vote count both run on O(queries x k) rows.  The ANN
+    family (ann_ivf/ann_pq) is the drop-in scale path when the query set
+    itself is the whole corpus.
+    """
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv", "label")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        rn(
+            cosine_from_parts(
+                dot(F.col("qv"), F.col("v")), F.col("nq"), F.col("nv")
+            ),
+            6,
+        ).alias("score"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -765,6 +765,7 @@ EXCHANGE_BUDGET = {
     "intersect_op": 1,
     "inverted_index": 1,
     "key_skew_profile": 3,
+    "knn_classify": 1,
     "lang_id": 2,
     "latest_events": 1,
     "leakage_safe_split": 4,
@@ -787,6 +788,7 @@ EXCHANGE_BUDGET = {
     "pack_sequences": 1,
     "peak_concurrency": 4,
     "per_file_count": 1,
+    "perplexity_buckets": 5,
     "pii_redact": 0,
     "pipeline_funnel": 9,
     "pipeline_funnel_fused": 7,
@@ -882,12 +884,14 @@ BROADCAST_BUDGET = {
     "embedding_dedup": 2,
     "incremental_join": 2,
     "key_skew_profile": 1,
+    "knn_classify": 1,
     "market_share": 4,
     "merge_upsert": 1,
     "min_cost_supplier": 3,
     "mixture_weights": 1,
     "nation_pagerank": 4,
     "overstocked_suppliers": 1,
+    "perplexity_buckets": 1,
     "pipeline_funnel": 1,
     "pipeline_funnel_fused": 1,
     "product_profit": 3,
