@@ -92,9 +92,18 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def learn_bpe(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, int]]:
-    """Run the BPE loop; returns [(rank, left, right, pair_count), ...]."""
+    """Run the BPE loop over the sf corpus; returns
+    [(rank, left, right, pair_count), ...]."""
+    return learn_bpe_from_words(word_frequencies(spark, sf_dir), n_merges)
+
+
+def learn_bpe_from_words(
+    word_freq: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """BPE loop over any (word, freq) relation (exposed for the fuzz
+    differential, which generates random vocabularies)."""
     vocab = tracked_checkpoint(
-        word_frequencies(spark, sf_dir).select(
+        word_freq.select(
             F.expr("filter(split(word, ''), s -> s <> '')").alias("sym"),
             "freq",
         )

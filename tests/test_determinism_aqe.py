@@ -27,6 +27,12 @@ QUERIES = [
                            # depend on which strategy it picks
     "media_dedup",         # kernel-echoed block key + window guard
     "pipeline_funnel_fused",  # fused gates + composed pair pipelines
+    "bloom_probe",         # bit_or filter + exact join: AQE picks the
+                           # exact-side strategy (round 6)
+    "zorder_layout",       # scalar-max broadcast + zone aggregate
+    "mixture_weights",     # integer-weight sums must survive re-planning
+    "perplexity_buckets",  # ntile cut on the rounded-score total order
+    "knn_classify",        # vote ties on the rounded-score rank boundary
 ]
 
 
