@@ -101,3 +101,62 @@ def test_zorder_pruning_factor(spark):
         frac = len(hit) / len(rows)
         # 10% band -> ideally ~10-15% of zones; generous 35% envelope
         assert frac < 0.35, (lo_attr, frac)
+
+
+def test_zordered_sink_prunes_both_dimensions(spark, tmp_path):
+    """End-to-end layout: write lineitem z-ordered on (orderkey, partkey)
+    and verify the PER-FILE min/max (what parquet zone maps expose) stay
+    tight on BOTH keys, against a single-key clustered control whose
+    secondary dimension is unprunable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.sources.sinks import (
+        write_parquet_clustered,
+        write_parquet_zordered,
+    )
+
+    li = load_table(spark, SF001, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.agg(
+        F.min("l_orderkey").alias("lo_ok"),
+        F.max("l_orderkey").alias("hi_ok"),
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+    ).collect()[0]
+
+    def file_spans(path):
+        spans_ok, spans_pk = [], []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            st = (
+                spark.read.parquet(os.path.join(path, f))
+                .agg(
+                    F.min("l_orderkey"), F.max("l_orderkey"),
+                    F.min("l_partkey"), F.max("l_partkey"),
+                )
+                .collect()[0]
+            )
+            spans_ok.append((st[1] - st[0]) / ((b.hi_ok - b.lo_ok) or 1))
+            spans_pk.append((st[3] - st[2]) / ((b.hi_pk - b.lo_pk) or 1))
+        return (
+            sum(spans_ok) / len(spans_ok),
+            sum(spans_pk) / len(spans_pk),
+        )
+
+    zpath = str(tmp_path / "z")
+    cpath = str(tmp_path / "c")
+    write_parquet_zordered(li, zpath, ("l_orderkey", "l_partkey"), num_files=16)
+    write_parquet_clustered(li, cpath, ["l_orderkey"], num_files=16)
+
+    z_ok, z_pk = file_spans(zpath)
+    c_ok, c_pk = file_spans(cpath)
+    # single-key control: leading key perfectly clustered, secondary ~full
+    assert c_ok < 0.15, c_ok
+    assert c_pk > 0.5, c_pk
+    # z-layout: BOTH dimensions' file spans stay well under the control's
+    # secondary span (16 files over a 1024x1024 bucket grid -> each file
+    # covers ~1/4 of each axis at worst; require < 0.45)
+    assert z_ok < 0.45, z_ok
+    assert z_pk < 0.45, z_pk
