@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import free_checkpoint, tracked_checkpoint
+from ..functions.rounding import rn
 from ..functions.text import tokens_lower
 from ..sources.tables import load_table
 from .registry import register
@@ -150,4 +151,62 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "rank BIGINT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+@register("bpe_encode", None, tags=("text", "tokenizer"))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges corpus-wide: per-doc segment counts.
+
+    Completes the tokenizer loop: ``bpe_merges`` learns the merge table,
+    this op applies it and reports what a training pipeline budgets on —
+    per-document BPE token count and chars-per-token fertility after
+    merging, vs the raw character segmentation.
+
+    Distributed shape: the merges are applied to the VOCAB relation (the
+    same Heaps-bounded (word, freq) table the learner iterates on), as a
+    chain of N whole-stage-codegen ``aggregate()`` state machines — one
+    per learned merge, the exact apply order BPE prescribes.  The corpus
+    is then scored by joining each document's exploded tokens to the
+    segmented vocab (join strategy left to AQE — the vocab is
+    corpus-growing), so no document text is reprocessed per merge and no
+    Python touches a row.
+
+    Output depends on the learned merge table (data-dependent argmax
+    chain) → ``oracle=None``; value parity is pinned in
+    tests/test_tokenizer_ops.py by an independent pure-Python
+    encode-with-merges reference over the same corpus.
+    """
+    from ..caching import tracked_persist
+
+    merges = learn_bpe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(tokens_lower(F.col("text"))).alias("word")
+    )
+    vocab = tracked_persist(e.select("word").distinct()).select(
+        "word", F.expr("filter(split(word, ''), s -> s <> '')").alias("sym")
+    )
+    for _, l, r, _cnt in merges:
+        vocab = vocab.select("word", F.expr(_apply_merge_expr(l, r)).alias("sym"))
+    seg = vocab.select(
+        "word",
+        F.size("sym").cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        e.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            "n_word_chars",
+            rn(
+                F.col("n_word_chars") * 1.0 / F.col("n_bpe_tokens"), 4
+            ).alias("chars_per_bpe_token"),
+        )
     )

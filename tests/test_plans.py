@@ -718,6 +718,7 @@ EXCHANGE_BUDGET = {
     "binary_meta": 0,
     "bloom_probe": 3,
     "bm25_search": 6,
+    "bpe_encode": 2,
     "bpe_merges": 0,
     "broadcast_join": 0,
     "char_entropy": 0,

@@ -87,3 +87,53 @@ def test_bpe_schema_and_ranks(spark):
     for r in rows:
         assert r.merged == r.left + r.right
         assert r.pair_count > 0
+
+
+def _ref_encode(word: str, merges) -> list[str]:
+    """Apply the learned merges to one word, in merge order (the apply
+    order BPE prescribes), greedy left-to-right per pass."""
+    sym = list(word)
+    for _, l, r, _cnt in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode's per-doc counts must equal an independent Python
+    tokenize→encode over the same corpus and the same learned merges."""
+    import re
+
+    from simpletons_map_reduce_spark.queries.tokenizer_ops import bpe_encode
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    merges = learn_bpe(spark, SF0001)
+    got = {
+        r.doc_id: (r.n_bpe_tokens, r.n_word_chars)
+        for r in bpe_encode(spark, SF0001).collect()
+    }
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text").collect()
+    # mirror tokens_lower: letter runs, lowercased (the shared tokenizer
+    # contract pinned in tests/test_tokenizer.py)
+    enc_cache: dict[str, int] = {}
+    for r in docs:
+        toks = re.findall(r"[^\W\d_]+", r.text.lower(), flags=re.UNICODE)
+        if not toks:
+            assert r.doc_id not in got
+            continue
+        n_sym = 0
+        for w in toks:
+            if w not in enc_cache:
+                enc_cache[w] = len(_ref_encode(w, merges))
+            n_sym += enc_cache[w]
+        n_chars = sum(len(w) for w in toks)
+        assert got[r.doc_id] == (n_sym, n_chars), r.doc_id
+    # merging must strictly compress: fewer symbols than characters
+    assert sum(g[0] for g in got.values()) < sum(g[1] for g in got.values())
