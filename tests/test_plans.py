@@ -866,7 +866,13 @@ EXCHANGE_BUDGET = {
 #: from this dict must have ZERO hints; notably the ngram family's
 #: per-gram dfreq relation (Heaps'-law unbounded) and media_dedup's
 #: O(docs) source map are NOT here — those broadcasts were the r4 scale
-#: defects and the lint keeps them out.  Regenerate deliberately via
+#: defects and the lint keeps them out.  Round-6 entries: bloom_probe's
+#: filter relation is bounded by GEOMETRY (≤ m/32 = 2^17 (word, bits)
+#: rows at any corpus size); zorder_layout / mixture_weights /
+#: perplexity_buckets hint only 1-row scalar aggregates; knn_classify
+#: hints the N_QUERIES-row query set.  bpe_encode's vocab join is
+#: corpus-growing and deliberately carries NO hint (AQE's call), same
+#: contract as the unigram LM join.  Regenerate deliberately via
 #: tools/dump_exchange_budgets.py; the diff is the review evidence.
 BROADCAST_BUDGET = {
     "ann_ivf": 1,
