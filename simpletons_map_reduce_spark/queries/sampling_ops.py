@@ -349,3 +349,130 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(wgt * 1.0 / total_w) / (toks * 1.0 / total_toks)"), 6
         ).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_apply: execute the temperature-flattened sampling plan
+# ---------------------------------------------------------------------------
+
+#: global downsampling target for the demonstration: keep ~half the corpus
+#: at natural share, scaled per source by its temperature boost.
+MIX_BASE_RATE_NUM = 1
+MIX_BASE_RATE_DEN = 2
+
+
+#: shared threshold expression — ONE generated string evaluated by both
+#: engines.  Every literal is CAST to DOUBLE explicitly: DuckDB types bare
+#: `1.0` as DECIMAL and its decimal division loses ~1e-7 of precision,
+#: which the *2^31 floor amplifies into an off-by-hundreds threshold (the
+#: mixture_weights outputs hid this under 6-dp rounding; a floor cannot).
+_THR_EXPR = (
+    "CAST(floor(least(CAST(1 AS DOUBLE), "
+    f"(CAST({MIX_BASE_RATE_NUM} AS DOUBLE) / CAST({MIX_BASE_RATE_DEN} AS DOUBLE))"
+    " * ((CAST(wgt AS DOUBLE) / CAST(total_w AS DOUBLE))"
+    " / (CAST(toks AS DOUBLE) / CAST(total_toks AS DOUBLE))))"
+    f" * CAST({MINHASH_PRIME} AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _mixture_apply_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text,
+              '[\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS BIGINT)
+           AS d_toks
+  FROM documents
+),
+t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d_toks) AS BIGINT) AS toks
+  FROM d GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(toks * {MIX_W_SCALE}.0)) AS BIGINT) AS wgt FROM t
+),
+tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+         CAST(sum(wgt) AS BIGINT) AS total_w
+  FROM w
+),
+thr AS (
+  SELECT source, n_docs, toks, {_THR_EXPR} AS thr
+  FROM w CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, d.d_toks,
+         CASE WHEN {sql_md5_mod_prime("d.doc_id::VARCHAR")} < t.thr
+              THEN 1 ELSE 0 END AS keep
+  FROM d JOIN thr t USING (source)
+)
+SELECT t.source, t.n_docs, t.toks, t.thr,
+       CAST(sum(k.keep) AS BIGINT) AS n_kept,
+       CAST(sum(k.keep * k.d_toks) AS BIGINT) AS kept_toks
+FROM kept k JOIN thr t USING (source)
+GROUP BY t.source, t.n_docs, t.toks, t.thr
+"""
+
+
+@register("mixture_apply", _mixture_apply_oracle(), tags=("sampling",))
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixture plan: per-source deterministic downsampling at
+    the temperature-boosted rate, reported as kept docs/tokens per source.
+
+    ``mixture_weights`` computes the policy; this op applies it the way
+    every sampler in this module works — a pure md5-of-doc_id threshold,
+    so the kept set is a function of the data alone (identical on any
+    cluster layout, rerunnable, oracle-checkable).  The per-source
+    threshold is floor(min(1, base_rate × boost) × P) computed once per
+    source from exact integer sums, so over-represented sources are cut
+    below the base rate and rare sources keep up to everything.
+
+    Plan shape: the per-doc (source, token-count, hash) projection is
+    scan-local; one aggregate builds the |sources| policy relation; the
+    policy joins back (strategy AQE's — |sources| is corpus-growing in
+    principle) and ONE final aggregate emits the ≤|sources| report rows.
+    """
+    from ..functions.text import sql_tokens  # noqa: F401  (oracle twin)
+    from .text_ops import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count_expr().cast("long").alias("d_toks"),
+    )
+    t = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("d_toks").cast("long").alias("toks")
+    )
+    w = t.withColumn(
+        "wgt", F.expr(f"CAST(floor(sqrt(toks * {MIX_W_SCALE}.0)) AS BIGINT)")
+    )
+    tot = w.agg(
+        F.sum("toks").cast("long").alias("total_toks"),
+        F.sum("wgt").cast("long").alias("total_w"),
+    )
+    thr = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        F.expr(_THR_EXPR).alias("thr"),
+    )
+    kept = d.join(thr.select("source", "thr"), "source").select(
+        "source",
+        "d_toks",
+        F.when(
+            md5_mod_prime(F.col("doc_id").cast("string")) < F.col("thr"), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("d_toks")).cast("long").alias("kept_toks"),
+        )
+        .join(thr, "source")
+        .select("source", "n_docs", "toks", "thr", "n_kept", "kept_toks")
+    )

@@ -776,6 +776,7 @@ EXCHANGE_BUDGET = {
     "media_resize": 0,
     "merge_upsert": 3,
     "min_cost_supplier": 2,
+    "mixture_apply": 6,
     "mixture_weights": 3,
     "moving_revenue": 2,
     "mr_wordcount": 1,
@@ -895,6 +896,7 @@ BROADCAST_BUDGET = {
     "market_share": 4,
     "merge_upsert": 1,
     "min_cost_supplier": 3,
+    "mixture_apply": 2,
     "mixture_weights": 1,
     "nation_pagerank": 4,
     "overstocked_suppliers": 1,
