@@ -31,6 +31,7 @@ QUERIES = [
                            # exact-side strategy (round 6)
     "zorder_layout",       # scalar-max broadcast + zone aggregate
     "mixture_weights",     # integer-weight sums must survive re-planning
+    "mixture_apply",       # floor-threshold boundary from exact sums
     "perplexity_buckets",  # ntile cut on the rounded-score total order
     "knn_classify",        # vote ties on the rounded-score rank boundary
 ]
