@@ -317,7 +317,13 @@ def _ivf_topk(emb: DataFrame) -> DataFrame:
     # loads once (functions/vectorized.py) — never collected to the driver,
     # so raising K_CAP at cluster scale stays executor-side.  Narrow:
     # vectors pass through the kernel, so no shuffle and no re-join.
-    assigned = np_assign_clusters(emb, cents, top=1, carry_vectors=True)
+    # top=2 multi-assignment (same shape embedding_dedup_ann uses): each
+    # vector lists under its two nearest centroids, so a neighbor sitting
+    # just across a Voronoi boundary is still probed — on this
+    # weak-cluster synthetic corpus that is the difference between 0.58
+    # and 0.92 recall@5 at sf0.1 (round-6 sf0.1 sweep catch) for 2×
+    # candidate-list cost, the standard IVF soft-assignment trade.
+    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -355,6 +361,11 @@ def _ivf_topk(emb: DataFrame) -> DataFrame:
                 6,
             ).alias("score"),
         )
+        # top-2 assignment can surface the same neighbor through both of
+        # its clusters; dedup before ranking or it would occupy two of
+        # the k slots (the deterministic rn score is identical on both
+        # paths, so distinct() is exact).
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -370,9 +381,12 @@ def _ivf_topk(emb: DataFrame) -> DataFrame:
 #: vec_id, so twins never collide with corpus ids.
 PLANT_OFFSET = 1_000_000_000
 
-#: official recall floor for ann_ivf vs the exact answer (percent).  The
-#: pytest pin (tests/test_similarity.py) measures 0.72 at sf0.001/sf0.01;
-#: 60 sits just below so regressions show while jitter does not.
+#: official recall floor for ann_ivf vs the exact answer (percent).
+#: Round 6: the sf0.1 oracle sweep caught single-assignment recall at
+#: 0.58 < floor on the weak-cluster synthetic corpus (n=5000, k=71,
+#: nprobe=14); top-2 multi-assignment lifts the measured recall@5 to
+#: 0.92-0.96 across sf0.001/0.01/0.1.  The floor keeps the pre-fix
+#: margin: well below every measured value, far above a broken search.
 IVF_RECALL_FLOOR_PCT = 60
 
 ANN_RECALL_REPORT_ORACLE = f"""
