@@ -623,7 +623,15 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_M = 8          # subspaces (EMB_DIM 64 → 8 dims each)
-PQ_K = 16         # codewords per subspace (4-bit codes)
+#: codewords per subspace.  Round 6: 16 (4-bit) → 256 (8-bit, standard
+#: PQ8) after the cross-SF recall audit: 4-bit ADC ranking decayed from
+#: 0.68 (sf0.01) to 0.62 (sf0.1) recall@5 on the weak-cluster corpus;
+#: 8-bit measures 0.98 / 0.80 at the same shapes.  Cost: codes are still
+#: PQ_M uint8 bytes per vector (the 8-bit codeword is exactly one byte —
+#: 64× compression of the 512-byte raw vector is unchanged); codebook
+#: relation grows to M×256 rows (trivial); ADC table build is 256 dots
+#: per (query, subspace) — still microseconds.
+PQ_K = 256
 PQ_TOP_C = 50     # ADC candidates re-ranked exactly per query
 
 

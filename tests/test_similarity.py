@@ -227,9 +227,11 @@ def test_ann_pq_recall_and_exact_rescoring(spark):
     pq_rows = REGISTRY["ann_pq"].fn(spark, SF0001).collect()
     approx = {(r.query_id, r.neighbor_id) for r in pq_rows}
     recall = len(exact & approx) / len(exact)
-    # measured 0.68-0.74 at sf0.001/sf0.01 with m=8, k=16, C=50; floor
-    # pinned below measured so a broken codebook/ADC shows, jitter doesn't.
-    assert recall >= 0.55, f"ann_pq recall {recall:.2f}"
+    # measured 0.98 at sf0.001/sf0.01 and 0.80 at sf0.1 with m=8, k=256,
+    # C=50 (round-6 8-bit codebooks; the 4-bit originals measured
+    # 0.68/0.62 and decayed with corpus size); floor pinned below
+    # measured so a broken codebook/ADC shows, jitter doesn't.
+    assert recall >= 0.7, f"ann_pq recall {recall:.2f}"
     for r in pq_rows:
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
