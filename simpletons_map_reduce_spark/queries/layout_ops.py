@@ -53,7 +53,14 @@ def _interleave_expr(bx: str, by: str, idiv: str) -> str:
 def _bucket_expr(col: str, mx: str, idiv: str) -> str:
     """Range bucket of ``col`` into [0, 2^Z_BITS) given max value ``mx``
     (inclusive).  Integer arithmetic only; same string both engines modulo
-    the ``idiv`` spelling."""
+    the ``idiv`` spelling.
+
+    CONTRACT (ADVICE r6): ``col`` must be a NON-NEGATIVE integer.  For
+    negative values the bucket leaves [0, 2^Z_BITS) and the generated
+    string stops being engine-identical (Spark ``div`` truncates toward
+    zero, DuckDB ``//`` floors).  zorder_layout's keys are TPC-H surrogate
+    keys (>= 1 by construction); write_parquet_zordered enforces the
+    contract in-plan via min-key assertions."""
     return f"CAST(({col} * {1 << Z_BITS}) {idiv} ({mx} + 1) AS BIGINT)"
 
 

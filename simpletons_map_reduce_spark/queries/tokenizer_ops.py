@@ -47,6 +47,15 @@ from .registry import register
 N_MERGES = 8
 
 
+#: Symbol split: one array element per Unicode CODE POINT.  Java >= 8
+#: regex never places a zero-width split inside a surrogate pair, so
+#: ``split(word, '')`` yields supplementary-plane characters (e.g. U+1D56C)
+#: as single symbols — matching the pure-Python references in
+#: tests/test_tokenizer_ops.py, which iterate code points.  Pinned by
+#: test_bpe_supplementary_plane_symbols (ADVICE r6).
+_CODEPOINT_SPLIT = "filter(split(word, ''), s -> s <> '')"
+
+
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
@@ -104,10 +113,7 @@ def learn_bpe_from_words(
     """BPE loop over any (word, freq) relation (exposed for the fuzz
     differential, which generates random vocabularies)."""
     vocab = tracked_checkpoint(
-        word_freq.select(
-            F.expr("filter(split(word, ''), s -> s <> '')").alias("sym"),
-            "freq",
-        )
+        word_freq.select(F.expr(_CODEPOINT_SPLIT).alias("sym"), "freq")
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -185,7 +191,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_lower(F.col("text"))).alias("word")
     )
     vocab = tracked_persist(e.select("word").distinct()).select(
-        "word", F.expr("filter(split(word, ''), s -> s <> '')").alias("sym")
+        "word", F.expr(_CODEPOINT_SPLIT).alias("sym")
     )
     for _, l, r, _cnt in merges:
         vocab = vocab.select("word", F.expr(_apply_merge_expr(l, r)).alias("sym"))

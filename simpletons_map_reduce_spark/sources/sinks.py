@@ -214,6 +214,14 @@ def write_parquet_zordered(
     tests/test_layout.py pins the resulting per-file spans: both
     dimensions' mean normalized span stays far below the single-key
     layout's secondary-column span.
+
+    CONTRACT (ADVICE r6): both cluster keys must be NON-NEGATIVE
+    integers — the range-bucket arithmetic (queries/layout_ops.py
+    ``_bucket_expr``) silently produces out-of-range z-values for
+    negative keys (and Spark ``div`` truncation diverges from floor
+    division there).  Enforced in-plan: the same 1-row aggregate that
+    computes the maxima also computes the minima, and the z-column
+    expression raises before any file is written if either min < 0.
     """
     from pyspark.sql import functions as F
 
@@ -221,18 +229,29 @@ def write_parquet_zordered(
 
     a, b = cluster_by
     mx = df.agg(
-        F.max(a).alias("__max_a"), F.max(b).alias("__max_b")
+        F.min(a).alias("__min_a"),
+        F.max(a).alias("__max_a"),
+        F.min(b).alias("__min_b"),
+        F.max(b).alias("__max_b"),
     )
     z = _interleave_expr(
         _bucket_expr(a, "__max_a", "div"),
         _bucket_expr(b, "__max_b", "div"),
         "div",
     )
+    # Fold the contract check into the z-column itself (a standalone
+    # assert column could be pruned; __z is load-bearing so this cannot).
+    z_checked = (
+        "IF(__min_a < 0 OR __min_b < 0, "
+        "CAST(raise_error('write_parquet_zordered: cluster keys must be "
+        "non-negative integers') AS BIGINT), "
+        f"{z})"
+    )
     out = (
         df.crossJoin(F.broadcast(mx))
-        .withColumn("__z", F.expr(z))
+        .withColumn("__z", F.expr(z_checked))
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", "__max_a", "__max_b")
+        .drop("__z", "__min_a", "__max_a", "__min_b", "__max_b")
     )
     out.write.mode("overwrite").parquet(path)

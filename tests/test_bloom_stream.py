@@ -115,23 +115,29 @@ def test_bloom_stream_agrees_with_batch_on_split_fixture(spark, tmp_path):
         for r in REGISTRY["bloom_probe"].fn(spark, SF0001).collect()
     }
     assert stream.keys() == batch.keys()
+    # Arrival-time truth for the probe batch: each probe doc sees the
+    # corpus bits PLUS every earlier probe doc's bits (probe-then-insert
+    # in doc_id order).  This covers both legal stream-only-hit causes —
+    # an intra-probe exact duplicate AND a genuine FP collision against
+    # probe-doc-inserted bits (ADVICE r6) — with one exact predicate.
     probe_texts: dict[int, str] = {r[0]: r[1] for r in probe}
-    seen: set[str] = set()
-    intra_probe_dup: set[int] = set()
+    bits_at_arrival: set[int] = set()
+    for _, text, *_rest in corpus:
+        bits_at_arrival.update(_positions(text))
+    arrival_hit: dict[int, bool] = {}
     for doc_id in sorted(probe_texts):
-        if probe_texts[doc_id] in seen:
-            intra_probe_dup.add(doc_id)
-        seen.add(probe_texts[doc_id])
+        pos = _positions(probe_texts[doc_id])
+        arrival_hit[doc_id] = all(p in bits_at_arrival for p in pos)
+        bits_at_arrival.update(pos)
     for doc_id, batch_hit in batch.items():
         if batch_hit:
             # stream state is a SUPERSET of the batch corpus filter at
             # probe time -> no false negatives possible
             assert stream[doc_id], doc_id
-        elif stream[doc_id]:
-            # stream-only hit: legal only via arrival-time extras (an
-            # earlier probe doc) or a genuine FP collision against the
-            # extra probe-doc bits; require the semantic explanation
-            assert doc_id in intra_probe_dup, doc_id
+        else:
+            # batch miss: the stream decision must equal the exact
+            # arrival-time simulation over corpus + earlier probe bits
+            assert stream[doc_id] == arrival_hit[doc_id], doc_id
 
 
 def test_bloom_stream_cross_batch_membership(spark, tmp_path):

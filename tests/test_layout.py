@@ -160,3 +160,21 @@ def test_zordered_sink_prunes_both_dimensions(spark, tmp_path):
     # covers ~1/4 of each axis at worst; require < 0.45)
     assert z_ok < 0.45, z_ok
     assert z_pk < 0.45, z_pk
+
+
+def test_zordered_sink_rejects_negative_keys(spark, tmp_path):
+    """Contract pin (ADVICE r6): the range-bucket arithmetic is only
+    engine-identical (and in-range) for non-negative keys, so the sink
+    must refuse negative cluster keys before writing anything."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from simpletons_map_reduce_spark.sources.sinks import (
+        write_parquet_zordered,
+    )
+
+    df = spark.createDataFrame(
+        [(-1, 5), (2, 6), (3, 7)], "a BIGINT, b BIGINT"
+    )
+    with pytest.raises(SparkRuntimeException, match="non-negative"):
+        write_parquet_zordered(df, str(tmp_path / "zneg"), ("a", "b"))

@@ -137,3 +137,35 @@ def test_bpe_encode_matches_reference(spark):
         assert got[r.doc_id] == (n_sym, n_chars), r.doc_id
     # merging must strictly compress: fewer symbols than characters
     assert sum(g[0] for g in got.values()) < sum(g[1] for g in got.values())
+
+
+def test_bpe_supplementary_plane_symbols(spark):
+    """Code-point symbol contract (ADVICE r6): supplementary-plane letters
+    (surrogate pairs in UTF-16) must enter the learner as WHOLE symbols,
+    never as surrogate halves.  Java >= 8 regex never places a zero-width
+    split inside a surrogate pair, so ``split(word, '')`` is code-point
+    safe; this pins it with a differential on a vocabulary of Gothic and
+    mathematical-alphanumeric letters (all outside the BMP)."""
+    from simpletons_map_reduce_spark.queries.tokenizer_ops import (
+        learn_bpe_from_words,
+    )
+
+    # Gothic AHSA/BAIRKAN (U+10330/U+10331), math bold fraktur A/B
+    # (U+1D56C/U+1D56D) — every character is a surrogate pair in UTF-16.
+    words = {
+        "\U00010330\U00010331\U00010330\U00010331": 9,
+        "\U0001D56C\U0001D56D": 7,
+        "\U00010330\U0001D56C\U0001D56D": 5,
+        "\U0001D56C\U0001D56D\U00010331": 3,
+    }
+    wf = spark.createDataFrame(
+        list(words.items()), "word STRING, freq BIGINT"
+    )
+    got = learn_bpe_from_words(wf, 4)
+    want = _ref_bpe(words, 4)
+    assert got == want
+    # every learned symbol is a sequence of whole code points, no lone
+    # surrogates anywhere
+    for _, l, r, _cnt in got:
+        for s in (l, r):
+            assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in s), s
