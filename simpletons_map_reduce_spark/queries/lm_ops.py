@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions.hashing import SPARK_MD5_INT60, SQL_MD5_INT60
 from ..functions.rounding import rn, sql_rn
 from ..functions.text import sql_tokens, tokens_lower
@@ -48,6 +49,11 @@ ZIPF_TOP = 100
 #: span window / stride (tokens) for boilerplate detection.
 SPAN_W = 8
 SPAN_S = 4
+#: minimum duplicated-substring length (tokens) for substring_dedup —
+#: every exact duplicate of >= SUBSTR_W tokens is recovered at full,
+#: variable length (the stride-1 window granularity is exact, not a
+#: fixed-window approximation like span_dedup's).
+SUBSTR_W = 8
 
 
 def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,3 +386,135 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup: variable-length exact duplicated spans (Lee et al. style)
+# ---------------------------------------------------------------------------
+
+#: Spark window list: stride-1 SUBSTR_W-token windows as (pos, hash) structs,
+#: built inside one transform() so the token array is sliced in-place and the
+#: explode emits only (doc_id, pos, h) int64 triplets — the array itself
+#: never rides through the shuffle.
+_SUBSTR_WIN = (
+    f"transform(sequence(0, size(toks) - {SUBSTR_W}), "
+    "k -> struct(CAST(k AS BIGINT) AS pos, "
+    + SPARK_MD5_INT60.format(
+        e=f"concat_ws(' ', slice(toks, k + 1, {SUBSTR_W}))"
+    )
+    + " AS h))"
+)
+
+SUBSTRING_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
+           FROM documents),
+win AS (SELECT doc_id, toks,
+               unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS pos
+        FROM t WHERE len(toks) >= {SUBSTR_W}),
+hh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              {SQL_MD5_INT60.format(
+                  e=f"array_to_string(toks[pos + 1 : pos + {SUBSTR_W}], ' ')"
+              )} AS h
+       FROM win),
+cnt AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM hh JOIN cnt USING (h)),
+runs AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) = 1
+                     THEN 0 ELSE 1 END AS brk
+         FROM dup),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp
+GROUP BY doc_id, run_id
+"""
+
+
+def duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Maximal duplicated token spans over a ``(doc_id, toks)`` relation.
+
+    Exposed separately from the registered query so tests can run the
+    planted-duplicate differential on synthetic corpora.
+    """
+    win_expr = (
+        f"transform(sequence(0, size(toks) - {w}), "
+        "k -> struct(CAST(k AS BIGINT) AS pos, "
+        + SPARK_MD5_INT60.format(e=f"concat_ws(' ', slice(toks, k + 1, {w}))")
+        + " AS h))"
+    )
+    hh = tracked_persist(
+        t.filter(F.size("toks") >= w)
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_h = (
+        hh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dup = hh.join(dup_h, "h").select("doc_id", "pos")
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(ordered) == 1, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    run_id = F.sum("brk").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dup.withColumn("brk", brk)
+        .withColumn("run_id", run_id)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + w).alias("span_len"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("run_id")
+    )
+
+
+@register("substring_dedup", SUBSTRING_DEDUP_ORACLE, tags=("lm", "dedup"))
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact duplicated substrings, suffix-array style.
+
+    The standard LLM-pipeline dedup op (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    token span of length >= SUBSTR_W that occurs at least twice anywhere
+    in the corpus (across documents or repeated within one), at its TRUE
+    variable length — unlike ``span_dedup``'s fixed 8-token report.
+
+    Distributed shape (the gram-chain equivalent of a suffix array): a
+    duplicated substring of length L >= W appears as exactly L - W + 1
+    consecutive duplicated stride-1 windows, so
+
+      1. hash every stride-1 W-token window to int64 (scan-local
+         transform; only (doc_id, pos, h) triplets leave the scan),
+      2. one int64-keyed shuffle counts window occurrences; count >= 2
+         marks a window duplicated (map-side partial aggregation prunes
+         the dominant unique mass),
+      3. join the duplicated-hash set back (AQE picks broadcast when the
+         dup set is small, as it is on natural corpora),
+      4. one doc_id-keyed window pass merges consecutive positions into
+         maximal runs; the closing groupBy reuses the same partitioning
+         (doc_id is a prefix of the grouping key — no extra exchange).
+
+    At 100 TB the stride-1 explode is n_tokens rows/doc of 24-byte
+    triplets — the same volume every suffix-array construction shuffles —
+    and nothing downstream of step 2 exceeds the duplicated mass.  The
+    reference has no dedup surface (SURVEY §2.C gap category); this op is
+    part of the mandated LLM-pipeline tier.
+
+    Output: (doc_id, span_start, span_len, n_windows) per maximal span,
+    token-indexed from 0; n_windows == span_len - W + 1 by construction
+    (pinned in tests/test_substring_dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    return duplicated_spans(t, SUBSTR_W)

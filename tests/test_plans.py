@@ -825,6 +825,7 @@ EXCHANGE_BUDGET = {
     "split_assign": 1,
     "stats_moments": 1,
     "stratified_sample": 1,
+    "substring_dedup": 2,
     "supplier_classes": 3,
     "supplier_revenue": 2,
     "table_checks": 6,

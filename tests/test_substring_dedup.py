@@ -1,0 +1,144 @@
+"""substring_dedup: variable-length exact duplicated spans.
+
+Pins (VERDICT r6 item 2):
+- planted long duplicates are recovered at their TRUE variable length
+  (start + length exact), across docs and as within-doc self-repeats;
+- a pure-Python brute-force reference (independent window-set + run-merge
+  implementation) agrees exactly on randomized corpora;
+- the n_windows == span_len - W + 1 invariant holds on real data.
+"""
+
+from __future__ import annotations
+
+import random
+
+from simpletons_map_reduce_spark.queries import REGISTRY
+from simpletons_map_reduce_spark.queries.lm_ops import (
+    SUBSTR_W,
+    duplicated_spans,
+)
+
+from tests.conftest import SF0001
+
+
+def _ref_spans(docs: dict[int, list[str]], w: int) -> set[tuple[int, int, int, int]]:
+    """Independent brute-force reference: hash-free window multiset over
+    actual token tuples, then per-doc run merge."""
+    from collections import Counter
+
+    occ: Counter[tuple[str, ...]] = Counter()
+    for toks in docs.values():
+        for k in range(len(toks) - w + 1):
+            occ[tuple(toks[k : k + w])] += 1
+    out: set[tuple[int, int, int, int]] = set()
+    for doc_id, toks in docs.items():
+        dup = [
+            k
+            for k in range(len(toks) - w + 1)
+            if occ[tuple(toks[k : k + w])] >= 2
+        ]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+            else:
+                out.add((doc_id, start, prev - start + w, n))
+                start = prev = p
+                n = 1
+        out.add((doc_id, start, prev - start + w, n))
+    return out
+
+
+def _spark_spans(spark, docs: dict[int, list[str]]) -> set[tuple[int, int, int, int]]:
+    t = spark.createDataFrame(
+        [(d, toks) for d, toks in docs.items()],
+        "doc_id BIGINT, toks ARRAY<STRING>",
+    )
+    rows = duplicated_spans(t, SUBSTR_W).collect()
+    return {
+        (r.doc_id, r.span_start, r.span_len, r.n_windows) for r in rows
+    }
+
+
+def test_planted_cross_doc_duplicate(spark):
+    """Two docs share one exact 23-token run at different offsets; the op
+    must report it in both docs at its full variable length."""
+    rng = random.Random(7)
+    shared = [f"dup{i}" for i in range(23)]
+    a = [f"a{rng.randrange(10**9)}" for _ in range(11)] + shared + [
+        f"a{rng.randrange(10**9)}" for _ in range(5)
+    ]
+    b = [f"b{rng.randrange(10**9)}" for _ in range(3)] + shared + [
+        f"b{rng.randrange(10**9)}" for _ in range(17)
+    ]
+    noise = {
+        i: [f"n{i}_{rng.randrange(10**9)}" for _ in range(30)]
+        for i in range(10, 15)
+    }
+    docs = {1: a, 2: b, **noise}
+    got = _spark_spans(spark, docs)
+    want = {
+        (1, 11, 23, 23 - SUBSTR_W + 1),
+        (2, 3, 23, 23 - SUBSTR_W + 1),
+    }
+    assert got == want
+
+
+def test_planted_within_doc_self_repeat(spark):
+    """Lee et al. count self-repeats: a doc containing the same 12-token
+    phrase twice reports both occurrences, with no other doc involved."""
+    rng = random.Random(11)
+    phrase = [f"p{i}" for i in range(12)]
+    toks = (
+        phrase
+        + [f"x{rng.randrange(10**9)}" for _ in range(9)]
+        + phrase
+        + [f"y{rng.randrange(10**9)}" for _ in range(4)]
+    )
+    docs = {1: toks, 2: [f"z{rng.randrange(10**9)}" for _ in range(25)]}
+    got = _spark_spans(spark, docs)
+    want = {
+        (1, 0, 12, 12 - SUBSTR_W + 1),
+        (1, 21, 12, 12 - SUBSTR_W + 1),
+    }
+    assert got == want
+
+
+def test_randomized_differential_vs_bruteforce(spark):
+    """Randomized corpora with planted shared runs of varied lengths:
+    Spark output must equal the independent pure-Python reference —
+    including adjacent/overlapping duplicate runs that merge."""
+    rng = random.Random(42)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(rng.randrange(15, 40))]
+        docs: dict[int, list[str]] = {}
+        for d in range(8):
+            docs[d] = [rng.choice(vocab) for _ in range(rng.randrange(0, 60))]
+        # plant a few shared runs to guarantee duplicate mass
+        for _ in range(3):
+            run = [rng.choice(vocab) for _ in range(rng.randrange(8, 20))]
+            for d in rng.sample(sorted(docs), 2):
+                at = rng.randrange(0, len(docs[d]) + 1)
+                docs[d] = docs[d][:at] + run + docs[d][at:]
+        assert _spark_spans(spark, docs) == _ref_spans(docs, SUBSTR_W), trial
+
+
+def test_invariants_on_real_data(spark):
+    """On sf0.001: every span satisfies n_windows == span_len - W + 1,
+    span_len >= W, and spans within a doc never overlap (maximality)."""
+    rows = REGISTRY["substring_dedup"].fn(spark, SF0001).collect()
+    assert rows, "sf0.001 corpus should contain duplicated spans"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_len >= SUBSTR_W
+        assert r.n_windows == r.span_len - SUBSTR_W + 1, r
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r.span_start)
+        for a, b in zip(spans, spans[1:]):
+            # maximal runs are separated by at least one non-dup window
+            assert a.span_start + a.n_windows < b.span_start, doc_id
