@@ -31,40 +31,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Priority order for the driver's correctness window.  The driver checks
-# queries in dict insertion order and truncates (r03 stopped at entry 50),
-# so the highest-value operators — the LLM-data-pipeline battery — must
-# come first.  The TPC-H-shaped relational/temporal/events variants are the
-# most substitutable evidence and move to the tail; they remain fully
-# oracle-checked by tools/check_oracle.py --all and by pytest.
+# queries in dict insertion order and truncates at entry 50, so the window
+# ROTATES each round to extend cumulative driver evidence: rounds 1-7
+# covered 97/152 distinct queries (see CORRECTNESS_r0*.json); round 8's
+# window covers the 44 highest-value never-driver-checked queries plus
+# this round's new operators, keeping three long-lived sentinels
+# (wordcount, mr_wordcount, near_dedup) as regression canaries.  The
+# 11-query profiling battery rotates in next round; every query off the
+# window stays exact-oracle-checked by tools/check_oracle.py --all and
+# by pytest on every run.
 _PRIORITY = [
-    # reference framework apps (mrapps/wc.go, indexer.go, ...)
-    "wordcount", "inverted_index", "per_file_count", "file_stats", "mr_wordcount",
-    # dedup family
-    "exact_dedup", "near_dedup", "dedup_incremental", "ngram_jaccard",
-    "simhash", "dedup_apply", "dedup_clusters",
-    "ngram_containment", "dedup_report",
-    # similarity / ANN — ann_recall_report is the HASH-CHECKED quality row
-    # for the approximate family (recall floor + planted-twin recovery);
-    # round 5 gave it rows-only ann_lsh's slot, and round 6 extends the
-    # same trade to ann_ivf/ann_pq (recall stays pytest-pinned, judge
-    # sweeps cover them in the tail) in favour of two NEW hash-checked
-    # ops: bloom_probe (membership sketch) and zorder_layout (multi-dim
-    # clustering report).
-    "similarity_topk", "embedding_dedup", "embedding_dedup_ann",
-    "ann_recall_report", "semantic_prune", "bloom_probe", "zorder_layout",
-    # multimodal (png_roundtrip / wav_roundtrip drive the REAL vendored codecs)
-    "media_features", "media_dedup", "media_resize", "png_roundtrip",
-    "wav_roundtrip",
-    # text battery
-    "text_stats", "ngram_counts", "tfidf_topterms", "token_count", "lang_id",
-    "quality_score", "doc_fingerprint", "repetition_stats", "pii_redact",
-    "quality_calibrate",
-    # corpus LM stats
-    "unigram_logprob", "vocab_coverage", "zipf_fit", "token_fertility",
-    # search + pipeline + sampling + sketch + packing
-    "bm25_search", "corpus_filter", "contamination_check", "pipeline_funnel",
-    "stratified_sample", "split_assign", "weighted_sample",
-    "leakage_safe_split", "cms_heavy_hitters", "pack_sequences",
+    # sentinels: framework core + flagship LSH dedup
+    "wordcount", "mr_wordcount", "near_dedup",
+    # round-7 op, never windowed
+    "substring_dedup",
+    # round-6 ops, never windowed
+    "bpe_merges", "bpe_encode", "mixture_weights", "mixture_apply",
+    "knn_classify", "perplexity_buckets", "hll_rollup",
+    # LM / text / pipeline tails never windowed
+    "span_dedup", "char_entropy", "simhash_pairs", "pipeline_funnel_fused",
+    "sample_hash", "doc_chunks", "corpus_balance", "frame_sample",
+    # TPC-H-shaped decision battery (decision.py)
+    "exists_orders", "scalar_avg_filter", "big_orders", "priority_pivot",
+    "churned_customers", "moving_revenue", "min_cost_supplier",
+    "supplier_classes", "overstocked_suppliers", "disjunctive_filter",
+    "waiting_orders",
+    # TPC-H-shaped trade battery (trade.py)
+    "volume_shipping", "market_share", "returned_items", "top_value_parts",
+    "customer_distribution", "top_supplier", "product_profit",
+    # behavior / events / graph tails
+    "basket_pairs", "funnel_analysis", "cohort_retention", "cumulative_users",
+    "user_trend", "event_transitions", "nation_pagerank", "triangle_count",
+    "props_extract", "event_pivot",
 ]
 
 
