@@ -43,8 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # round-7 op, never windowed
-    "substring_dedup",
+    # round-7 op (never windowed) + its round-8 apply companion
+    "substring_dedup", "substring_dedup_apply",
     # round-6 ops, never windowed
     "bpe_merges", "bpe_encode", "mixture_weights", "mixture_apply",
     "knn_classify", "perplexity_buckets", "hll_rollup",

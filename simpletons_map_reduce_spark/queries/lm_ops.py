@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..caching import tracked_persist
 from ..functions.hashing import SPARK_MD5_INT60, SQL_MD5_INT60
@@ -392,21 +393,24 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # substring_dedup: variable-length exact duplicated spans (Lee et al. style)
 # ---------------------------------------------------------------------------
 
-#: Spark window list: stride-1 SUBSTR_W-token windows as (pos, hash) structs,
-#: built inside one transform() so the token array is sliced in-place and the
-#: explode emits only (doc_id, pos, h) int64 triplets — the array itself
-#: never rides through the shuffle.
-_SUBSTR_WIN = (
-    f"transform(sequence(0, size(toks) - {SUBSTR_W}), "
-    "k -> struct(CAST(k AS BIGINT) AS pos, "
-    + SPARK_MD5_INT60.format(
-        e=f"concat_ws(' ', slice(toks, k + 1, {SUBSTR_W}))"
+def _win_expr(w: int) -> str:
+    """Spark window-list expression: stride-1 ``w``-token windows as
+    (pos, hash) structs, built inside one transform() so the token array is
+    sliced in-place and the explode emits only (doc_id, pos, h) int64
+    triplets — the array itself never rides through the shuffle.  Shared
+    builder (single source of truth) used by :func:`duplicated_spans`."""
+    return (
+        f"transform(sequence(0, size(toks) - {w}), "
+        "k -> struct(CAST(k AS BIGINT) AS pos, "
+        + SPARK_MD5_INT60.format(e=f"concat_ws(' ', slice(toks, k + 1, {w}))")
+        + " AS h))"
     )
-    + " AS h))"
-)
 
-SUBSTRING_DEDUP_ORACLE = f"""
-WITH t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
+#: Shared DuckDB CTE chain (tokenize → stride-1 windows → dup-window count
+#: → run segmentation) — composed into BOTH substring oracles so the report
+#: and the apply can never disagree on the span set (same rule as
+#: dedup_ops._build_apply_oracle reusing the clusters CTEs).
+_SUBSTR_CTES = f"""t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
            FROM documents),
 win AS (SELECT doc_id, toks,
                unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS pos
@@ -426,13 +430,36 @@ runs AS (SELECT doc_id, pos,
 grp AS (SELECT doc_id, pos,
                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS run_id
-        FROM runs)
+        FROM runs)"""
+
+SUBSTRING_DEDUP_ORACLE = f"""
+WITH {_SUBSTR_CTES}
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM grp
 GROUP BY doc_id, run_id
+"""
+
+SUBSTRING_DEDUP_APPLY_ORACLE = f"""
+WITH {_SUBSTR_CTES},
+spans AS (SELECT doc_id, min(pos) AS s,
+                 max(pos) - min(pos) + {SUBSTR_W} AS l
+          FROM grp GROUP BY doc_id, run_id),
+tok_pos AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p
+            FROM t),
+kept AS (SELECT doc_id, p, toks[p + 1] AS tok
+         FROM tok_pos tp
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = tp.doc_id
+                             AND tp.p >= sp.s AND tp.p < sp.s + sp.l))
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - count(k.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_kept
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, t.toks
 """
 
 
@@ -442,16 +469,14 @@ def duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     Exposed separately from the registered query so tests can run the
     planted-duplicate differential on synthetic corpora.
     """
-    win_expr = (
-        f"transform(sequence(0, size(toks) - {w}), "
-        "k -> struct(CAST(k AS BIGINT) AS pos, "
-        + SPARK_MD5_INT60.format(e=f"concat_ws(' ', slice(toks, k + 1, {w}))")
-        + " AS h))"
-    )
     hh = tracked_persist(
         t.filter(F.size("toks") >= w)
-        .select("doc_id", F.explode(F.expr(win_expr)).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .select("doc_id", F.explode(F.expr(_win_expr(w))).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")),
+        # O(corpus-tokens) exploded relation: DISK_ONLY so the token-scale
+        # cache never evicts executor memory (same rule as the exploded
+        # gram relations in dedup_ops._shingle_sets / ngram_containment).
+        level=StorageLevel.DISK_ONLY,
     )
     dup_h = (
         hh.groupBy("h")
@@ -485,10 +510,15 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length exact duplicated substrings, suffix-array style.
 
     The standard LLM-pipeline dedup op (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better"): find every maximal
-    token span of length >= SUBSTR_W that occurs at least twice anywhere
-    in the corpus (across documents or repeated within one), at its TRUE
-    variable length — unlike ``span_dedup``'s fixed 8-token report.
+    Training Data Makes Language Models Better"): report, per document,
+    the maximal COVERAGE REGIONS of duplicated SUBSTR_W-token windows —
+    every token span of length >= SUBSTR_W that occurs at least twice
+    anywhere in the corpus (across documents or repeated within one) is
+    covered at its TRUE variable length, and adjacent/overlapping
+    duplicated runs merge into one reported span (the merged span itself
+    need not occur twice verbatim — these are the removal regions of the
+    Lee et al. dedup, exactly what ``substring_dedup_apply`` cuts out),
+    unlike ``span_dedup``'s fixed 8-token report.
 
     Distributed shape (the gram-chain equivalent of a suffix array): a
     duplicated substring of length L >= W appears as exactly L - W + 1
@@ -518,3 +548,69 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
     return duplicated_spans(t, SUBSTR_W)
+
+
+@register(
+    "substring_dedup_apply", SUBSTRING_DEDUP_APPLY_ORACLE, tags=("lm", "dedup")
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REDACTED corpus — what Lee et al.'s dedup actually writes.
+
+    ``substring_dedup`` reports the duplicated coverage regions; this
+    companion materializes the deliverable (mirroring how ``dedup_apply``
+    materializes ``near_dedup``'s survivor corpus at the document level):
+    every token inside a reported span is cut, the survivors are re-joined
+    in order, and each document row carries its removal accounting.  Both
+    occurrences of a duplicate are removed (the pure Lee-et-al "dedup every
+    repeated span" policy — deterministic and engine-order-independent,
+    unlike keep-first-occurrence which depends on a global document order).
+
+    Distributed shape on top of substring_dedup's (see its docstring): the
+    per-doc span list is collected into an array column (bounded by that
+    doc's duplicated mass) and joined back to the O(docs) token relation on
+    doc_id — AQE broadcasts the span side when the dup mass is small, as on
+    natural corpora.  The cut itself is a scan-local higher-order
+    ``filter(toks, (x, i) -> ...)`` over each doc's own span list — no
+    second token-level shuffle; at 100 TB the only new cost over the report
+    is the doc_id join.
+
+    Output: (doc_id, n_tokens, n_removed, text_kept) for EVERY document
+    (n_removed = 0 and text_kept = the full tokenized text when the doc has
+    no duplicated spans).  The reference has no dedup surface (SURVEY
+    §2.C); this is the mandated LLM-pipeline tier's removal step.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    return redact_duplicated_spans(t, SUBSTR_W)
+
+
+def redact_duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Cut every duplicated span out of a ``(doc_id, toks)`` relation.
+
+    Exposed separately from the registered query (like
+    :func:`duplicated_spans`) so tests can run the planted-duplicate
+    redaction differential on synthetic corpora.
+    """
+    spans = (
+        duplicated_spans(t, w)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_len").alias("l"),
+                )
+            ).alias("spans")
+        )
+    )
+    j = t.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(toks, (x, i) -> spans IS NULL OR "
+        "NOT exists(spans, sp -> i >= sp.s AND i < sp.s + sp.l))"
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_kept"),
+    )

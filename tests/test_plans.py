@@ -826,6 +826,7 @@ EXCHANGE_BUDGET = {
     "stats_moments": 1,
     "stratified_sample": 1,
     "substring_dedup": 2,
+    "substring_dedup_apply": 2,
     "supplier_classes": 3,
     "supplier_revenue": 2,
     "table_checks": 6,

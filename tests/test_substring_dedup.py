@@ -16,6 +16,7 @@ from simpletons_map_reduce_spark.queries import REGISTRY
 from simpletons_map_reduce_spark.queries.lm_ops import (
     SUBSTR_W,
     duplicated_spans,
+    redact_duplicated_spans,
 )
 
 from tests.conftest import SF0001
@@ -125,6 +126,72 @@ def test_randomized_differential_vs_bruteforce(spark):
                 at = rng.randrange(0, len(docs[d]) + 1)
                 docs[d] = docs[d][:at] + run + docs[d][at:]
         assert _spark_spans(spark, docs) == _ref_spans(docs, SUBSTR_W), trial
+
+
+def _ref_redact(
+    docs: dict[int, list[str]], w: int
+) -> dict[int, tuple[int, int, str]]:
+    """Independent redaction reference: cut the covered positions of
+    :func:`_ref_spans` out of each doc, keep the rest in order."""
+    covered: dict[int, set[int]] = {d: set() for d in docs}
+    for doc_id, start, length, _n in _ref_spans(docs, w):
+        covered[doc_id].update(range(start, start + length))
+    out = {}
+    for doc_id, toks in docs.items():
+        kept = [t for i, t in enumerate(toks) if i not in covered[doc_id]]
+        return_row = (len(toks), len(toks) - len(kept), " ".join(kept))
+        out[doc_id] = return_row
+    return out
+
+
+def test_redact_differential_vs_bruteforce(spark):
+    """Randomized corpora: redact_duplicated_spans must equal the
+    independent cut-the-covered-positions reference on every doc —
+    including docs with zero spans (full text kept, n_removed == 0) and
+    docs redacted to nothing (text_kept == '')."""
+    rng = random.Random(1337)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(rng.randrange(12, 30))]
+        docs: dict[int, list[str]] = {}
+        for d in range(8):
+            docs[d] = [rng.choice(vocab) for _ in range(rng.randrange(0, 50))]
+        run = [rng.choice(vocab) for _ in range(rng.randrange(8, 16))]
+        for d in rng.sample(sorted(docs), 2):
+            at = rng.randrange(0, len(docs[d]) + 1)
+            docs[d] = docs[d][:at] + run + docs[d][at:]
+        docs[99] = run + run  # redacts to nothing (self-repeat covers all)
+        t = spark.createDataFrame(
+            [(d, toks) for d, toks in docs.items()],
+            "doc_id BIGINT, toks ARRAY<STRING>",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_kept)
+            for r in redact_duplicated_spans(t, SUBSTR_W).collect()
+        }
+        assert got == _ref_redact(docs, SUBSTR_W), trial
+        assert got[99][2] == ""  # fully-duplicated doc redacts to empty
+
+
+def test_apply_accounting_on_real_data(spark):
+    """On sf0.001: substring_dedup_apply covers EVERY document; per doc,
+    n_removed equals the sum of that doc's reported span lengths (the two
+    registered queries share one span set) and the kept text word count
+    equals n_tokens - n_removed."""
+    spans = REGISTRY["substring_dedup"].fn(spark, SF0001).collect()
+    removed = {}
+    for r in spans:
+        removed[r.doc_id] = removed.get(r.doc_id, 0) + r.span_len
+    rows = REGISTRY["substring_dedup_apply"].fn(spark, SF0001).collect()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(f"{SF0001}/documents.parquet").num_rows
+    assert len(rows) == n_docs
+    assert any(r.n_removed > 0 for r in rows)
+    assert any(r.n_removed == 0 for r in rows)
+    for r in rows:
+        assert r.n_removed == removed.get(r.doc_id, 0), r.doc_id
+        n_kept = len(r.text_kept.split()) if r.text_kept else 0
+        assert n_kept == r.n_tokens - r.n_removed, r.doc_id
 
 
 def test_invariants_on_real_data(spark):
