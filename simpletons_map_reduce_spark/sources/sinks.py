@@ -215,43 +215,44 @@ def write_parquet_zordered(
     dimensions' mean normalized span stays far below the single-key
     layout's secondary-column span.
 
-    CONTRACT (ADVICE r6): both cluster keys must be NON-NEGATIVE
+    CONTRACT (ADVICE r6/r7): both cluster keys must be NON-NEGATIVE
     integers — the range-bucket arithmetic (queries/layout_ops.py
     ``_bucket_expr``) silently produces out-of-range z-values for
     negative keys (and Spark ``div`` truncation diverges from floor
-    division there).  Enforced in-plan: the same 1-row aggregate that
-    computes the maxima also computes the minima, and the z-column
-    expression raises before any file is written if either min < 0.
+    division there).  Enforced on the DRIVER before ``write`` is ever
+    invoked: the 1-row min/max aggregate is collected first and a
+    violation raises in Python, so ``mode("overwrite")`` cannot delete
+    pre-existing data at ``path`` on a contract violation (an in-plan
+    ``raise_error`` fires only after the overwrite has already cleared
+    the target).  The same collected maxima feed the bucket expressions
+    as literals, which also removes the broadcast cross join and the
+    per-row IF branch from the write plan.  One extra 1-row job per
+    write — negligible against the range-exchange the layout pays anyway.
     """
     from pyspark.sql import functions as F
 
-    from ..queries.layout_ops import Z_BITS, _bucket_expr, _interleave_expr
+    from ..queries.layout_ops import _bucket_expr, _interleave_expr
 
     a, b = cluster_by
-    mx = df.agg(
-        F.min(a).alias("__min_a"),
-        F.max(a).alias("__max_a"),
-        F.min(b).alias("__min_b"),
-        F.max(b).alias("__max_b"),
-    )
+    min_a, max_a, min_b, max_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    if (min_a is not None and min_a < 0) or (
+        min_b is not None and min_b < 0
+    ):
+        raise ValueError(
+            "write_parquet_zordered: cluster keys must be non-negative "
+            f"integers (min({a})={min_a}, min({b})={min_b})"
+        )
     z = _interleave_expr(
-        _bucket_expr(a, "__max_a", "div"),
-        _bucket_expr(b, "__max_b", "div"),
+        _bucket_expr(a, str(max_a or 0), "div"),
+        _bucket_expr(b, str(max_b or 0), "div"),
         "div",
     )
-    # Fold the contract check into the z-column itself (a standalone
-    # assert column could be pruned; __z is load-bearing so this cannot).
-    z_checked = (
-        "IF(__min_a < 0 OR __min_b < 0, "
-        "CAST(raise_error('write_parquet_zordered: cluster keys must be "
-        "non-negative integers') AS BIGINT), "
-        f"{z})"
-    )
     out = (
-        df.crossJoin(F.broadcast(mx))
-        .withColumn("__z", F.expr(z_checked))
+        df.withColumn("__z", F.expr(z))
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", "__min_a", "__max_a", "__min_b", "__max_b")
+        .drop("__z")
     )
     out.write.mode("overwrite").parquet(path)

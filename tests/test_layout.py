@@ -163,18 +163,24 @@ def test_zordered_sink_prunes_both_dimensions(spark, tmp_path):
 
 
 def test_zordered_sink_rejects_negative_keys(spark, tmp_path):
-    """Contract pin (ADVICE r6): the range-bucket arithmetic is only
+    """Contract pin (ADVICE r6/r7): the range-bucket arithmetic is only
     engine-identical (and in-range) for non-negative keys, so the sink
-    must refuse negative cluster keys before writing anything."""
+    must refuse negative cluster keys BEFORE touching the target path —
+    mode('overwrite') must not get the chance to delete pre-existing
+    output on a contract violation."""
     import pytest
-    from pyspark.errors import SparkRuntimeException
 
     from simpletons_map_reduce_spark.sources.sinks import (
         write_parquet_zordered,
     )
 
-    df = spark.createDataFrame(
+    ok = spark.createDataFrame([(1, 5), (2, 6)], "a BIGINT, b BIGINT")
+    path = str(tmp_path / "z")
+    write_parquet_zordered(ok, path, ("a", "b"))
+    bad = spark.createDataFrame(
         [(-1, 5), (2, 6), (3, 7)], "a BIGINT, b BIGINT"
     )
-    with pytest.raises(SparkRuntimeException, match="non-negative"):
-        write_parquet_zordered(df, str(tmp_path / "zneg"), ("a", "b"))
+    with pytest.raises(ValueError, match="non-negative"):
+        write_parquet_zordered(bad, path, ("a", "b"))
+    # prior data at the target survives the rejected overwrite
+    assert spark.read.parquet(path).count() == 2
