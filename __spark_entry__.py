@@ -43,8 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # round-7 op (never windowed) + its round-8 apply companion
-    "substring_dedup", "substring_dedup_apply",
+    # round-7 op (never windowed) + round-8 companions: the span-removal
+    # apply and the streaming-surface parity gate
+    "substring_dedup", "substring_dedup_apply", "stream_parity_report",
     # round-6 ops, never windowed
     "bpe_merges", "bpe_encode", "mixture_weights", "mixture_apply",
     "knn_classify", "perplexity_buckets", "hll_rollup",

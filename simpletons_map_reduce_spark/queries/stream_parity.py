@@ -1,0 +1,131 @@
+"""stream_parity_report: the streaming surface under the OFFICIAL hash gate.
+
+The 15 streaming twins (streaming/*.py) are pytest-pinned equivalent to
+their oracle-checked batch queries, but until round 8 none of that evidence
+reached the driver's CORRECTNESS artifact (VERDICT r6 item 4 / r7 item 3).
+This module closes the gap with the same 1-row-relation trick as
+``ann_recall_report``: actually EXECUTE three cheap Structured Streaming
+twins in-process (parquet file source → watermark → stateful operator →
+memory sink, driven to completion with ``processAllAvailable``), compare
+each twin's output against its independently-computed batch query in-plan,
+and emit one row of cardinalities + mismatch counts whose expected values
+the DuckDB oracle pins exactly.  If a twin ever drifts from its batch
+semantics, a mismatch count goes nonzero (or a cardinality moves) and the
+driver's value hash goes red.
+
+Twins under the gate (chosen as the three cheapest state-machine shapes —
+tumbling window, hopping window, watermark-bounded streaming dedup — so the
+report stays an observability query, not a second bench):
+
+- ``tumbling_stream``  ≡ batch ``events_tumbling``   (5-min windows)
+- ``hopping_stream``   ≡ batch ``events_hopping``    (10-min / 5-min slide)
+- ``dedup_stream``     ≡ batch distinct content_hash (one emission each)
+
+Window twins compare (w_start, event_type) keys and exact n_events counts
+(sum_value is floor-rounded in the batch report and order-summed in the
+stream, so floats stay out of the hash — the count equality already proves
+the window assignment and watermark bookkeeping).  The dedup twin must
+emit EXACTLY one row per distinct corpus hash: missing, extra, and
+re-emitted hashes all count as mismatches.
+
+The reference has no streaming surface at all (SURVEY §2.C); this gate
+covers the tier-C extension.  At 100 TB the report is an observability
+query run per deploy: each twin's state is watermark-bounded (windows:
+live windows per key; dedup: in-watermark hash set), and the comparison
+joins are on aggregate relations orders of magnitude smaller than the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .events import EVENTS_HOPPING_ORACLE, EVENTS_TUMBLING_ORACLE
+from .events import events_hopping, events_tumbling
+from .registry import register
+
+STREAM_PARITY_ORACLE = f"""
+WITH tb AS ({EVENTS_TUMBLING_ORACLE}),
+hp AS ({EVENTS_HOPPING_ORACLE})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS n_tumbling_windows,
+       CAST(0 AS BIGINT) AS tumbling_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM hp) AS n_hopping_windows,
+       CAST(0 AS BIGINT) AS hopping_mismatch,
+       (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents)
+         AS n_dedup_emits,
+       CAST(0 AS BIGINT) AS dedup_mismatch
+"""
+
+
+def _window_mismatch(stream_df: DataFrame, batch_df: DataFrame) -> DataFrame:
+    """1-row count of (w_start, event_type) groups where the streaming twin
+    and the batch query disagree on existence or on the exact event count."""
+    s = stream_df.select(
+        "w_start", "event_type", F.col("n_events").alias("s_n")
+    )
+    b = batch_df.select(
+        "w_start", "event_type", F.col("n_events").alias("b_n")
+    )
+    return (
+        s.join(b, ["w_start", "event_type"], "full_outer")
+        .filter(
+            F.col("s_n").isNull()
+            | F.col("b_n").isNull()
+            | (F.col("s_n") != F.col("b_n"))
+        )
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+
+
+@register("stream_parity_report", STREAM_PARITY_ORACLE, tags=("streaming",))
+def stream_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run three streaming twins to completion and grade them against
+    their batch semantics in one hash-checked row (see module docstring)."""
+    # Imported lazily: the streaming package needs no registry and the
+    # registry needs no streaming machinery until this query actually runs.
+    from ..streaming import run_to_memory
+    from ..streaming.dedup_stream import dedup_stream
+    from ..streaming.events_stream import hopping_stream, tumbling_stream
+
+    def fresh(name: str) -> str:
+        spark.catalog.dropTempView(name)  # re-runs in one session
+        return name
+
+    tw = run_to_memory(tumbling_stream(spark, sf_dir), fresh("spr_tumbling"))
+    hw = run_to_memory(hopping_stream(spark, sf_dir), fresh("spr_hopping"))
+    dw = run_to_memory(dedup_stream(spark, sf_dir), fresh("spr_dedup"))
+
+    n_tumb = tw.agg(F.count("*").cast("long").alias("n_tumbling_windows"))
+    m_tumb = _window_mismatch(tw, events_tumbling(spark, sf_dir)).select(
+        F.col("m").alias("tumbling_mismatch")
+    )
+    n_hop = hw.agg(F.count("*").cast("long").alias("n_hopping_windows"))
+    m_hop = _window_mismatch(hw, events_hopping(spark, sf_dir)).select(
+        F.col("m").alias("hopping_mismatch")
+    )
+
+    n_dedup = dw.agg(F.count("*").cast("long").alias("n_dedup_emits"))
+    emits = dw.groupBy("content_hash").agg(F.count("*").alias("s_n"))
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    m_dedup = (
+        emits.join(corpus, "content_hash", "full_outer")
+        .filter(
+            F.col("s_n").isNull() | F.col("b").isNull() | (F.col("s_n") != 1)
+        )
+        .agg(F.count("*").cast("long").alias("dedup_mismatch"))
+    )
+
+    return (
+        n_tumb.crossJoin(F.broadcast(m_tumb))
+        .crossJoin(F.broadcast(n_hop))
+        .crossJoin(F.broadcast(m_hop))
+        .crossJoin(F.broadcast(n_dedup))
+        .crossJoin(F.broadcast(m_dedup))
+    )

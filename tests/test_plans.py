@@ -825,6 +825,7 @@ EXCHANGE_BUDGET = {
     "split_assign": 1,
     "stats_moments": 1,
     "stratified_sample": 1,
+    "stream_parity_report": 14,
     "substring_dedup": 2,
     "substring_dedup_apply": 2,
     "supplier_classes": 3,
@@ -914,6 +915,7 @@ BROADCAST_BUDGET = {
     "semantic_prune": 3,
     "shipping_priority": 1,
     "similarity_topk": 1,
+    "stream_parity_report": 5,
     "supplier_classes": 2,
     "supplier_revenue": 2,
     "table_checks": 1,

@@ -87,3 +87,63 @@ def test_dau_stream_equals_batch_distinct_count(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_parity_report_all_green(spark):
+    """The driver-facing parity gate (VERDICT r7 item 3): on a bounded
+    in-window corpus every twin must agree exactly with its batch query —
+    zero mismatches and the pinned cardinalities."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    row = REGISTRY["stream_parity_report"].fn(spark, SF0001).collect()[0]
+    assert row.tumbling_mismatch == 0
+    assert row.hopping_mismatch == 0
+    assert row.dedup_mismatch == 0
+    assert (
+        row.n_tumbling_windows
+        == REGISTRY["events_tumbling"].fn(spark, SF0001).count()
+    )
+    assert (
+        row.n_hopping_windows
+        == REGISTRY["events_hopping"].fn(spark, SF0001).count()
+    )
+    n_hashes = (
+        load_table(spark, SF0001, "documents")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert row.n_dedup_emits == n_hashes > 0
+
+
+def test_stream_parity_mismatch_detects_drift(spark):
+    """Negative control: the comparison the report runs must actually go
+    nonzero when a twin drifts — a dropped window, an extra window, and a
+    wrong count are each detected."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.events import events_tumbling
+    from simpletons_map_reduce_spark.queries.stream_parity import (
+        _window_mismatch,
+    )
+
+    batch = events_tumbling(spark, SF0001)
+    ok = batch.select("w_start", "event_type", "n_events")
+    assert _window_mismatch(ok, batch).collect()[0].m == 0
+    dropped = ok.limit(ok.count() - 1)
+    assert _window_mismatch(dropped, batch).collect()[0].m == 1
+    extra = ok.union(
+        spark.createDataFrame(
+            [(1, "zz_not_a_type", 1)],
+            "w_start BIGINT, event_type STRING, n_events BIGINT",
+        )
+    )
+    assert _window_mismatch(extra, batch).collect()[0].m == 1
+    wrong = ok.withColumn(
+        "n_events",
+        F.when(F.col("n_events") == ok.agg(F.max("n_events")).collect()[0][0],
+               F.col("n_events") + 1).otherwise(F.col("n_events")),
+    )
+    assert _window_mismatch(wrong, batch).collect()[0].m >= 1
