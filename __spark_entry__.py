@@ -49,6 +49,8 @@ _PRIORITY = [
     # round-6 ops, never windowed
     "bpe_merges", "bpe_encode", "mixture_weights", "mixture_apply",
     "knn_classify", "perplexity_buckets", "hll_rollup",
+    # round-8 ANN vote path (rows-only)
+    "knn_classify_ann",
     # LM / text / pipeline tails never windowed
     "span_dedup", "char_entropy", "simhash_pairs", "pipeline_funnel_fused",
     "sample_hash", "doc_chunks", "corpus_balance", "frame_sample",

