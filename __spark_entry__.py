@@ -53,6 +53,7 @@ _PRIORITY = [
     "knn_classify_ann",
     # LM / text / pipeline tails never windowed
     "span_dedup", "char_entropy", "simhash_pairs", "pipeline_funnel_fused",
+    "contamination_13gram",
     "sample_hash", "doc_chunks", "corpus_balance", "frame_sample",
     # TPC-H-shaped decision battery (decision.py)
     "exists_orders", "scalar_avg_filter", "big_orders", "priority_pivot",
@@ -62,10 +63,11 @@ _PRIORITY = [
     # TPC-H-shaped trade battery (trade.py)
     "volume_shipping", "market_share", "returned_items", "top_value_parts",
     "customer_distribution", "top_supplier", "product_profit",
-    # behavior / events / graph tails
+    # behavior / events / graph tails (event_pivot rotates into round 9's
+    # window with the profiling battery — exactly 50 entries here)
     "basket_pairs", "funnel_analysis", "cohort_retention", "cumulative_users",
     "user_trend", "event_transitions", "nation_pagerank", "triangle_count",
-    "props_extract", "event_pivot",
+    "props_extract",
 ]
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import SPARK_MD5_INT60, SQL_MD5_INT60
 from ..functions.text import sql_tokens, tokens_lower
 from ..sources.tables import load_table
 from .dedup_ops import EXACT_DEDUP_ORACLE, exact_dedup
@@ -163,6 +164,103 @@ def contaminated_pairs(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination_13gram: the standard decontamination grain, multi-benchmark
+# ---------------------------------------------------------------------------
+
+#: the published decontamination n (GPT-3 appendix C / PaLM / Llama use
+#: 13-token collision as the contamination trigger; one shared 13-gram
+#: flags the pair — no minimum-count threshold).
+CONTAM13_N = 13
+#: benchmark stripe moduli — stand-ins for SEPARATE external eval sets
+#: (MMLU-style, GSM8K-style, ...) so the report is per-benchmark, the way
+#: production decontamination sweeps multiple suites in one corpus pass.
+CONTAM13_STRIPES = (97, 89)
+
+_G13 = SQL_MD5_INT60.format(
+    e=f"list_aggregate(toks[i:i + {CONTAM13_N - 1}], 'string_agg', ' ')"
+)
+
+CONTAMINATION_13GRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - {CONTAM13_N - 2}),
+             i -> {_G13}
+         ))) AS gh
+  FROM t
+),
+bench AS (
+{" UNION ALL ".join(
+    f'''  SELECT {m} AS stripe, doc_id AS bench_id, gh FROM g
+  WHERE doc_id % {m} = 0'''
+    for m in CONTAM13_STRIPES
+)}
+)
+SELECT g.doc_id, CAST(stripe AS BIGINT) AS stripe, bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN bench USING (gh)
+WHERE g.doc_id <> bench_id
+GROUP BY g.doc_id, stripe, bench_id
+"""
+
+
+@register("contamination_13gram", CONTAMINATION_13GRAM_ORACLE, tags=("pipeline",))
+def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the PUBLISHED grain: 13-token-gram collision
+    against multiple benchmark suites (VERDICT r6 item 7 / r7 item 7).
+
+    ``contamination_check``'s trigram-×-≥2 grain is the cheap screen;
+    the standard practice (GPT-3 appendix C, and PaLM/Llama after it)
+    flags a training doc when it shares even ONE 13-token n-gram with an
+    eval example.  This op runs that exact rule against every benchmark
+    stripe in one corpus pass and reports (doc_id, stripe, bench_id,
+    n_shared) per contaminated pair — per-benchmark, so a doc hitting
+    two suites yields two rows and the drop list can be per-suite.
+
+    Scale shape, reusing the repo's gram-hash machinery: each 13-gram is
+    reduced MAP-SIDE to a distinct int64 MD5 hash (SPARK/SQL_MD5_INT60 —
+    the same cross-engine macro substring_dedup joins on), so ~75-byte
+    gram strings never ride the shuffle; 24-byte (doc, hash) pairs do.
+    The benchmark side is the same bounded-eval-set contract as
+    contamination_check (each stripe stands in for an external suite;
+    no broadcast hint — AQE broadcasts the genuinely-small build side at
+    runtime).  The hashed gram space IS the declared semantics, as in
+    ngram_jaccard (a 2^-60 collision flags one extra pair identically on
+    both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    gram_hash = SPARK_MD5_INT60.format(
+        e=f"concat_ws(' ', slice(toks, i, {CONTAM13_N}))"
+    )
+    grams_expr = F.when(
+        F.size("toks") >= CONTAM13_N,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {CONTAM13_N - 1}),"
+                f" i -> {gram_hash})"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    grams = t.select("doc_id", F.explode(grams_expr).alias("gh"))
+    bench = None
+    for m in CONTAM13_STRIPES:
+        stripe = grams.filter(F.col("doc_id") % m == 0).select(
+            F.lit(m).cast("long").alias("stripe"),
+            F.col("doc_id").alias("bench_id"),
+            "gh",
+        )
+        bench = stripe if bench is None else bench.unionAll(stripe)
+    return (
+        grams.join(bench, "gh")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "stripe", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 

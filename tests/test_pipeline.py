@@ -45,3 +45,61 @@ def test_funnel_fused_equals_composed(spark):
     )
     release_persisted()
     assert fused == composed
+
+
+def test_contamination_13gram_planted_collisions(spark, tmp_path):
+    """Planted pins for the published decontamination grain: a single
+    shared 13-token run flags the (doc, bench, stripe) pair; a 12-token
+    run does NOT; a doc hitting benchmarks in BOTH stripes yields one row
+    per stripe; the shared-gram count is exact."""
+    import random
+
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.queries.pipeline import (
+        CONTAM13_N,
+        CONTAM13_STRIPES,
+    )
+
+    rng = random.Random(13)
+
+    def words(prefix, n):
+        return [f"{prefix}{rng.randrange(10**9)}" for _ in range(n)]
+
+    run13 = [f"hit{i}" for i in range(CONTAM13_N)]
+    run12 = [f"miss{i}" for i in range(CONTAM13_N - 1)]
+    m1, m2 = CONTAM13_STRIPES  # 97, 89
+    both = m1 * m2  # bench doc in BOTH stripes
+    docs = {
+        # benchmark docs (multiples of the stripe moduli)
+        m1: words("b", 5) + run13 + words("b", 5),
+        m2: words("c", 5) + run12 + words("c", 5),
+        both: words("d", 4) + run13 + words("d", 4),
+        # corpus docs
+        5: words("x", 3) + run13 + words("x", 7),   # hits m1 AND both
+        7: words("y", 6) + run12 + words("y", 6),   # 12-run: never flagged
+        11: words("z", 20),                          # clean
+    }
+    t = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id BIGINT, text STRING",
+    )
+    t.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_id, r.stripe, r.bench_id): r.n_shared
+        for r in REGISTRY["contamination_13gram"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # doc 5 shares exactly one 13-gram with each benchmark carrying run13;
+    # bench docs also contaminate EACH OTHER through the same run (both is
+    # in stripe m1's bench set and m1's doc appears as a corpus doc, and
+    # 'both' sits in both stripes).
+    want = {
+        (5, m1, m1): 1,
+        (5, m1, both): 1,
+        (5, m2, both): 1,
+        (m1, m1, both): 1,
+        (m1, m2, both): 1,
+        (both, m1, m1): 1,
+    }
+    assert got == want

@@ -726,6 +726,7 @@ EXCHANGE_BUDGET = {
     "click_attribution": 0,
     "cms_heavy_hitters": 2,
     "cohort_retention": 2,
+    "contamination_13gram": 1,
     "contamination_check": 1,
     "corpus_balance": 3,
     "corpus_filter": 4,
