@@ -47,7 +47,9 @@ from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 
 #: Headline set: one per operator family (scan, agg, star join, window,
 #: sessionization, dedup exact/near/set-similarity, temporal joins, text,
-#: tf-idf, similarity).
+#: tf-idf, similarity; round 8 adds the rounds-5/7 families — tokenizer,
+#: mixture sampling, layout, substring dedup — so their regressions are
+#: visible round-over-round, VERDICT r6 item 6 / r7 item 6).
 HEADLINE = [
     "wordcount",
     "pricing_summary",
@@ -62,6 +64,10 @@ HEADLINE = [
     "tfidf_topterms",
     "similarity_topk",
     "token_count",
+    "bpe_encode",
+    "mixture_apply",
+    "zorder_layout",
+    "substring_dedup",
 ]
 
 
@@ -92,11 +98,25 @@ def _sf1_dir(spark) -> str | None:
     return str(out_dir)
 
 
+def _round_no() -> int:
+    """Current build round, inferred as max committed BENCH_r{N}.json + 1
+    (the driver writes BENCH_r{N}.json AFTER this bench runs)."""
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("BENCH_r*.json")
+        for m in [re.fullmatch(r"BENCH_r(\d+)\.json", p.name)]
+        if m
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
     sf_match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else None
+    load_start = os.getloadavg()
 
     # warm-up: session + codegen + parquet footer caches, AND the Python
     # worker pool — the first mapInPandas in a fresh local[32] session
@@ -132,6 +152,19 @@ def main() -> None:
     timings = run_set(spark, names, sf_dir)
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     full_total = round(sum(timings.values()), 3)
+    # Committed on-disk record of the full per-query detail (VERDICT r7
+    # item 6b: the stdout queries_detail line is truncated out of the
+    # driver's bounded tail, so official per-query timings existed for only
+    # the headline subset).  loadavg bounds make environmental inflation
+    # self-diagnosing (r7's 2.2× "regression" was box contention).
+    detail_record: dict = {
+        "sf": sf,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "queries": timings,
+    }
+    detail_path = Path(__file__).resolve().parent / (
+        f"BENCH_r{_round_no():02d}_detail.json"
+    )
     # Per-query detail FIRST (may exceed the driver's stdout-tail window —
     # that's fine, it is diagnostic); the short headline line goes LAST.
     print(
@@ -176,6 +209,7 @@ def main() -> None:
                 flush=True,
             )
             result["sf1_value"] = round(sum(t1.values()), 3)
+            detail_record["sf1_queries"] = t1
     # Second-to-last: the HEADLINE subset's per-query times as a compact
     # (~400 B) line — the round-over-round comparison evidence — close
     # enough to the end to survive a bounded stdout tail even when the
@@ -191,6 +225,12 @@ def main() -> None:
         flush=True,
     )
     # The LAST line: short, scalar-only, truncation-proof (~140 bytes).
+    detail_record["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    result["load"] = detail_record["loadavg_end"][0]
+    try:
+        detail_path.write_text(json.dumps(detail_record, indent=1) + "\n")
+    except OSError as e:  # pragma: no cover — never fail the bench line
+        print(f"detail file write failed: {e!r}", file=sys.stderr)
     print(json.dumps(result), flush=True)
     spark.stop()
 
