@@ -75,10 +75,28 @@ def _strides(spark: SparkSession, src: str) -> dict[tuple[str, str], int]:
     return out
 
 
-def _scaled(df: DataFrame, table: str, copies: int, strides) -> DataFrame:
+#: tokens of per-(original, block) salt appended when --dup-group caps
+#: near-dup groups.  55 > max-doc-tokens/2 (fixture max is 100 tokens), so
+#: for ANY two docs that do not share a salt the 3-token-shingle Jaccard is
+#: ≤ T/(T + 2·55) < 1/2 = near_dedup's threshold — replicas in different
+#: blocks (or of different originals) can never pair, and a group is
+#: EXACTLY the ≤ dup_group replicas of one original in one block.
+SALT_TOKENS = 55
+
+
+def _scaled(
+    df: DataFrame,
+    table: str,
+    copies: int,
+    strides,
+    dup_group: int | None = None,
+    jitter: float = 0.0,
+) -> DataFrame:
     out = df.withColumn(
         "__k", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
     )
+    if table == "documents":
+        out = out.withColumn("__orig", F.col("doc_id"))
     for col, st, sk in KEYED[table]:
         out = out.withColumn(
             col, (F.col(col) + F.col("__k").cast("long") * strides[(st, sk)])
@@ -88,16 +106,92 @@ def _scaled(df: DataFrame, table: str, copies: int, strides) -> DataFrame:
         out = out.withColumn(
             "text", F.concat(F.col("text"), F.lit(" zz"), F.col("__k"))
         )
+        if dup_group and dup_group < copies:
+            # Block-capped near-dup groups: without this, every original's
+            # copies-1 replicas form ONE group and the true pair count grows
+            # quadratically in copies (fine at sf10's 100-doc groups,
+            # ruinous at sf100's 1000).  Salt is shared within a
+            # (original, block) group and disjoint across groups, so pair
+            # mass stays linear in the corpus: copies/dup_group groups per
+            # original of dup_group·(dup_group-1)/2 pairs each.
+            # The corpus tokenizer is LETTERS-ONLY (Go unicode.IsLetter
+            # parity) — digits are separators — so salt tokens must be
+            # pure letters or every block's salt collapses to "s"/"x"/"w".
+            def letters(c):
+                return F.translate(
+                    c.cast("string"), "0123456789", "abcdefghij"
+                )
+
+            blk = (F.col("__k") / dup_group).cast("long")
+            salt = F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(SALT_TOKENS)),
+                    lambda j: F.concat(
+                        F.lit("s"),
+                        letters(F.col("__orig")),
+                        F.lit("x"),
+                        letters(blk),
+                        F.lit("w"),
+                        letters(j),
+                    ),
+                ),
+            )
+            out = out.withColumn("text", F.concat_ws(" ", "text", salt))
+        out = out.drop("__orig")
+    if table == "embeddings" and jitter > 0.0:
+        # Deterministic per-(replica, dim) perturbation so the scaled corpus
+        # is distinct points rather than copies stacks of the base vectors
+        # (20M exact copies make every distance tie and every IVF cell a
+        # degenerate stack — a weaker ANN stress than real data).  Copy 0
+        # stays EXACTLY the base vectors, so the query set (vec_id <
+        # N_QUERIES, copy 0 only) and its planted structure are preserved;
+        # cosine(original, jittered replica) ≈ 1 − 64·j²/6 ≈ 0.996 at
+        # j = 0.02 on unit vectors, so neighborhoods survive.
+        jittered = F.transform(
+            "embedding",
+            lambda x, i: x
+            + (
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), i, F.lit(42)),
+                        F.lit(10001),
+                    ).cast("double")
+                    / 5000.0
+                    - 1.0
+                )
+                * jitter
+            ).cast("float"),
+        )
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(jittered),
+        )
     return out.drop("__k")
 
 
 def build(
-    spark: SparkSession, src: str, copies: int, out_dir: str, quiet: bool = False
+    spark: SparkSession,
+    src: str,
+    copies: int,
+    out_dir: str,
+    quiet: bool = False,
+    tables: list[str] | None = None,
+    dup_group: int | None = None,
+    jitter: float = 0.0,
+    copies_by_table: dict[str, int] | None = None,
 ) -> None:
     """Write the scaled fixture set under ``out_dir`` (importable entry —
-    bench.py builds .benchdata/sf1 on first use through this)."""
+    bench.py builds .benchdata/sf1 on first use through this).
+
+    ``tables`` restricts the build (e.g. ["documents", "embeddings"] for
+    the sf100 dedup/ANN sweep — scaling all of TPC-H 1000× would burn
+    ~100 GB nobody reads); ``copies_by_table`` overrides ``copies`` per
+    table (sf100: documents ×1000, embeddings ×10000)."""
     strides = _strides(spark, src)
     for table in UNSCALED:
+        if tables is not None and table not in tables:
+            continue
         df = spark.read.parquet(f"{src}/{table}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/{table}.parquet"
@@ -105,14 +199,18 @@ def build(
         if not quiet:
             print(f"{table}: copied unscaled")
     for table in KEYED:
+        if tables is not None and table not in tables:
+            continue
         t0 = time.time()
+        n_copies = (copies_by_table or {}).get(table, copies)
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        scaled = _scaled(df, table, copies, strides)
-        scaled.repartition(OUT_FILES.get(table, 4)).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{table}.parquet")
+        scaled = _scaled(df, table, n_copies, strides, dup_group, jitter)
+        n_files = max(OUT_FILES.get(table, 4), n_copies // 250)
+        scaled.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
         if not quiet:
-            print(f"{table}: x{copies} in {time.time() - t0:.1f}s")
+            print(f"{table}: x{n_copies} in {time.time() - t0:.1f}s")
     if not quiet:
         print(f"wrote {out_dir}")
 
@@ -122,6 +220,28 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default=None, help="default .benchdata/sf<sf>")
+    ap.add_argument(
+        "--tables", nargs="*", default=None, help="restrict to these tables"
+    )
+    ap.add_argument(
+        "--dup-group",
+        type=int,
+        default=None,
+        help="cap near-dup group size via per-(original, block) salt",
+    )
+    ap.add_argument(
+        "--jitter",
+        type=float,
+        default=0.0,
+        help="deterministic per-dim perturbation of replica embeddings",
+    )
+    ap.add_argument(
+        "--copies-table",
+        nargs="*",
+        default=None,
+        metavar="TABLE=N",
+        help="per-table copies override, e.g. embeddings=10000",
+    )
     args = ap.parse_args()
     sf = 0.1 * args.copies
     out_dir = args.out or str(
@@ -129,9 +249,23 @@ def main() -> None:
         / ".benchdata"
         / f"sf{sf:g}"
     )
+    copies_by_table = None
+    if args.copies_table:
+        copies_by_table = {
+            kv.split("=")[0]: int(kv.split("=")[1]) for kv in args.copies_table
+        }
 
     spark = get_session("make-bigdata")
-    build(spark, args.src, args.copies, out_dir)
+    build(
+        spark,
+        args.src,
+        args.copies,
+        out_dir,
+        tables=args.tables,
+        dup_group=args.dup_group,
+        jitter=args.jitter,
+        copies_by_table=copies_by_table,
+    )
     spark.stop()
 
 
