@@ -92,7 +92,11 @@ def _scaled(
     dup_group: int | None = None,
     jitter: float = 0.0,
 ) -> DataFrame:
-    out = df.withColumn(
+    # The source table is typically ONE parquet file → one input partition;
+    # without this the ×copies explode (and the per-row salt/jitter work)
+    # runs as a single task (measured: sf100 documents stuck >6 min on one
+    # core).  Spread the BASE rows first so the explode parallelizes.
+    out = df.repartition(32).withColumn(
         "__k", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
     )
     if table == "documents":
