@@ -19,7 +19,10 @@ pairs-proportional work (wall ∝ emitted pairs), not wall ∝ rows.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
+import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -58,10 +61,29 @@ def main() -> None:
 
     out = {}
     for name in args.ops:
+        free_gb = round(shutil.disk_usage("/tmp").free / 2**30, 1)
         t0 = time.time()
-        n = REGISTRY[name].fn(spark, args.sf_dir).count()
-        out[name] = {"wall_s": round(time.time() - t0, 1), "rows": n}
+        try:
+            n = REGISTRY[name].fn(spark, args.sf_dir).count()
+            out[name] = {"wall_s": round(time.time() - t0, 1), "rows": n}
+        except Exception as exc:  # keep sweeping: one op's blowup is a
+            # finding to record, not a reason to lose the rest of the sweep
+            out[name] = {
+                "wall_s": round(time.time() - t0, 1),
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }
+        out[name]["free_gb_before"] = free_gb
+        out[name]["load1"] = round(os.getloadavg()[0], 1)
         release_persisted()
+        # One long-lived JVM over ~20 shuffle-heavy ops accumulates shuffle
+        # files: ContextCleaner only removes a ShuffleDependency's files once
+        # the driver GCs its reference, and the periodic fallback GC fires
+        # every 30 min by default — at this fixture scale the blockmgr dir
+        # grew past 60 GB and two ops died on ENOSPC before the cleaner ever
+        # ran.  Drop Python-side refs, then force a driver JVM GC so the
+        # cleaner reclaims each op's shuffle before the next op starts.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
     print(json.dumps({"sf_dir": args.sf_dir, "ops": out}))
 
