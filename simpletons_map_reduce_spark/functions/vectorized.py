@@ -37,6 +37,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -548,3 +549,77 @@ def np_block_pairs(assigned: DataFrame, min_cos: float) -> DataFrame:
     return assigned.select("cluster", "vec_id", "v", "nv").groupBy(
         "cluster"
     ).applyInPandas(score, "vec_a long, vec_b long, cos_sim double")
+
+
+def np_bucket_verify(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact (inter, uni) per candidate pair, computed INSIDE the LSH
+    bucket the pair was assigned to — the gram-set analogue of
+    ``np_block_pairs``' fix for the verify-join shuffle blowup.
+
+    The join shape (cand ⋈ sets on doc_a, then ⋈ sets on doc_b) ships a
+    ~1.2 KB incompressible gram-hash array PER PAIR into the first join,
+    then re-shuffles (pair + set_a) by doc_b for the second — O(pairs ×
+    |set|) bytes on the wire twice (measured at the sf100 fixture: ~57 GB
+    per join leg; the op died on ENOSPC).  No pure-join formulation
+    avoids carrying set_a through the second shuffle.  Cogrouping does:
+    ``pairs`` and ``sets`` both arrive hash-partitioned by (band,
+    band_key) — each doc's set shipped ONCE per bucket that needs it,
+    never per pair — and the per-pair expansion happens in memory inside
+    the Arrow group, where sets are dict lookups.  Group width is bounded
+    by the LSH bucket cap (≤ cap docs, ≤ cap·(cap−1)/2 pairs), so kernel
+    memory is O(cap · |set|) regardless of corpus size.
+
+    ``pairs``: (doc_a, doc_b, band, band_key) — every pair's two docs are
+    members of that exact bucket (they collided there), so the delivered
+    ``sets`` group always covers them; a miss is an upstream bug and
+    raises (KeyError) rather than silently dropping a pair.
+    ``sets``: (doc_id, band, band_key, shset) with distinct shset
+    elements (``array_distinct`` upstream — the assume_unique contract).
+    Returns (doc_a, doc_b, inter, uni) with uni = |a| + |b| − inter;
+    thresholding and jaccard arithmetic stay in JVM expressions so the
+    oracle comparison is bit-identical to the join formulation.
+    """
+    import pandas as pd  # local import: executors re-import per worker
+
+    def kernel(pair_pdf: "pd.DataFrame", set_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pair_pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "inter": pd.Series(dtype="int64"),
+                 "uni": pd.Series(dtype="int64")}
+            )
+        lut = {
+            int(d): np.asarray(s, dtype=np.int64)
+            for d, s in zip(
+                set_pdf["doc_id"].to_numpy(), set_pdf["shset"].to_numpy()
+            )
+        }
+        a = pair_pdf["doc_a"].to_numpy()
+        b = pair_pdf["doc_b"].to_numpy()
+        inter = np.empty(n, dtype=np.int64)
+        uni = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            sa, sb = lut[int(a[i])], lut[int(b[i])]
+            m = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[i] = m
+            uni[i] = sa.size + sb.size - m
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "inter": inter, "uni": uni})
+
+    # both inputs typically descend from the same assigned-pairs relation;
+    # re-aliasing every column mints fresh expression ids per side so the
+    # CoGroup plan's children don't share attributes (the analyzer's
+    # ambiguous-self-join check rejects that, and unlike Dataset.join,
+    # flatMapCoGroupsInPandas does not auto-deduplicate)
+    pairs = pairs.select(
+        *(F.col(c).alias(c) for c in ("doc_a", "doc_b", "band", "band_key"))
+    )
+    sets = sets.select(
+        *(F.col(c).alias(c) for c in ("doc_id", "band", "band_key", "shset"))
+    )
+    return (
+        pairs.groupBy("band", "band_key")
+        .cogroup(sets.groupBy("band", "band_key"))
+        .applyInPandas(kernel, "doc_a long, doc_b long, inter long, uni long")
+    )

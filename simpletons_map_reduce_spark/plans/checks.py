@@ -58,18 +58,35 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (broadcast exchanges excluded).
+    """Number of DISTINCT shuffle exchanges in the plan (broadcast
+    exchanges excluded).
 
     Uses "simple" mode: formatted mode puts Exchange arguments on separate
     lines, which would hide the partitioning kind from one regex.
+
+    Distinct by plan_id: a persisted relation's cached-build plan is
+    re-printed at EVERY InMemoryRelation reference, so raw line counting
+    charges one executed shuffle as many times as the relation is consumed
+    (near_dedup's round-8 plan printed 32 Exchange lines for ~12 executed
+    shuffles).  The same plan object keeps the same plan_id across
+    appearances, so distinct ids = shuffles that actually run.  Lines
+    without a plan_id (older Spark string forms) fall back to being
+    counted individually.
     """
     plan = physical_plan(df, mode="simple")
-    return len(
-        re.findall(
-            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-            plan,
-        )
-    )
+    ids: set[str] = set()
+    extra = 0
+    for m in re.finditer(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+        r"[^\n]*",
+        plan,
+    ):
+        pid = re.search(r"\[plan_id=(\d+)\]", m.group(0))
+        if pid:
+            ids.add(pid.group(1))
+        else:
+            extra += 1
+    return len(ids) + extra
 
 
 def count_broadcast_hints(df: DataFrame) -> int:

@@ -37,7 +37,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import sql_rn
 from ..functions.text import sql_tokens, tokens
-from ..functions.vectorized import np_minhash_bands
+from ..functions.vectorized import np_bucket_verify, np_minhash_bands
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -236,30 +236,98 @@ def near_dedup_pairs(
     on boilerplate-heavy corpora; singleton buckets are dropped too (they
     cannot produce a pair).  The threshold compare is integer
     (inter*2 >= uni) so no float boundary can disagree with the oracle.
+
+    Verification (round 8) is BUCKET-LOCAL, not a per-pair join: each
+    distinct candidate pair is assigned to ONE bucket (its minimum
+    colliding band), shingle sets are delivered once per (doc, needed
+    bucket), and ``np_bucket_verify`` cogroups pairs with sets so the
+    per-pair set expansion happens in executor memory, never on the wire.
+    The sf100 sweep caught the old join shape shipping each ~1.2 KB
+    incompressible gram-hash set once per pair through TWO shuffles
+    (O(pair-mass × |set|) ≈ 115 GB at 5M docs / 47.5M true pairs —
+    ENOSPC); the bucket-local shape ships each set at most min(num_bands,
+    pair-degree) times and O(1) times on clustered corpora.
     """
     shs = _shingle_sets(docs)
-    cand = _lsh_candidates(shs, bucket_cap)
-    sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
-    sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
-            F.size(F.array_union("set_a", "set_b")).alias("uni"),
-        )
+    kept = _lsh_kept(shs, bucket_cap)
+    assigned = _assign_to_bucket(_band_collisions(kept), kept, "doc_a", "doc_b")
+    return _bucket_verified(assigned, shs, "doc_a", "doc_b")
+
+
+def _band_collisions(kept: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, band) bucket-collision rows, pre-distinct — the raw
+    LSH self-join output with the band retained for bucket assignment."""
+    left = kept.alias("x")
+    right = kept.alias("y")
+    return left.join(
+        right,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.band").alias("band"),
+    )
+
+
+def _assign_to_bucket(
+    collisions: DataFrame, kept: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Deduplicate collision rows to one row per pair, assigned to the
+    pair's MINIMUM colliding band, and recover that bucket's band_key from
+    ``kept`` (cheaper than carrying the ~40-byte key through the pair
+    dedup exchange: the key rides (docs × bands) rows instead of
+    (collisions) rows)."""
+    pairs = collisions.groupBy(a, b).agg(F.min("band").alias("band")).alias("p")
+    # both sides descend from `kept` — explicit aliases keep the analyzer
+    # from seeing band/band_key as ambiguous self-join columns
+    keys = kept.select(F.col("doc_id").alias(a), "band", "band_key").alias("k")
+    return pairs.join(
+        keys,
+        (F.col(f"p.{a}") == F.col(f"k.{a}")) & (F.col("p.band") == F.col("k.band")),
+    ).select(
+        F.col(f"p.{a}").alias(a),
+        F.col(f"p.{b}").alias(b),
+        F.col("p.band").alias("band"),
+        F.col("k.band_key").alias("band_key"),
+    )
+
+
+def _bucket_verified(
+    assigned: DataFrame, shs: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Exact-verify assigned pairs inside their buckets and apply the
+    integer Jaccard threshold.  Set delivery: each doc's shingle set is
+    joined to the distinct (doc, bucket) relation the assigned pairs
+    reference — sets ship once per needed bucket, never per pair."""
+    # three consumers (cogroup pairs side + both union legs of the set-
+    # delivery relation) — persist or the self-join + pair-dedup exchange
+    # run three times.  DISK_ONLY: pair-mass-sized, same rationale as the
+    # exploded gram relations (dedup_ops._shingle_sets).
+    assigned = tracked_persist(assigned, level=StorageLevel.DISK_ONLY)
+    need = (
+        assigned.select(F.col(a).alias("doc_id"), "band", "band_key")
+        .union(assigned.select(F.col(b).alias("doc_id"), "band", "band_key"))
+        .distinct()
+    )
+    sets = need.join(shs.select("doc_id", "shset"), "doc_id")
+    iv = np_bucket_verify(
+        assigned.select(
+            F.col(a).alias("doc_a"), F.col(b).alias("doc_b"), "band", "band_key"
+        ),
+        sets,
     )
     from ..functions.rounding import rn
 
     return (
-        verified.filter(
-            F.col("inter") * JACCARD_THRESHOLD_DEN >= F.col("uni") * JACCARD_THRESHOLD_NUM
+        iv.filter(
+            F.col("inter") * JACCARD_THRESHOLD_DEN
+            >= F.col("uni") * JACCARD_THRESHOLD_NUM
         )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias(a),
+            F.col("doc_b").alias(b),
             rn(F.col("inter") * F.lit(1.0) / F.col("uni"), 4).alias("jaccard"),
         )
     )
@@ -319,50 +387,27 @@ def dedup_incremental_pairs(
     docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:
     """Asymmetric new-vs-corpus pairs over any (doc_id, text) relation
-    (exposed so tests can plant corpora and fuzz the bucket cap)."""
+    (exposed so tests can plant corpora and fuzz the bucket cap).
+
+    Verification is bucket-local via the same min-band assignment +
+    cogrouped kernel as ``near_dedup_pairs`` (see ``np_bucket_verify``):
+    the probe's pair mass is O(|new| × bucket), and each matched doc's
+    shingle set ships once per needed bucket instead of once per pair."""
     shs = _shingle_sets(docs)
     kept = _lsh_kept(shs, bucket_cap)
     new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
     corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
-    cand = (
-        new.join(
-            corp,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key")),
-        )
-        .select(
-            F.col("x.doc_id").alias("new_doc"),
-            F.col("y.doc_id").alias("corpus_doc"),
-        )
-        .distinct()
+    collisions = new.join(
+        corp,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key")),
+    ).select(
+        F.col("x.doc_id").alias("new_doc"),
+        F.col("y.doc_id").alias("corpus_doc"),
+        F.col("x.band").alias("band"),
     )
-    sa = shs.select(F.col("doc_id").alias("new_doc"), F.col("shset").alias("set_a"))
-    sb = shs.select(
-        F.col("doc_id").alias("corpus_doc"), F.col("shset").alias("set_b")
-    )
-    from ..functions.rounding import rn
-
-    verified = (
-        cand.join(sa, "new_doc")
-        .join(sb, "corpus_doc")
-        .select(
-            "new_doc",
-            "corpus_doc",
-            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
-            F.size(F.array_union("set_a", "set_b")).alias("uni"),
-        )
-    )
-    return (
-        verified.filter(
-            F.col("inter") * JACCARD_THRESHOLD_DEN
-            >= F.col("uni") * JACCARD_THRESHOLD_NUM
-        )
-        .select(
-            "new_doc",
-            "corpus_doc",
-            rn(F.col("inter") * F.lit(1.0) / F.col("uni"), 4).alias("jaccard"),
-        )
-    )
+    assigned = _assign_to_bucket(collisions, kept, "new_doc", "corpus_doc")
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
 
 def near_dedup_candidates(
@@ -431,17 +476,9 @@ def shingle_projection(docs: DataFrame) -> DataFrame:
 
 def _lsh_candidates(shs: DataFrame, bucket_cap: int) -> DataFrame:
     """Distinct candidate pairs from the capped LSH bucket self-join."""
-    kept = _lsh_kept(shs, bucket_cap)
-    left = kept.alias("x")
-    right = kept.alias("y")
     return (
-        left.join(
-            right,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        _band_collisions(_lsh_kept(shs, bucket_cap))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 

@@ -717,7 +717,7 @@ EXCHANGE_BUDGET = {
     "big_orders": 1,
     "binary_meta": 0,
     "bloom_probe": 3,
-    "bm25_search": 6,
+    "bm25_search": 4,
     "bpe_encode": 2,
     "bpe_merges": 0,
     "broadcast_join": 0,
@@ -736,7 +736,7 @@ EXCHANGE_BUDGET = {
     "customer_distribution": 2,
     "dedup_apply": 3,
     "dedup_clusters": 0,
-    "dedup_incremental": 5,
+    "dedup_incremental": 6,
     "dedup_report": 2,
     "disjunctive_filter": 1,
     "distinct_agg": 2,
@@ -773,7 +773,7 @@ EXCHANGE_BUDGET = {
     "latest_events": 1,
     "leakage_safe_split": 4,
     "market_share": 3,
-    "media_dedup": 2,
+    "media_dedup": 1,
     "media_features": 0,
     "media_resize": 0,
     "merge_upsert": 3,
@@ -783,11 +783,11 @@ EXCHANGE_BUDGET = {
     "moving_revenue": 2,
     "mr_wordcount": 1,
     "nation_pagerank": 16,
-    "near_dedup": 5,
+    "near_dedup": 7,
     "nested_lines": 1,
     "ngram_containment": 5,
     "ngram_counts": 1,
-    "ngram_jaccard": 7,
+    "ngram_jaccard": 4,
     "overstocked_suppliers": 3,
     "pack_sequences": 1,
     "peak_concurrency": 4,
@@ -821,7 +821,7 @@ EXCHANGE_BUDGET = {
     "semi_join": 0,
     "shipping_priority": 1,
     "simhash": 2,
-    "simhash_pairs": 11,
+    "simhash_pairs": 4,
     "similarity_topk": 1,
     "span_dedup": 1,
     "split_assign": 1,
@@ -835,14 +835,14 @@ EXCHANGE_BUDGET = {
     "table_checks": 6,
     "table_profile": 2,
     "text_stats": 0,
-    "tfidf_topterms": 5,
+    "tfidf_topterms": 4,
     "time_rollup": 1,
     "token_count": 0,
     "token_fertility": 1,
     "top_supplier": 2,
-    "top_value_parts": 3,
+    "top_value_parts": 2,
     "topk_orders": 0,
-    "triangle_count": 22,
+    "triangle_count": 14,
     "tz_rollup": 1,
     "unigram_logprob": 4,
     "union_except": 1,
@@ -934,16 +934,14 @@ BROADCAST_BUDGET = {
     "zorder_layout": 1,
 }
 
-#: Deliberately excludes roundrobinpartitioning: the only source of
-#: round-robin exchanges in this codebase is ``spread()``'s local-mode
-#: small-file fan-out (sources/tables.py), which is gated OFF on cluster
-#: masters — it does not exist in the 100 TB plan, so budgeting it here
-#: would pin a test-harness artifact, not a scale property.  Any OTHER
-#: round-robin (a hot-path ``df.repartition(n)`` without keys) would show
-#: up in the per-query plan pins above and in bench wall time.
-_EXCHANGE_RE = re.compile(
-    r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
-)
+# The budget counter (plans/checks.py::count_exchanges) deliberately
+# excludes roundrobinpartitioning: the only source of round-robin exchanges
+# in this codebase is ``spread()``'s local-mode small-file fan-out
+# (sources/tables.py), which is gated OFF on cluster masters — it does not
+# exist in the 100 TB plan, so budgeting it here would pin a test-harness
+# artifact, not a scale property.  Any OTHER round-robin (a hot-path
+# ``df.repartition(n)`` without keys) would show up in the per-query plan
+# pins above and in bench wall time.
 
 
 def test_registry_wide_plan_lint(spark):
@@ -970,7 +968,10 @@ def test_registry_wide_plan_lint(spark):
         hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if hits:
             violations[name] = hits
-        n_exchanges = len(_EXCHANGE_RE.findall(plan))
+        # count_exchanges dedups by plan_id: a persisted relation's cached
+        # build plan re-prints at every InMemoryRelation reference, and raw
+        # line counting would charge one executed shuffle per consumer
+        n_exchanges = count_exchanges(df)
         budget = EXCHANGE_BUDGET.get(name)
         if budget is None:
             unbudgeted.append(name)
