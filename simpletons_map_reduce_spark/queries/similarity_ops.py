@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..caching import free_checkpoint, track, tracked_persist
 from ..functions.rounding import rn, sql_rn
@@ -430,9 +431,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost: two IVF builds + one exact top-k — an observability query run
     per corpus build, not a hot-path operator.  All counts reduce to
     1-row aggregates crossed via broadcast (bounded by construction).
+
+    Both corpus-scale persists here are DISK_ONLY: this op caches the
+    ~550-byte (v, nv) vector relation TWICE (corpus + planted union), and
+    at the sf100 sweep's 20M vectors that is ~22 GB of heap cache — it
+    OOM'd a 24 GB driver (SCALE.md round 8).  Same rule as the exploded
+    gram relations in dedup_ops: heavyweight array rows never go to heap.
     """
     emb = tracked_persist(
-        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+        level=StorageLevel.DISK_ONLY,
     )
     ex = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ap = _ivf_topk(emb).select("query_id", "neighbor_id")
@@ -446,7 +454,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.filter(F.col("vec_id") < N_QUERIES).select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "v", "nv"
     )
-    planted = tracked_persist(emb.union(twins))
+    planted = tracked_persist(
+        emb.union(twins), level=StorageLevel.DISK_ONLY
+    )
     found = (
         _ivf_topk(planted)
         .filter((F.col("rk") == 1) & (F.col("score") == 1.0))
@@ -495,11 +505,34 @@ def embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-duplicate corpus in tests/test_similarity.py — far pairs at
     the 0.35 threshold are where blocking loses pairs, by design.
     """
-    emb = tracked_persist(_emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"))
-    return embedding_dedup_ann_pairs(emb)
+    return embedding_dedup_ann_threshold(spark, sf_dir, DUP_COS_THRESHOLD)
 
 
-def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
+def embedding_dedup_ann_threshold(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """``embedding_dedup_ann`` with an explicit cosine threshold.
+
+    The registered operator uses DUP_COS_THRESHOLD=0.35, matched to the
+    graded fixture's richness — but at dim 64 two RANDOM unit vectors
+    exceed 0.35 with probability ≈ (1−0.35²)^31 ≈ 2%, so on any tens-of-
+    millions corpus the TRUE pair mass at 0.35 is inherently quadratic
+    (~10^12 at 20M vectors): no dedup algorithm can enumerate it, and no
+    production pipeline would ask to.  Big-SF sweeps (SCALE.md) therefore
+    run this entry point at a realistic near-dup threshold (0.95: chance
+    collisions ≈ 10^-31, pair mass = planted duplicate structure only).
+    """
+    # DISK_ONLY: corpus-scale 550-byte vector rows (see ann_recall_report)
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+        level=StorageLevel.DISK_ONLY,
+    )
+    return embedding_dedup_ann_pairs(emb, threshold)
+
+
+def embedding_dedup_ann_pairs(
+    emb: DataFrame, threshold: float = DUP_COS_THRESHOLD
+) -> DataFrame:
     """IVF-blocked near-dup pairs over a persisted (vec_id, v, nv)
     relation (exposed so tests can plant duplicate corpora).
 
@@ -525,7 +558,7 @@ def embedding_dedup_ann_pairs(emb: DataFrame) -> DataFrame:
     assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True).select(
         "cluster", "vec_id", "v", "nv"
     )
-    pairs = np_block_pairs(assigned, DUP_COS_THRESHOLD)
+    pairs = np_block_pairs(assigned, threshold)
     return pairs.groupBy("vec_a", "vec_b").agg(
         F.min("cos_sim").alias("cos_sim")
     )

@@ -110,6 +110,38 @@ def test_embedding_dedup_ann_finds_planted_dups(spark):
         assert (i, i + 10_000) in found, f"planted dup pair {i} missed"
 
 
+def test_embedding_dedup_ann_threshold_realistic(spark):
+    """At the realistic big-SF threshold (0.95 — see SCALE.md: at dim 64
+    the graded 0.35 passes ~2% of RANDOM pairs, so big corpora are swept
+    at 0.95) the planted identical twins are EXACTLY the answer: the base
+    fixture has zero cos>=0.95 pairs, so output = the 20 planted pairs."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.caching import release_persisted
+    from simpletons_map_reduce_spark.functions.vectors import norm2, to_double_vec
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        embedding_dedup_ann_pairs,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .select("vec_id", to_double_vec(F.col("embedding")).alias("v"))
+    )
+    twins = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "v"
+    )
+    emb = base.union(twins).withColumn("nv", norm2(F.col("v"))).persist()
+    try:
+        found = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_dedup_ann_pairs(emb, 0.95).collect()
+        }
+    finally:
+        release_persisted()
+        emb.unpersist()
+    assert found == {(i, i + 10_000) for i in range(20)}
+
+
 def test_ann_lsh_recall_and_candidate_reduction(spark):
     """LSH-bucketed ANN: above-chance recall AND strictly fewer scored
     pairs than brute force (the whole point of the bucketing)."""

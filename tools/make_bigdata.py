@@ -91,6 +91,7 @@ def _scaled(
     strides,
     dup_group: int | None = None,
     jitter: float = 0.0,
+    emb_dup_group: int | None = None,
 ) -> DataFrame:
     # The source table is typically ONE parquet file → one input partition;
     # without this the ×copies explode (and the per-row salt/jitter work)
@@ -101,6 +102,8 @@ def _scaled(
     )
     if table == "documents":
         out = out.withColumn("__orig", F.col("doc_id"))
+    if table == "embeddings":
+        out = out.withColumn("__orig", F.col("vec_id"))
     for col, st, sk in KEYED[table]:
         out = out.withColumn(
             col, (F.col(col) + F.col("__k").cast("long") * strides[(st, sk)])
@@ -152,6 +155,42 @@ def _scaled(
         # N_QUERIES, copy 0 only) and its planted structure are preserved;
         # cosine(original, jittered replica) ≈ 1 − 64·j²/6 ≈ 0.996 at
         # j = 0.02 on unit vectors, so neighborhoods survive.
+        if emb_dup_group and emb_dup_group < copies:
+            # Block-capped near-dup stacks — the embedding twin of the
+            # documents --dup-group salt.  Without it, every original's
+            # copies-1 replicas are ONE mutual near-dup stack and the true
+            # pair mass grows quadratically in copies (at x10000 that is
+            # ~10^11 pairs: un-enumerable by construction).  Replicas in
+            # block b>0 are rebased onto a hash-seeded pseudo-random
+            # direction per (original, block): within a block vectors stay
+            # near-identical (cos >= ~0.9997 after jitter), across blocks
+            # two random 64-dim directions have |cos| ~ N(0, 1/64), far
+            # below any REALISTIC dedup threshold (0.95) — so true pair
+            # mass is emb_dup_group-bounded per block, linear in the
+            # corpus.  (At the graded 0.35 threshold random 64-dim pairs
+            # collide at ~2%, so big-SF sweeps must use the realistic
+            # threshold — see embedding_dedup_ann_threshold.)  Block 0
+            # keeps the base vector, so copy-0 queries and planted
+            # structure are preserved.
+            blk = (F.col("__k") / emb_dup_group).cast("long")
+            randdir = F.transform(
+                "embedding",
+                lambda x, i: (
+                    F.pmod(
+                        F.xxhash64(F.col("__orig"), blk, i, F.lit(7)),
+                        F.lit(10001),
+                    ).cast("double")
+                    / 5000.0
+                    - 1.0
+                ).cast("float"),
+            )
+            out = out.withColumn(
+                "embedding",
+                F.when(blk == 0, F.col("embedding")).otherwise(randdir),
+            )
+            keep_exact = F.pmod(F.col("__k"), F.lit(emb_dup_group)) == 0
+        else:
+            keep_exact = F.col("__k") == 0
         jittered = F.transform(
             "embedding",
             lambda x, i: x
@@ -169,9 +208,9 @@ def _scaled(
         )
         out = out.withColumn(
             "embedding",
-            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(jittered),
+            F.when(keep_exact, F.col("embedding")).otherwise(jittered),
         )
-    return out.drop("__k")
+    return out.drop("__k", "__orig")
 
 
 def build(
@@ -184,6 +223,7 @@ def build(
     dup_group: int | None = None,
     jitter: float = 0.0,
     copies_by_table: dict[str, int] | None = None,
+    emb_dup_group: int | None = None,
 ) -> None:
     """Write the scaled fixture set under ``out_dir`` (importable entry —
     bench.py builds .benchdata/sf1 on first use through this).
@@ -208,7 +248,9 @@ def build(
         t0 = time.time()
         n_copies = (copies_by_table or {}).get(table, copies)
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        scaled = _scaled(df, table, n_copies, strides, dup_group, jitter)
+        scaled = _scaled(
+            df, table, n_copies, strides, dup_group, jitter, emb_dup_group
+        )
         n_files = max(OUT_FILES.get(table, 4), n_copies // 250)
         scaled.repartition(n_files).write.mode("overwrite").parquet(
             f"{out_dir}/{table}.parquet"
@@ -240,6 +282,13 @@ def main() -> None:
         help="deterministic per-dim perturbation of replica embeddings",
     )
     ap.add_argument(
+        "--emb-dup-group",
+        type=int,
+        default=None,
+        help="cap embedding near-dup stacks: replicas in block k//g get a "
+        "hash-random direction per (original, block); needs --jitter",
+    )
+    ap.add_argument(
         "--copies-table",
         nargs="*",
         default=None,
@@ -269,6 +318,7 @@ def main() -> None:
         dup_group=args.dup_group,
         jitter=args.jitter,
         copies_by_table=copies_by_table,
+        emb_dup_group=args.emb_dup_group,
     )
     spark.stop()
 

@@ -64,7 +64,20 @@ def main() -> None:
         free_gb = round(shutil.disk_usage("/tmp").free / 2**30, 1)
         t0 = time.time()
         try:
-            n = REGISTRY[name].fn(spark, args.sf_dir).count()
+            if name == "embedding_dedup_ann_t95":
+                # the registered 0.35 threshold is a small-SF oracle
+                # artifact: at dim 64 random pairs pass it at ~2%, so true
+                # pair mass at tens of millions of vectors is quadratic by
+                # construction; big-SF sweeps run the realistic near-dup
+                # threshold (see embedding_dedup_ann_threshold).
+                from simpletons_map_reduce_spark.queries.similarity_ops import (
+                    embedding_dedup_ann_threshold,
+                )
+
+                df = embedding_dedup_ann_threshold(spark, args.sf_dir, 0.95)
+            else:
+                df = REGISTRY[name].fn(spark, args.sf_dir)
+            n = df.count()
             out[name] = {"wall_s": round(time.time() - t0, 1), "rows": n}
         except Exception as exc:  # keep sweeping: one op's blowup is a
             # finding to record, not a reason to lose the rest of the sweep
@@ -83,7 +96,17 @@ def main() -> None:
         # ran.  Drop Python-side refs, then force a driver JVM GC so the
         # cleaner reclaims each op's shuffle before the next op starts.
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            # a task-thread OutOfMemoryError exits the local-mode JVM via
+            # SparkUncaughtExceptionHandler — keep the already-collected
+            # results printable instead of dying on a dead gateway.  (For
+            # full isolation run one op per invocation; each gets its own
+            # JVM.)
+            out[name]["jvm_dead"] = True
+            print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+            break
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
     print(json.dumps({"sf_dir": args.sf_dir, "ops": out}))
 
