@@ -1126,6 +1126,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (the standard Spark iterative-algorithm discipline).  The
     convergence check is a count action per round — the data never collects
     to the driver.
+
+    All three per-round joins carry an explicit SHUFFLE_HASH hint: the
+    label relation is corpus-sized, so letting AQE broadcast it builds a
+    label-table-sized heap hash relation per join per round, and broadcast
+    cleanup waits on driver GC — at the sf100 sweep (5M labels, 45M edges,
+    up to 20 rounds) the accumulated broadcasts OOM'd a 24 GB heap mid-
+    iteration (SCALE.md round 8).  On a real cluster broadcasting the
+    corpus-sized side is wrong regardless of heap: shuffle cost is the
+    honest per-round price of label propagation.
     """
     pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     return clusters_from_pairs(pairs)
@@ -1148,7 +1157,7 @@ def clusters_from_pairs(pairs: DataFrame) -> DataFrame:
         converged = False
         for _ in range(MAX_CC_ITERATIONS):
             msgs = edges.join(
-                labels, edges.src == labels.doc_id
+                labels.hint("shuffle_hash"), edges.src == labels.doc_id
             ).select(F.col("dst").alias("doc_id"), "cluster_id")
             hopped = (
                 msgs.union(labels.select("doc_id", "cluster_id"))
@@ -1162,13 +1171,13 @@ def clusters_from_pairs(pairs: DataFrame) -> DataFrame:
                 F.col("cluster_id").alias("grand"),
             )
             new_labels = (
-                hopped.join(parents, "cluster_id")
+                hopped.join(parents.hint("shuffle_hash"), "cluster_id")
                 .select("doc_id", F.least("cluster_id", "grand").alias("cluster_id"))
                 .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
+                .join(labels.alias("o").hint("shuffle_hash"), "doc_id")
                 .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
                 .count()
             )
