@@ -195,17 +195,18 @@ g AS (
   FROM t
 ),
 bench AS (
+  SELECT DISTINCT stripe, gh FROM (
 {" UNION ALL ".join(
-    f'''  SELECT {m} AS stripe, doc_id AS bench_id, gh FROM g
-  WHERE doc_id % {m} = 0'''
+    f'''    SELECT {m} AS stripe, gh FROM g WHERE doc_id % {m} = 0'''
     for m in CONTAM13_STRIPES
 )}
+  )
 )
-SELECT g.doc_id, CAST(stripe AS BIGINT) AS stripe, bench_id,
+SELECT g.doc_id, CAST(stripe AS BIGINT) AS stripe,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM g JOIN bench USING (gh)
-WHERE g.doc_id <> bench_id
-GROUP BY g.doc_id, stripe, bench_id
+WHERE g.doc_id % stripe <> 0
+GROUP BY g.doc_id, stripe
 """
 
 
@@ -217,21 +218,27 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``contamination_check``'s trigram-×-≥2 grain is the cheap screen;
     the standard practice (GPT-3 appendix C, and PaLM/Llama after it)
     flags a training doc when it shares even ONE 13-token n-gram with an
-    eval example.  This op runs that exact rule against every benchmark
-    stripe in one corpus pass and reports (doc_id, stripe, bench_id,
-    n_shared) per contaminated pair — per-benchmark, so a doc hitting
-    two suites yields two rows and the drop list can be per-suite.
+    eval SUITE.  This op runs that exact rule against every benchmark
+    stripe in one corpus pass and reports (doc_id, stripe, n_shared):
+    per-suite, so a doc hitting two suites yields two rows and the drop
+    list can be per-suite.  Suite members themselves are exempt for
+    their own suite (doc_id % stripe <> 0 — eval examples are not
+    training docs), matching what production decontamination drops.
 
     Scale shape, reusing the repo's gram-hash machinery: each 13-gram is
     reduced MAP-SIDE to a distinct int64 MD5 hash (SPARK/SQL_MD5_INT60 —
     the same cross-engine macro substring_dedup joins on), so ~75-byte
     gram strings never ride the shuffle; 24-byte (doc, hash) pairs do.
-    The benchmark side is the same bounded-eval-set contract as
-    contamination_check (each stripe stands in for an external suite;
-    no broadcast hint — AQE broadcasts the genuinely-small build side at
-    runtime).  The hashed gram space IS the declared semantics, as in
-    ngram_jaccard (a 2^-60 collision flags one extra pair identically on
-    both engines).
+    The corpus joins the suite's DISTINCT (stripe, gh) gram SET — not
+    per-example postings — so join output is <= corpus-grams × stripes,
+    linear in the corpus.  The round-8 sf100 sweep killed the earlier
+    per-example grain on ENOSPC: with a mirror-heavy corpus (1000
+    replicas/doc) every suite example collides with every replica, ~10^10
+    pre-aggregation join rows — pair-grain contamination is quadratic
+    under exactly the duplication real crawls have, and GPT-3-style
+    decontamination never needed it (the flag is per train doc × suite).
+    The hashed gram space IS the declared semantics, as in ngram_jaccard
+    (a 2^-60 collision flags one extra gram identically on both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
@@ -251,15 +258,13 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = None
     for m in CONTAM13_STRIPES:
         stripe = grams.filter(F.col("doc_id") % m == 0).select(
-            F.lit(m).cast("long").alias("stripe"),
-            F.col("doc_id").alias("bench_id"),
-            "gh",
+            F.lit(m).cast("long").alias("stripe"), "gh"
         )
         bench = stripe if bench is None else bench.unionAll(stripe)
     return (
-        grams.join(bench, "gh")
-        .filter(F.col("doc_id") != F.col("bench_id"))
-        .groupBy("doc_id", "stripe", "bench_id")
+        grams.join(bench.distinct(), "gh")
+        .filter(F.col("doc_id") % F.col("stripe") != 0)
+        .groupBy("doc_id", "stripe")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
 

@@ -49,9 +49,10 @@ def test_funnel_fused_equals_composed(spark):
 
 def test_contamination_13gram_planted_collisions(spark, tmp_path):
     """Planted pins for the published decontamination grain: a single
-    shared 13-token run flags the (doc, bench, stripe) pair; a 12-token
+    shared 13-token run flags the (doc, stripe) combination; a 12-token
     run does NOT; a doc hitting benchmarks in BOTH stripes yields one row
-    per stripe; the shared-gram count is exact."""
+    per stripe; suite members are exempt for their OWN suite; the
+    shared-gram count is exact."""
     import random
 
     from simpletons_map_reduce_spark.queries import REGISTRY
@@ -85,21 +86,19 @@ def test_contamination_13gram_planted_collisions(spark, tmp_path):
     )
     t.write.parquet(str(tmp_path / "documents.parquet"))
     got = {
-        (r.doc_id, r.stripe, r.bench_id): r.n_shared
+        (r.doc_id, r.stripe): r.n_shared
         for r in REGISTRY["contamination_13gram"]
         .fn(spark, str(tmp_path))
         .collect()
     }
-    # doc 5 shares exactly one 13-gram with each benchmark carrying run13;
-    # bench docs also contaminate EACH OTHER through the same run (both is
-    # in stripe m1's bench set and m1's doc appears as a corpus doc, and
-    # 'both' sits in both stripes).
+    # doc 5 shares exactly one 13-gram with each suite (run13 is in m1's
+    # set via doc m1 and in m2's set via doc `both`); doc m1 is itself a
+    # train doc RELATIVE TO stripe m2 and hits m2's set the same way;
+    # suite members are exempt for their own suite (m1 @ m1, both @ both),
+    # so `both` — a member of both suites — never appears.
     want = {
-        (5, m1, m1): 1,
-        (5, m1, both): 1,
-        (5, m2, both): 1,
-        (m1, m1, both): 1,
-        (m1, m2, both): 1,
-        (both, m1, m1): 1,
+        (5, m1): 1,
+        (5, m2): 1,
+        (m1, m2): 1,
     }
     assert got == want
