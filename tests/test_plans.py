@@ -726,7 +726,9 @@ EXCHANGE_BUDGET = {
     "click_attribution": 0,
     "cms_heavy_hitters": 2,
     "cohort_retention": 2,
-    "contamination_13gram": 1,
+    # round 8: +1 for the suite-gram-set distinct() — the dedup that makes
+    # the contamination join linear in the corpus (see pipeline.py)
+    "contamination_13gram": 2,
     "contamination_check": 1,
     "corpus_balance": 3,
     "corpus_filter": 4,
