@@ -32,42 +32,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Priority order for the driver's correctness window.  The driver checks
 # queries in dict insertion order and truncates at entry 50, so the window
-# ROTATES each round to extend cumulative driver evidence: rounds 1-7
-# covered 97/152 distinct queries (see CORRECTNESS_r0*.json); round 8's
-# window covers the 44 highest-value never-driver-checked queries plus
-# this round's new operators, keeping three long-lived sentinels
-# (wordcount, mr_wordcount, near_dedup) as regression canaries.  The
-# 11-query profiling battery rotates in next round; every query off the
-# window stays exact-oracle-checked by tools/check_oracle.py --all and
-# by pytest on every run.
+# ROTATES each round to extend cumulative driver evidence: rounds 1-8
+# covered 144/156 distinct queries (see CORRECTNESS_r0*.json).  Round 9's
+# window leads with the LAST 12 never-driver-checked queries (the
+# profiling battery + the two approx sketches — closes cumulative
+# coverage at 156/156), keeps the three long-lived sentinels (wordcount,
+# mr_wordcount, near_dedup) as regression canaries, and fills the
+# remaining slots with a SECOND TOUR of queries whose only driver
+# evidence dates to rounds 1-3 (events/behavior + the relational core) —
+# re-checks are free cumulative evidence once first-pass coverage is
+# complete.  Every query off the window stays exact-oracle-checked by
+# tools/check_oracle.py --all and by pytest on every run.
 _PRIORITY = [
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # round-7 op (never windowed) + round-8 companions: the span-removal
-    # apply and the streaming-surface parity gate
-    "substring_dedup", "substring_dedup_apply", "stream_parity_report",
-    # round-6 ops, never windowed
-    "bpe_merges", "bpe_encode", "mixture_weights", "mixture_apply",
-    "knn_classify", "perplexity_buckets", "hll_rollup",
-    # round-8 ANN vote path (rows-only)
-    "knn_classify_ann",
-    # LM / text / pipeline tails never windowed
-    "span_dedup", "char_entropy", "simhash_pairs", "pipeline_funnel_fused",
-    "contamination_13gram",
-    "sample_hash", "doc_chunks", "corpus_balance", "frame_sample",
-    # TPC-H-shaped decision battery (decision.py)
-    "exists_orders", "scalar_avg_filter", "big_orders", "priority_pivot",
-    "churned_customers", "moving_revenue", "min_cost_supplier",
-    "supplier_classes", "overstocked_suppliers", "disjunctive_filter",
-    "waiting_orders",
-    # TPC-H-shaped trade battery (trade.py)
-    "volume_shipping", "market_share", "returned_items", "top_value_parts",
-    "customer_distribution", "top_supplier", "product_profit",
-    # behavior / events / graph tails (event_pivot rotates into round 9's
-    # window with the profiling battery — exactly 50 entries here)
-    "basket_pairs", "funnel_analysis", "cohort_retention", "cumulative_users",
-    "user_trend", "event_transitions", "nation_pagerank", "triangle_count",
-    "props_extract",
+    # the final 12 never-driver-checked: profiling battery + approx
+    # sketches (VERDICT r8 item 1 — cumulative coverage goes 156/156)
+    "event_pivot", "value_histogram", "customer_deciles", "table_profile",
+    "embedding_stats", "key_skew_profile", "table_checks", "weighted_median",
+    "stats_moments", "histogram_equi_depth", "approx_distinct",
+    "approx_quantiles",
+    # second tour: events/behavior family (last driver-checked r1-r3)
+    "events_sessionize", "events_tumbling", "events_hopping",
+    "latest_events", "peak_concurrency", "time_rollup",
+    "rolling_active_users", "gap_fill", "click_attribution",
+    # second tour: relational / TPC-H core (last driver-checked r1-r3)
+    "pricing_summary", "region_revenue", "window_rank", "topk_orders",
+    "range_join", "asof_join", "hash_join", "broadcast_join", "semi_join",
+    "anti_join", "quarter_recon", "salted_join", "salted_window_rank",
+    "union_except", "intersect_op", "rollup_agg", "cube_agg",
+    "grouping_sets", "distinct_agg", "shipping_priority",
+    "supplier_revenue", "promo_revenue",
+    # second tour: incremental/maintenance tails (last driver-checked r1-r3)
+    "merge_upsert", "scd_intervals", "incremental_agg", "wow_growth",
 ]
 
 
