@@ -239,6 +239,16 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination never needed it (the flag is per train doc × suite).
     The hashed gram space IS the declared semantics, as in ngram_jaccard
     (a 2^-60 collision flags one extra gram identically on both engines).
+
+    .. versionchanged:: round 8
+       Output grain changed from (doc_id, stripe, bench_id, n_shared) to
+       (doc_id, stripe, n_shared): ``n_shared`` now counts the doc's
+       distinct grams shared with the SUITE's distinct gram set, not
+       per-example postings (the per-example grain is quadratic on
+       mirror-heavy corpora — see the ENOSPC note above).  Consumers that
+       need per-example attribution should join the flagged (doc, suite)
+       rows back to the suite's examples as a second, flagged-docs-only
+       pass — never corpus-wide.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))

@@ -232,6 +232,12 @@ def build(
     the sf100 dedup/ANN sweep — scaling all of TPC-H 1000× would burn
     ~100 GB nobody reads); ``copies_by_table`` overrides ``copies`` per
     table (sf100: documents ×1000, embeddings ×10000)."""
+    if emb_dup_group is not None and jitter <= 0.0:
+        # The block-rebasing branch lives under the jitter guard; without
+        # jitter the flag would be silently ignored and every original's
+        # replicas would form exactly the quadratic near-dup stack the
+        # flag exists to prevent (ADVICE r8).
+        raise ValueError("emb_dup_group requires jitter > 0.0")
     strides = _strides(spark, src)
     for table in UNSCALED:
         if tables is not None and table not in tables:

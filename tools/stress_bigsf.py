@@ -48,6 +48,26 @@ FAMILY = [
 ]
 
 
+def _embedding_dedup_ann_t95(spark, sf_dir):
+    # The registered 0.35 threshold is a small-SF oracle artifact: at
+    # dim 64 random pairs pass it at ~2%, so true pair mass at tens of
+    # millions of vectors is quadratic by construction; big-SF sweeps run
+    # the realistic near-dup threshold (see embedding_dedup_ann_threshold).
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        embedding_dedup_ann_threshold,
+    )
+
+    return embedding_dedup_ann_threshold(spark, sf_dir, 0.95)
+
+
+#: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
+#: runner table-driven — an op name in a SCALE/BENCH report either exists
+#: in REGISTRY or is defined here, never as a loop special case).
+EXTRA_OPS = {
+    "embedding_dedup_ann_t95": _embedding_dedup_ann_t95,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/repo/.benchdata/sf10")
@@ -64,19 +84,8 @@ def main() -> None:
         free_gb = round(shutil.disk_usage("/tmp").free / 2**30, 1)
         t0 = time.time()
         try:
-            if name == "embedding_dedup_ann_t95":
-                # the registered 0.35 threshold is a small-SF oracle
-                # artifact: at dim 64 random pairs pass it at ~2%, so true
-                # pair mass at tens of millions of vectors is quadratic by
-                # construction; big-SF sweeps run the realistic near-dup
-                # threshold (see embedding_dedup_ann_threshold).
-                from simpletons_map_reduce_spark.queries.similarity_ops import (
-                    embedding_dedup_ann_threshold,
-                )
-
-                df = embedding_dedup_ann_threshold(spark, args.sf_dir, 0.95)
-            else:
-                df = REGISTRY[name].fn(spark, args.sf_dir)
+            fn = EXTRA_OPS.get(name) or REGISTRY[name].fn
+            df = fn(spark, args.sf_dir)
             n = df.count()
             out[name] = {"wall_s": round(time.time() - t0, 1), "rows": n}
         except Exception as exc:  # keep sweeping: one op's blowup is a
