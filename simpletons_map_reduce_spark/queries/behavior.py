@@ -70,6 +70,19 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative self-join-per-stage shape would shuffle events three
     times.
     """
+    return funnel_user_anchors(spark, sf_dir).agg(
+        F.count("*").alias("n_users"),
+        F.count("mv").alias("n_view"),
+        F.count("mc").alias("n_view_click"),
+        F.count("mp").alias("n_full_funnel"),
+    )
+
+
+def funnel_user_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel stage anchors (user_id, mv, mc, mp) — the relation
+    ``funnel_analysis`` aggregates, exposed separately so the streaming
+    parity gate (queries/stream_parity.py::stream_parity_stateful) can
+    compare ``funnel_stream``'s final state against it user by user."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts_us"
     )

@@ -406,11 +406,11 @@ def _win_expr(w: int) -> str:
         + " AS h))"
     )
 
-#: Shared DuckDB CTE chain (tokenize → stride-1 windows → dup-window count
-#: → run segmentation) — composed into BOTH substring oracles so the report
-#: and the apply can never disagree on the span set (same rule as
-#: dedup_ops._build_apply_oracle reusing the clusters CTEs).
-_SUBSTR_CTES = f"""t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
+#: Shared DuckDB CTE chains for the substring-dedup family, composed so the
+#: report, the apply, and the keep-one apply can never disagree on the span
+#: machinery (same rule as dedup_ops._build_apply_oracle reusing the
+#: clusters CTEs).  Base: tokenize → stride-1 windows → window hashes.
+_SUBSTR_BASE_CTES = f"""t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
            FROM documents),
 win AS (SELECT doc_id, toks,
                unnest(range(0, len(toks) - {SUBSTR_W} + 1)) AS pos
@@ -419,10 +419,24 @@ hh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
               {SQL_MD5_INT60.format(
                   e=f"array_to_string(toks[pos + 1 : pos + {SUBSTR_W}], ' ')"
               )} AS h
-       FROM win),
-cnt AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
-dup AS (SELECT doc_id, pos FROM hh JOIN cnt USING (h)),
-runs AS (SELECT doc_id, pos,
+       FROM win)"""
+
+#: remove-all duplicated positions: every occurrence of a window seen >= 2×.
+_SUBSTR_DUP_ALL_CTES = """cnt AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM hh JOIN cnt USING (h))"""
+
+#: keep-one duplicated positions: every occurrence EXCEPT the globally
+#: first (min (doc_id, pos)) of each window seen >= 2× — the Lee et al.
+#: keep-first-occurrence policy at window grain.  Oracle-side a window
+#: rank is fine (sf0.01); the Spark side uses the skew-safe groupBy-min.
+_SUBSTR_DUP_KEEP1_CTES = """rk AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+             count(*) OVER (PARTITION BY h) AS c
+      FROM hh),
+dup AS (SELECT doc_id, pos FROM rk WHERE c >= 2 AND rk > 1)"""
+
+#: merge consecutive duplicated positions into maximal runs (per doc).
+_SUBSTR_RUNS_CTES = """runs AS (SELECT doc_id, pos,
                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
                                                ORDER BY pos) = 1
                      THEN 0 ELSE 1 END AS brk
@@ -432,18 +446,16 @@ grp AS (SELECT doc_id, pos,
                               ROWS UNBOUNDED PRECEDING) AS run_id
         FROM runs)"""
 
-SUBSTRING_DEDUP_ORACLE = f"""
-WITH {_SUBSTR_CTES}
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len,
-       CAST(count(*) AS BIGINT) AS n_windows
-FROM grp
-GROUP BY doc_id, run_id
-"""
+_SUBSTR_CTES = (
+    f"{_SUBSTR_BASE_CTES},\n{_SUBSTR_DUP_ALL_CTES},\n{_SUBSTR_RUNS_CTES}"
+)
+_SUBSTR_KEEP1_CTES = (
+    f"{_SUBSTR_BASE_CTES},\n{_SUBSTR_DUP_KEEP1_CTES},\n{_SUBSTR_RUNS_CTES}"
+)
 
-SUBSTRING_DEDUP_APPLY_ORACLE = f"""
-WITH {_SUBSTR_CTES},
+#: redaction tail shared by the apply variants: cut covered positions,
+#: re-join survivors in order, account per document.
+_SUBSTR_APPLY_TAIL = f""",
 spans AS (SELECT doc_id, min(pos) AS s,
                  max(pos) - min(pos) + {SUBSTR_W} AS l
           FROM grp GROUP BY doc_id, run_id),
@@ -462,29 +474,42 @@ FROM t LEFT JOIN kept k USING (doc_id)
 GROUP BY t.doc_id, t.toks
 """
 
+SUBSTRING_DEDUP_ORACLE = f"""
+WITH {_SUBSTR_CTES}
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + {SUBSTR_W} AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp
+GROUP BY doc_id, run_id
+"""
 
-def duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
-    """Maximal duplicated token spans over a ``(doc_id, toks)`` relation.
+SUBSTRING_DEDUP_APPLY_ORACLE = f"""
+WITH {_SUBSTR_CTES}{_SUBSTR_APPLY_TAIL}"""
 
-    Exposed separately from the registered query so tests can run the
-    planted-duplicate differential on synthetic corpora.
+SUBSTRING_DEDUP_KEEP_ONE_ORACLE = f"""
+WITH {_SUBSTR_KEEP1_CTES}{_SUBSTR_APPLY_TAIL}"""
+
+
+def _window_hashes(t: DataFrame, w: int) -> DataFrame:
+    """Persisted (doc_id, pos, h) stride-1 window-hash relation.
+
+    O(corpus-tokens) exploded relation: DISK_ONLY so the token-scale
+    cache never evicts executor memory (same rule as the exploded gram
+    relations in dedup_ops._shingle_sets / ngram_containment).
     """
-    hh = tracked_persist(
+    return tracked_persist(
         t.filter(F.size("toks") >= w)
         .select("doc_id", F.explode(F.expr(_win_expr(w))).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")),
-        # O(corpus-tokens) exploded relation: DISK_ONLY so the token-scale
-        # cache never evicts executor memory (same rule as the exploded
-        # gram relations in dedup_ops._shingle_sets / ngram_containment).
         level=StorageLevel.DISK_ONLY,
     )
-    dup_h = (
-        hh.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
-    dup = hh.join(dup_h, "h").select("doc_id", "pos")
+
+
+def _merge_runs(dup: DataFrame, w: int) -> DataFrame:
+    """Merge consecutive duplicated positions into maximal spans: one
+    doc_id-keyed window pass, then a groupBy that reuses the same
+    partitioning (doc_id is a prefix of the grouping key)."""
     ordered = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(ordered) == 1, F.lit(0)).otherwise(
         F.lit(1)
@@ -503,6 +528,59 @@ def duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         )
         .drop("run_id")
     )
+
+
+def duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Maximal duplicated token spans over a ``(doc_id, toks)`` relation.
+
+    Exposed separately from the registered query so tests can run the
+    planted-duplicate differential on synthetic corpora.
+    """
+    hh = _window_hashes(t, w)
+    dup_h = (
+        hh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dup = hh.join(dup_h, "h").select("doc_id", "pos")
+    return _merge_runs(dup, w)
+
+
+def duplicated_spans_keep_first(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Maximal duplicated spans EXCLUDING each window's first occurrence —
+    the removal set of the keep-one policy (``substring_dedup_keep_one``).
+
+    A position is marked iff its window hash occurs >= 2× in the corpus
+    AND the position is not the window's globally-first occurrence in
+    (doc_id, pos) order.  Marked positions then merge into maximal runs
+    exactly as in :func:`duplicated_spans`.
+
+    Scale shape: the first-occurrence is computed with a map-side
+    combinable ``min(struct(doc_id, pos))`` hash aggregate — NOT a
+    row_number window — so a boilerplate window occurring 10^6 times
+    costs one partial min per input partition, never a 10^6-row sorted
+    partition (the skew the oracle-side window formulation would hit).
+    """
+    hh = _window_hashes(t, w)
+    firsts = (
+        hh.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count("*").alias("c"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("h", "first")
+    )
+    dup = (
+        hh.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _merge_runs(dup, w)
 
 
 @register("substring_dedup", SUBSTRING_DEDUP_ORACLE, tags=("lm", "dedup"))
@@ -584,24 +662,18 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_duplicated_spans(t, SUBSTR_W)
 
 
-def redact_duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
-    """Cut every duplicated span out of a ``(doc_id, toks)`` relation.
-
-    Exposed separately from the registered query (like
-    :func:`duplicated_spans`) so tests can run the planted-duplicate
-    redaction differential on synthetic corpora.
-    """
-    spans = (
-        duplicated_spans(t, w)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    F.col("span_len").alias("l"),
-                )
-            ).alias("spans")
-        )
+def _redact_spans(t: DataFrame, span_df: DataFrame) -> DataFrame:
+    """Cut a span relation's covered positions out of ``(doc_id, toks)``
+    — the shared redaction tail of both apply variants (per-doc span
+    lists join back on doc_id; the cut is a scan-local higher-order
+    filter — no second token-level shuffle)."""
+    spans = span_df.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_len").alias("l"),
+            )
+        ).alias("spans")
     )
     j = t.join(spans, "doc_id", "left")
     kept = F.expr(
@@ -614,3 +686,59 @@ def redact_duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_kept"),
     )
+
+
+def redact_duplicated_spans(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Cut every duplicated span out of a ``(doc_id, toks)`` relation.
+
+    Exposed separately from the registered query (like
+    :func:`duplicated_spans`) so tests can run the planted-duplicate
+    redaction differential on synthetic corpora.
+    """
+    return _redact_spans(t, duplicated_spans(t, w))
+
+
+def redact_keep_first(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Keep-one redaction over a ``(doc_id, toks)`` relation (exposed for
+    the synthetic-corpus differential, like :func:`redact_duplicated_spans`)."""
+    return _redact_spans(t, duplicated_spans_keep_first(t, w))
+
+
+@register(
+    "substring_dedup_keep_one",
+    SUBSTRING_DEDUP_KEEP_ONE_ORACLE,
+    tags=("lm", "dedup"),
+)
+def substring_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAPER-FAITHFUL span redaction: keep each duplicated span's
+    first occurrence, remove the rest (VERDICT r8 item 6).
+
+    ``substring_dedup_apply`` removes BOTH occurrences of every duplicated
+    span — deterministic and order-free, but stricter than Lee et al.'s
+    production dedup, which keeps one copy of each duplicate (their
+    released corpora retain the first occurrence in corpus order); on
+    mirror-heavy corpora remove-all deletes roughly twice the mass.  This
+    variant implements keep-first at window grain: a stride-1 window
+    position is redacted iff its hash occurs >= 2× AND it is not the
+    window's globally-first occurrence in (doc_id, pos) order — so the
+    first copy of a duplicated span survives verbatim and every later
+    copy is cut.  "First" is a total order over (doc_id, pos), making the
+    kept set independent of partitioning/visit order (a 1000-way parallel
+    run keeps the same answer — same determinism rule as semantic_prune).
+
+    Distributed shape on top of substring_dedup's (see its docstring):
+    the only change is the dup-position rule — a map-side-combinable
+    ``min(struct(doc_id, pos))`` per window hash replaces the count
+    filter; redaction reuses the shared span-list join + scan-local
+    higher-order filter.  The oracle composes the SAME base/runs/apply
+    CTEs as the other two substring queries, so the three variants cannot
+    disagree on the span machinery.
+
+    Output: (doc_id, n_tokens, n_removed, text_kept) for EVERY document —
+    the schema of ``substring_dedup_apply``; n_removed here is <= the
+    remove-all variant's, doc by doc (pinned in
+    tests/test_substring_dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
+    return redact_keep_first(t, SUBSTR_W)

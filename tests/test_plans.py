@@ -832,6 +832,7 @@ EXCHANGE_BUDGET = {
     "stream_parity_report": 14,
     "substring_dedup": 2,
     "substring_dedup_apply": 2,
+    "substring_dedup_keep_one": 2,
     "supplier_classes": 3,
     "supplier_revenue": 2,
     "table_checks": 6,

@@ -194,6 +194,110 @@ def test_apply_accounting_on_real_data(spark):
         assert n_kept == r.n_tokens - r.n_removed, r.doc_id
 
 
+def _ref_keep1_redact(
+    docs: dict[int, list[str]], w: int
+) -> dict[int, tuple[int, int, str]]:
+    """Independent keep-one reference: collect each window's occurrences
+    in (doc_id, pos) order; cover every occurrence but the first of any
+    window seen >= 2×; cut covered positions."""
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        for k in range(len(toks) - w + 1):
+            occ.setdefault(tuple(toks[k : k + w]), []).append((doc_id, k))
+    covered: dict[int, set[int]] = {d: set() for d in docs}
+    for occs in occ.values():
+        if len(occs) >= 2:
+            for doc_id, k in occs[1:]:
+                covered[doc_id].update(range(k, k + w))
+    out = {}
+    for doc_id, toks in docs.items():
+        kept = [t for i, t in enumerate(toks) if i not in covered[doc_id]]
+        out[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+def test_keep_one_planted_first_copy_survives(spark):
+    """A 20-token run duplicated across docs 1 (earlier) and 2: keep-one
+    must leave doc 1 verbatim and cut exactly the run from doc 2, while
+    remove-all cuts it from both."""
+    rng = random.Random(23)
+    shared = [f"dup{i}" for i in range(20)]
+    docs = {
+        1: [f"a{rng.randrange(10**9)}" for _ in range(7)] + shared,
+        2: shared + [f"b{rng.randrange(10**9)}" for _ in range(9)],
+        3: [f"c{rng.randrange(10**9)}" for _ in range(30)],
+    }
+    t = spark.createDataFrame(
+        [(d, toks) for d, toks in docs.items()],
+        "doc_id BIGINT, toks ARRAY<STRING>",
+    )
+    from simpletons_map_reduce_spark.queries.lm_ops import redact_keep_first
+
+    keep1 = {r.doc_id: r for r in redact_keep_first(t, SUBSTR_W).collect()}
+    assert keep1[1].n_removed == 0
+    assert keep1[1].text_kept == " ".join(docs[1])
+    assert keep1[2].n_removed == 20
+    assert keep1[2].text_kept == " ".join(docs[2][20:])
+    both = {
+        r.doc_id: r for r in redact_duplicated_spans(t, SUBSTR_W).collect()
+    }
+    assert both[1].n_removed == 20 and both[2].n_removed == 20
+
+
+def test_keep_one_differential_and_dominance(spark):
+    """Randomized corpora: redact_keep_first must equal the independent
+    keep-first-occurrence reference on every doc, and its per-doc
+    n_removed can never exceed remove-all's (keep-one is pointwise
+    gentler by construction)."""
+    from simpletons_map_reduce_spark.queries.lm_ops import redact_keep_first
+
+    rng = random.Random(2024)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(rng.randrange(12, 30))]
+        docs: dict[int, list[str]] = {}
+        for d in range(8):
+            docs[d] = [rng.choice(vocab) for _ in range(rng.randrange(0, 50))]
+        for _ in range(3):
+            run = [rng.choice(vocab) for _ in range(rng.randrange(8, 16))]
+            for d in rng.sample(sorted(docs), 2):
+                at = rng.randrange(0, len(docs[d]) + 1)
+                docs[d] = docs[d][:at] + run + docs[d][at:]
+        t = spark.createDataFrame(
+            [(d, toks) for d, toks in docs.items()],
+            "doc_id BIGINT, toks ARRAY<STRING>",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_kept)
+            for r in redact_keep_first(t, SUBSTR_W).collect()
+        }
+        assert got == _ref_keep1_redact(docs, SUBSTR_W), trial
+        both = {
+            r.doc_id: r.n_removed
+            for r in redact_duplicated_spans(t, SUBSTR_W).collect()
+        }
+        assert all(got[d][1] <= both[d] for d in docs), trial
+
+
+def test_keep_one_on_real_data(spark):
+    """On sf0.001: keep-one covers every document, removes strictly less
+    than remove-all in aggregate (the corpus has duplicates), and never
+    more per doc."""
+    keep1 = {
+        r.doc_id: r
+        for r in REGISTRY["substring_dedup_keep_one"].fn(spark, SF0001).collect()
+    }
+    both = {
+        r.doc_id: r
+        for r in REGISTRY["substring_dedup_apply"].fn(spark, SF0001).collect()
+    }
+    assert set(keep1) == set(both)
+    assert all(keep1[d].n_removed <= both[d].n_removed for d in keep1)
+    assert sum(r.n_removed for r in keep1.values()) < sum(
+        r.n_removed for r in both.values()
+    )
+
+
 def test_invariants_on_real_data(spark):
     """On sf0.001: every span satisfies n_windows == span_len - W + 1,
     span_len >= W, and spans within a doc never overlap (maximality)."""
