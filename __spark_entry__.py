@@ -64,9 +64,9 @@ _PRIORITY = [
     "grouping_sets", "distinct_agg", "shipping_priority",
     "supplier_revenue", "promo_revenue",
     # round-9 new ops (hash gate on first appearance)
-    "substring_dedup_keep_one",
+    "substring_dedup_keep_one", "stream_parity_stateful",
     # second tour: incremental/maintenance tails (last driver-checked r1-r3)
-    "merge_upsert", "scd_intervals", "incremental_agg",
+    "merge_upsert", "scd_intervals",
 ]
 
 

@@ -115,14 +115,8 @@ def funnel_user_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.max("mv").alias("mv"), F.max("mc").alias("mc"), F.max("mp").alias("mp")
-    )
-    return per_user.agg(
-        F.count("*").alias("n_users"),
-        F.count("mv").alias("n_view"),
-        F.count("mc").alias("n_view_click"),
-        F.count("mp").alias("n_full_funnel"),
     )
 
 

@@ -79,6 +79,11 @@ def _window_mismatch(stream_df: DataFrame, batch_df: DataFrame) -> DataFrame:
     )
 
 
+def _fresh(spark: SparkSession, name: str) -> str:
+    spark.catalog.dropTempView(name)  # re-runs in one session
+    return name
+
+
 @register("stream_parity_report", STREAM_PARITY_ORACLE, tags=("streaming",))
 def stream_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run three streaming twins to completion and grade them against
@@ -90,8 +95,7 @@ def stream_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import hopping_stream, tumbling_stream
 
     def fresh(name: str) -> str:
-        spark.catalog.dropTempView(name)  # re-runs in one session
-        return name
+        return _fresh(spark, name)
 
     tw = run_to_memory(tumbling_stream(spark, sf_dir), fresh("spr_tumbling"))
     hw = run_to_memory(hopping_stream(spark, sf_dir), fresh("spr_hopping"))
@@ -128,4 +132,165 @@ def stream_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(m_hop))
         .crossJoin(F.broadcast(n_dedup))
         .crossJoin(F.broadcast(m_dedup))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_parity_stateful: the applyInPandasWithState family under the gate
+# ---------------------------------------------------------------------------
+
+def _build_stateful_oracle() -> str:
+    """Oracle for stream_parity_stateful, composing near_dedup's own CTE
+    chain for the expected pair count (same shared-oracle rule as the
+    substring family — the gate and the batch op cannot disagree)."""
+    from .dedup_ops import NEAR_DEDUP_ORACLE
+
+    return f"""
+WITH nd AS ({NEAR_DEDUP_ORACLE})
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_funnel_users,
+       CAST(0 AS BIGINT) AS funnel_mismatch,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_totals_users,
+       CAST(0 AS BIGINT) AS totals_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM nd) AS n_neardup_pairs,
+       CAST(0 AS BIGINT) AS neardup_mismatch
+"""
+
+
+STREAM_PARITY_STATEFUL_ORACLE = _build_stateful_oracle()
+
+
+@register(
+    "stream_parity_stateful", STREAM_PARITY_STATEFUL_ORACLE, tags=("streaming",)
+)
+def stream_parity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hand-rolled ``applyInPandasWithState`` state machines under the
+    OFFICIAL hash gate (VERDICT r8 item 3).
+
+    ``stream_parity_report`` gates the three cheapest built-in-operator
+    twins; the likeliest silent-drift surface is the CUSTOM-state family,
+    where the per-key update logic is ours, not Spark's.  This report
+    executes three of those twins to completion (parquet source →
+    ``applyInPandasWithState`` → memory sink) and grades each against its
+    independently-computed batch query, emitting one row whose expected
+    values the DuckDB oracle pins exactly:
+
+    - ``funnel_stream``       ≡ batch per-user funnel anchors
+      (``behavior.funnel_user_anchors``): final streamed (mv, mc, mp)
+      must null-safe-equal the batch window mins for every user;
+    - ``running_user_totals`` ≡ batch per-user (count, sum(value)):
+      exact count equality; the float sum within 1e-6 relative (order of
+      summation differs by construction — counts prove the bookkeeping);
+    - ``near_dedup_stream``   ≡ batch ``near_dedup`` pairs: the distinct
+      streamed (doc_a, doc_b, jaccard) set must equal the batch LSH +
+      exact-verify output exactly (both round 4-dp half-up; the oracle's
+      expected pair count composes near_dedup's own CTE chain).
+
+    Final streamed state per key is recovered from the update-mode
+    emission log with null-ignoring ``max`` (funnel anchors only ever
+    move forward; totals counts strictly increase per emission), so the
+    comparison is micro-batch-count-independent.  At 100 TB this is the
+    per-deploy observability query for the stateful family: every
+    comparison joins per-key aggregate relations (users, pairs), orders
+    of magnitude smaller than the event/token streams, and each twin's
+    state is bounded (fixed tuple per user; capped members per bucket).
+    """
+    from ..sources.tables import load_table as _lt
+    from ..streaming import run_to_memory
+    from ..streaming.funnel_stream import funnel_stream
+    from ..streaming.near_dedup_stream import near_dedup_stream
+    from ..streaming.stateful import running_user_totals
+    from .behavior import funnel_user_anchors
+    from .dedup_ops import near_dedup
+
+    # --- funnel: final streamed anchors vs the batch window mins -------
+    fw = run_to_memory(
+        funnel_stream(spark, sf_dir),
+        _fresh(spark, "sps_funnel"),
+        mode="update",
+    )
+    f_final = fw.groupBy("user_id").agg(
+        F.max("mv").alias("s_mv"),
+        F.max("mc").alias("s_mc"),
+        F.max("mp").alias("s_mp"),
+    )
+    f_batch = funnel_user_anchors(spark, sf_dir)
+    n_funnel = f_final.agg(
+        F.count("*").cast("long").alias("n_funnel_users")
+    )
+    m_funnel = (
+        f_final.join(f_batch, "user_id", "full_outer")
+        .filter(
+            ~(
+                F.col("s_mv").eqNullSafe(F.col("mv"))
+                & F.col("s_mc").eqNullSafe(F.col("mc"))
+                & F.col("s_mp").eqNullSafe(F.col("mp"))
+            )
+        )
+        .agg(F.count("*").cast("long").alias("funnel_mismatch"))
+    )
+
+    # --- totals: final streamed (count, sum) vs the batch groupBy ------
+    tw = run_to_memory(
+        running_user_totals(spark, sf_dir),
+        _fresh(spark, "sps_totals"),
+        mode="update",
+    )
+    t_final = tw.groupBy("user_id").agg(
+        F.max("n_events").alias("s_n"),
+        F.max_by("sum_value", "n_events").alias("s_sum"),
+    )
+    t_batch = (
+        _lt(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("b_n"),
+            F.sum("value").alias("b_sum"),
+        )
+    )
+    n_totals = t_final.agg(
+        F.count("*").cast("long").alias("n_totals_users")
+    )
+    m_totals = (
+        t_final.join(t_batch, "user_id", "full_outer")
+        .filter(
+            F.col("s_n").isNull()
+            | F.col("b_n").isNull()
+            | (F.col("s_n") != F.col("b_n"))
+            | (
+                F.abs(F.col("s_sum") - F.col("b_sum"))
+                > F.greatest(F.lit(1.0), F.abs(F.col("b_sum"))) * 1e-6
+            )
+        )
+        .agg(F.count("*").cast("long").alias("totals_mismatch"))
+    )
+
+    # --- near-dup: distinct streamed pairs vs the batch LSH output -----
+    nw = run_to_memory(
+        near_dedup_stream(spark, sf_dir), _fresh(spark, "sps_neardup")
+    )
+    n_pairs = nw.select("doc_a", "doc_b", "jaccard").distinct()
+    b_pairs = near_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("b_jaccard")
+    )
+    n_neardup = n_pairs.agg(
+        F.count("*").cast("long").alias("n_neardup_pairs")
+    )
+    m_neardup = (
+        n_pairs.join(b_pairs, ["doc_a", "doc_b"], "full_outer")
+        .filter(
+            F.col("jaccard").isNull()
+            | F.col("b_jaccard").isNull()
+            | (F.col("jaccard") != F.col("b_jaccard"))
+        )
+        .agg(F.count("*").cast("long").alias("neardup_mismatch"))
+    )
+
+    return (
+        n_funnel.crossJoin(F.broadcast(m_funnel))
+        .crossJoin(F.broadcast(n_totals))
+        .crossJoin(F.broadcast(m_totals))
+        .crossJoin(F.broadcast(n_neardup))
+        .crossJoin(F.broadcast(m_neardup))
     )

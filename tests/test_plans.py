@@ -830,6 +830,13 @@ EXCHANGE_BUDGET = {
     "stats_moments": 1,
     "stratified_sample": 1,
     "stream_parity_report": 14,
+    # three full-outer parity joins (funnel per-user, totals per-user,
+    # near-dup pairs) + the batch twins they embed — an observability
+    # query over per-key aggregate relations, not a hot-path operator.
+    # Measured 21 in a fresh session, 23 mid-lint: the embedded batch
+    # near_dedup plans through InMemoryRelation when its shingle persist
+    # is already materialized, which changes the Exchange count by 2.
+    "stream_parity_stateful": 24,
     "substring_dedup": 2,
     "substring_dedup_apply": 2,
     "substring_dedup_keep_one": 2,
@@ -922,6 +929,7 @@ BROADCAST_BUDGET = {
     "shipping_priority": 1,
     "similarity_topk": 1,
     "stream_parity_report": 5,
+    "stream_parity_stateful": 5,
     "supplier_classes": 2,
     "supplier_revenue": 2,
     "table_checks": 1,

@@ -147,3 +147,70 @@ def test_stream_parity_mismatch_detects_drift(spark):
                F.col("n_events") + 1).otherwise(F.col("n_events")),
     )
     assert _window_mismatch(wrong, batch).collect()[0].m >= 1
+
+
+def test_stream_parity_stateful_all_green(spark):
+    """The stateful-family gate (funnel / running totals / streaming
+    near-dup) reports zero mismatches on sf0.001, and its cardinalities
+    equal the independently-computed batch values."""
+    from simpletons_map_reduce_spark.queries.dedup_ops import near_dedup
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    row = REGISTRY["stream_parity_stateful"].fn(spark, SF0001).collect()[0]
+    assert row.funnel_mismatch == 0
+    assert row.totals_mismatch == 0
+    assert row.neardup_mismatch == 0
+    n_users = (
+        load_table(spark, SF0001, "events").select("user_id").distinct().count()
+    )
+    assert row.n_funnel_users == n_users > 0
+    assert row.n_totals_users == n_users
+    assert row.n_neardup_pairs == near_dedup(spark, SF0001).count() > 0
+
+
+def test_stream_parity_stateful_detects_funnel_drift(spark):
+    """Negative control: a funnel twin with a DIFFERENT conversion window
+    must disagree with the batch anchors — proving the per-user
+    comparison the gate runs can actually go red."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.behavior import (
+        funnel_user_anchors,
+    )
+    from simpletons_map_reduce_spark.streaming import run_to_memory
+    from simpletons_map_reduce_spark.streaming.events_stream import (
+        events_stream,
+    )
+    from simpletons_map_reduce_spark.streaming.funnel_stream import (
+        funnel_state_from,
+    )
+
+    ev = events_stream(spark, SF0001).withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    # 1-second conversion window: almost every click/purchase anchor
+    # that the 24 h batch rule sets must now stay null in the stream.
+    spark.catalog.dropTempView("sps_drift_funnel")
+    fw = run_to_memory(
+        funnel_state_from(ev, window_us=1_000_000),
+        "sps_drift_funnel",
+        mode="update",
+    )
+    f_final = fw.groupBy("user_id").agg(
+        F.max("mv").alias("s_mv"),
+        F.max("mc").alias("s_mc"),
+        F.max("mp").alias("s_mp"),
+    )
+    batch = funnel_user_anchors(spark, SF0001)
+    mismatches = (
+        f_final.join(batch, "user_id", "full_outer")
+        .filter(
+            ~(
+                F.col("s_mv").eqNullSafe(F.col("mv"))
+                & F.col("s_mc").eqNullSafe(F.col("mc"))
+                & F.col("s_mp").eqNullSafe(F.col("mp"))
+            )
+        )
+        .count()
+    )
+    assert mismatches > 0
