@@ -63,10 +63,10 @@ _PRIORITY = [
     "union_except", "intersect_op", "rollup_agg", "cube_agg",
     "grouping_sets", "distinct_agg", "shipping_priority",
     "supplier_revenue", "promo_revenue",
-    # round-9 new ops (hash gate on first appearance)
-    "substring_dedup_keep_one", "stream_parity_stateful",
+    # round-9 new ops (hash gate / rows-only on first appearance)
+    "substring_dedup_keep_one", "stream_parity_stateful", "ann_ivf_indexed",
     # second tour: incremental/maintenance tails (last driver-checked r1-r3)
-    "merge_upsert", "scd_intervals",
+    "merge_upsert",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Build-once / probe-many IVF index artifact (VERDICT r8 item 4).
+
+Every IVF-backed query (``ann_ivf``, ``ann_recall_report``,
+``knn_classify_ann``, ``embedding_dedup_ann``) re-learns its Lloyd
+centroids and re-runs the full-corpus assignment per invocation — fine
+for a one-off, but at the sf100 sweep's 20M vectors that is 6-15 min of
+redundant k-means per op, and at 100 TB nobody rebuilds an index per
+query.  This module applies the ``bucketing.py`` write-once idea to ANN:
+pay the build (Lloyd + the O(n·k) assignment pass) ONCE at ingest, store
+the two index relations as parquet, and let every later query probe
+straight off the files.
+
+Artifact layout under ``index_dir``:
+
+- ``centroids.parquet``    (cent_id, cv array<double>, ncv) — k rows,
+  broadcastable at any k we'd set;
+- ``assignments.parquet``  (cluster, vec_id, v, nv) — the top-2
+  soft-assignment relation, repartitioned by cluster so a probe's
+  cluster join reads co-located bucket files;
+- ``meta.parquet``         1 row (n, k, dim) — n doubles as the staleness
+  check (an index built over a different corpus size refuses to load).
+
+The PROBE path downstream of the artifact is pure JVM (broadcast
+centroid scoring → window rank → cluster join → fold cosine; pinned in
+tests/test_ann_index.py: no MapInPandas/Arrow stage in the plan), so a
+cluster can serve many query batches off one build without ever starting
+a Python worker for the index.
+
+Staleness contract: same as any database index — rebuild when the corpus
+changes.  ``ivf_index_for`` keys the cached artifact on (corpus name,
+row count) and validates the count on load (a parquet count() is
+metadata-cheap), so a regenerated fixture of different size can never be
+served a stale index; same-size content changes require an explicit
+rebuild (``force=True``), exactly like re-CLUSTERing a table.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: default root for cached per-corpus index artifacts.
+DEFAULT_INDEX_ROOT = str(Path(__file__).resolve().parents[2] / ".annindex")
+
+
+def write_ivf_index(emb: DataFrame, index_dir: str) -> None:
+    """Build the IVF index over a (vec_id, v, nv) relation and persist it.
+
+    ``emb`` should be persisted by the caller if it is expensive to
+    recompute (the build scans it for the count, the Lloyd sample, and
+    the assignment pass).
+    """
+    from ..queries.similarity_ops import EMB_DIM, _ivf_build
+
+    cents, assigned, k = _ivf_build(emb)
+    n = emb.count()
+    # one writer task per cluster group: the probe-side join then reads
+    # co-located files (and small k never explodes the file count).
+    n_files = max(4, min(32, k // 32))
+    (
+        assigned.select("cluster", "vec_id", "v", "nv")
+        .repartition(n_files, "cluster")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/assignments.parquet")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids.parquet"
+    )
+    meta = emb.sparkSession.createDataFrame(
+        [(n, k, EMB_DIM)], "n BIGINT, k BIGINT, dim BIGINT"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/meta.parquet"
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, index_dir: str, expect_n: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Load a written index as the (cents, assigned, k) triple the search
+    paths take.  ``expect_n`` (the current corpus row count) makes the
+    load refuse a stale artifact instead of silently probing it."""
+    meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+    if expect_n is not None and meta.n != expect_n:
+        raise ValueError(
+            f"stale IVF index at {index_dir}: built over n={meta.n}, "
+            f"corpus now has n={expect_n} — rebuild with write_ivf_index"
+        )
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    assigned = spark.read.parquet(f"{index_dir}/assignments.parquet")
+    return cents, assigned, int(meta.k)
+
+
+def ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Cache-or-build: the index artifact for ``sf_dir``'s embeddings.
+
+    Keyed on (corpus dir name, row count) under ``root`` (default
+    ``<repo>/.annindex``; override with $SPARK_GRAFT_ANNINDEX for sweeps
+    on other volumes).  First call per corpus pays the build; every
+    later call — including other queries and other sessions — loads the
+    parquet relations and probes without a Lloyd stage.
+    """
+    from ..caching import tracked_persist
+    from ..queries.similarity_ops import _emb_with_norm
+
+    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    name = Path(sf_dir.rstrip("/")).name or "corpus"
+    index_dir = str(Path(root) / f"{name}-n{n}")
+    if force or not Path(f"{index_dir}/meta.parquet").exists():
+        from pyspark.storagelevel import StorageLevel
+
+        # DISK_ONLY: corpus-scale 550-byte vector rows never go to heap
+        # (the ann_recall_report sf100 OOM rule).
+        emb = tracked_persist(
+            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+            level=StorageLevel.DISK_ONLY,
+        )
+        write_ivf_index(emb, index_dir)
+    return load_ivf_index(spark, index_dir, expect_n=n)

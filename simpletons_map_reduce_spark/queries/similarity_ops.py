@@ -31,6 +31,8 @@ Cosine arithmetic is split by contract:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -222,8 +224,12 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (200k vectors) the old cap of 96 made blocks ~2k vectors → ~800M
 #: candidate pairs and a >15 min stall; 1024 keeps k = √n up to n = 1M
 #: (the centroid relation is ≤ 1024 × 64 doubles ≈ 0.5 MB — trivially
-#: broadcastable at any cap we'd set).
-K_CAP = 1024
+#: broadcastable at any cap we'd set).  Env-overridable
+#: (SPARK_GRAFT_K_CAP) so big-SF sweeps can let k keep tracking √n past
+#: 1M vectors — at 20M vectors the 1024 cap makes IVF-blocked candidate
+#: scoring ~n²/k ≈ 4.4× the √n-centroid cost (VERDICT r8 item 7); on a
+#: cluster this is the one constant to raise.
+K_CAP = int(os.environ.get("SPARK_GRAFT_K_CAP", "1024"))
 TRAIN_PER_CENT = 50  # Lloyd trains on ~TRAIN_PER_CENT × k sampled vectors
 MIN_NPROBE = 6
 KMEANS_ITERS = 2  # Lloyd rounds; centroids move little after 2 on this data
@@ -303,33 +309,74 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(emb)
 
 
-def _ivf_topk(emb: DataFrame) -> DataFrame:
-    """IVF-flat top-k over a persisted (vec_id, v, nv) relation; queries
-    are the rows with vec_id < N_QUERIES (exposed so ann_recall_report can
-    run the identical search over a planted-duplicate corpus)."""
-    n = emb.count()
-    k = min(int(n**0.5) + 1, K_CAP)
-    nprobe = max(MIN_NPROBE, k // 5)
-    cents = _lloyd_centroids(emb, n, k)
+@register("ann_ivf_indexed", None, tags=("similarity",))
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf`` through the build-once/probe-many index artifact
+    (operators/ann_index.py — VERDICT r8 item 4).
 
-    # Full-corpus assignment is the O(n·k) term — one BLAS matmul per Arrow
-    # batch instead of n·k interpreted cosine folds.  The centroid model is
-    # handed off as an executor-written parquet that each Python worker
-    # loads once (functions/vectorized.py) — never collected to the driver,
-    # so raising K_CAP at cluster scale stays executor-side.  Narrow:
-    # vectors pass through the kernel, so no shuffle and no re-join.
-    # top=2 multi-assignment (same shape embedding_dedup_ann uses): each
-    # vector lists under its two nearest centroids, so a neighbor sitting
-    # just across a Voronoi boundary is still probed — on this
-    # weak-cluster synthetic corpus that is the difference between 0.58
-    # and 0.92 recall@5 at sf0.1 (round-6 sf0.1 sweep catch) for 2×
-    # candidate-list cost, the standard IVF soft-assignment trade.
-    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    First invocation per corpus builds and persists the IVF index
+    (centroids + top-2 assignments as parquet, keyed on corpus name ×
+    row count); every later invocation — across queries AND sessions —
+    loads the relations and probes them with a PURE-JVM plan: no Lloyd,
+    no Arrow assignment kernel, no Python worker at all (pinned in
+    tests/test_ann_index.py).  Search semantics, parameters, and output
+    are identical to ``ann_ivf`` (the two share ``_ivf_search``; the
+    equality is pytest-pinned), so this entry is the same rows-only
+    evidence class.  At 100 TB this is how ANN actually deploys: one
+    index build per corpus ingest amortized over every retrieval,
+    classification, and dedup pass that follows.
+    """
+    from ..operators.ann_index import ivf_index_for
+
+    index = ivf_index_for(spark, sf_dir)
+    queries = _emb_with_norm(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
-    )
+    ).filter(F.col("query_id") < N_QUERIES)
+    nprobe = max(MIN_NPROBE, index[2] // 5)
+    return _ivf_search(queries, index[0], index[1], nprobe)
+
+
+def _ivf_build(
+    emb: DataFrame, k: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Learn the IVF index relations over a persisted (vec_id, v, nv)
+    relation: (centroids, top-2 assignments, k).
+
+    Full-corpus assignment is the O(n·k) term — one BLAS matmul per Arrow
+    batch instead of n·k interpreted cosine folds.  The centroid model is
+    handed off as an executor-written parquet that each Python worker
+    loads once (functions/vectorized.py) — never collected to the driver,
+    so raising K_CAP at cluster scale stays executor-side.  Narrow:
+    vectors pass through the kernel, so no shuffle and no re-join.
+    top=2 multi-assignment (same shape embedding_dedup_ann uses): each
+    vector lists under its two nearest centroids, so a neighbor sitting
+    just across a Voronoi boundary is still probed — on this
+    weak-cluster synthetic corpus that is the difference between 0.58
+    and 0.92 recall@5 at sf0.1 (round-6 sf0.1 sweep catch) for 2×
+    candidate-list cost, the standard IVF soft-assignment trade.
+
+    These two relations ARE the build-once index artifact:
+    ``operators/ann_index.py::write_ivf_index`` persists them as parquet
+    so later queries probe without re-running Lloyd (VERDICT r8 item 4).
+    """
+    n = emb.count()
+    if k is None:
+        k = min(int(n**0.5) + 1, K_CAP)
+    cents = _lloyd_centroids(emb, n, k)
+    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True)
+    return cents, assigned, k
+
+
+def _ivf_search(
+    queries: DataFrame, cents: DataFrame, assigned: DataFrame, nprobe: int
+) -> DataFrame:
+    """IVF top-k probe over index relations — PURE JVM downstream of the
+    index (no Python kernels: broadcast centroid scoring, window rank,
+    cluster join, fold cosine — pinned in tests/test_ann_index.py so the
+    read-index fast path can never silently grow a Lloyd stage).
+    ``queries`` is a (query_id, qv, nq) relation."""
     q_scored = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "qv",
@@ -376,6 +423,25 @@ def _ivf_topk(emb: DataFrame) -> DataFrame:
         .filter(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+def _ivf_topk(
+    emb: DataFrame,
+    index: tuple[DataFrame, DataFrame, int] | None = None,
+) -> DataFrame:
+    """IVF-flat top-k over a persisted (vec_id, v, nv) relation; queries
+    are the rows with vec_id < N_QUERIES (exposed so ann_recall_report can
+    run the identical search over a planted-duplicate corpus).  Pass a
+    prebuilt ``index`` (cents, assigned, k) to skip the Lloyd build — the
+    read-index fast path of operators/ann_index.py."""
+    cents, assigned, k = index if index is not None else _ivf_build(emb)
+    nprobe = max(MIN_NPROBE, k // 5)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    return _ivf_search(queries, cents, assigned, nprobe)
 
 
 #: planted-twin id offset for ann_recall_report — far above any fixture
@@ -531,7 +597,9 @@ def embedding_dedup_ann_threshold(
 
 
 def embedding_dedup_ann_pairs(
-    emb: DataFrame, threshold: float = DUP_COS_THRESHOLD
+    emb: DataFrame,
+    threshold: float = DUP_COS_THRESHOLD,
+    index: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """IVF-blocked near-dup pairs over a persisted (vec_id, v, nv)
     relation (exposed so tests can plant duplicate corpora).
@@ -550,14 +618,20 @@ def embedding_dedup_ann_pairs(
     final O(true dups) pair dedup (min-agg, so a pair straddling two
     shared clusters keeps one deterministic score).
     """
-    n = emb.count()
-    k = min(int(n**0.5) + 1, K_CAP)
-    cents = _lloyd_centroids(emb, n, k)
     from ..functions.vectorized import np_block_pairs
 
-    assigned = np_assign_clusters(emb, cents, top=2, carry_vectors=True).select(
-        "cluster", "vec_id", "v", "nv"
-    )
+    if index is None:
+        n = emb.count()
+        k = min(int(n**0.5) + 1, K_CAP)
+        cents = _lloyd_centroids(emb, n, k)
+        assigned = np_assign_clusters(
+            emb, cents, top=2, carry_vectors=True
+        ).select("cluster", "vec_id", "v", "nv")
+    else:
+        # read-index fast path (operators/ann_index.py): the artifact's
+        # assignment relation IS the blocked candidate layout — the whole
+        # Lloyd + assignment cost was paid once at index build.
+        assigned = index[1].select("cluster", "vec_id", "v", "nv")
     pairs = np_block_pairs(assigned, threshold)
     return pairs.groupBy("vec_a", "vec_b").agg(
         F.min("cos_sim").alias("cos_sim")
@@ -990,16 +1064,52 @@ def knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_recall_report``'s hash-checked recall gate carry the quality
     evidence.  Cost: the one-off index build + O(n/k · nprobe) scored
     candidates per query instead of O(n) — the fits-in-memory scale path
-    for retrieval-as-annotation.
+    for retrieval-as-annotation.  ``knn_classify_ann_indexed`` is the
+    build-once variant probing the shared corpus index artifact.
     """
+    return _knn_classify_ann(spark, sf_dir, index=None)
+
+
+def knn_classify_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_classify_ann`` probing the shared IVF index artifact
+    (operators/ann_index.py) instead of learning its own centroids — the
+    deploy shape at 100 TB, where one index build per corpus serves
+    retrieval, classification, and dedup alike.  The artifact is built
+    over the FULL embeddings relation; the labeled candidate set is
+    recovered with a scan-local ``vec_id >= N_QUERIES`` filter on the
+    assignment relation (centroids trained with the 10 query vectors
+    present differ immaterially — quality stays under the same pytest
+    agreement floor as the self-built variant)."""
+    from ..operators.ann_index import ivf_index_for
+
+    return _knn_classify_ann(
+        spark, sf_dir, index=ivf_index_for(spark, sf_dir)
+    )
+
+
+def _knn_classify_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    index: tuple[DataFrame, DataFrame, int] | None,
+) -> DataFrame:
     emb = tracked_persist(
         _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv", "label")
     )
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        "vec_id", "v", "nv"
-    )
-    n = corpus.count()
-    k = min(int(n**0.5) + 1, K_CAP)
+    if index is None:
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id", "v", "nv"
+        )
+        n = corpus.count()
+        k = min(int(n**0.5) + 1, K_CAP)
+        cents = _lloyd_centroids(corpus, n, k)
+        assigned = np_assign_clusters(
+            corpus, cents, top=2, carry_vectors=True
+        )
+    else:
+        cents, assigned, k = index
+        # candidates are the LABELED corpus only — queries are not
+        # voting members (same rule as the self-built path)
+        assigned = assigned.filter(F.col("vec_id") >= N_QUERIES)
     # Wider probe than ann_ivf's k//5: a majority VOTE is more
     # candidate-recall-sensitive than top-k overlap (one missed true
     # neighbor can flip a 3-2 vote even when recall@5 is high) — k//3
@@ -1007,8 +1117,6 @@ def knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2n/3 scored candidates per query (still well under the exact
     # operator's full n).
     nprobe = max(MIN_NPROBE, k // 3)
-    cents = _lloyd_centroids(corpus, n, k)
-    assigned = np_assign_clusters(corpus, cents, top=2, carry_vectors=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

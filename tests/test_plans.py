@@ -705,6 +705,7 @@ def test_rolling_active_users_explodes_compact_relation(spark):
 #: plan change — the diff of this dict IS the review evidence.
 EXCHANGE_BUDGET = {
     "ann_ivf": 1,
+    "ann_ivf_indexed": 1,
     "ann_lsh": 2,
     "ann_pq": 2,
     "ann_recall_report": 10,
@@ -892,6 +893,7 @@ EXCHANGE_BUDGET = {
 #: tools/dump_exchange_budgets.py; the diff is the review evidence.
 BROADCAST_BUDGET = {
     "ann_ivf": 1,
+    "ann_ivf_indexed": 1,
     "ann_lsh": 1,
     "ann_pq": 2,
     "ann_recall_report": 7,

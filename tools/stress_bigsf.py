@@ -60,11 +60,49 @@ def _embedding_dedup_ann_t95(spark, sf_dir):
     return embedding_dedup_ann_threshold(spark, sf_dir, 0.95)
 
 
+def _ivf_index_build(spark, sf_dir):
+    # Force-build the shared IVF index artifact (operators/ann_index.py)
+    # so the sweep can report build cost and probe cost as separate rows.
+    from simpletons_map_reduce_spark.operators.ann_index import ivf_index_for
+
+    cents, _assigned, _k = ivf_index_for(spark, sf_dir, force=True)
+    return cents
+
+
+def _knn_classify_ann_indexed(spark, sf_dir):
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        knn_classify_ann_indexed,
+    )
+
+    return knn_classify_ann_indexed(spark, sf_dir)
+
+
+def _embedding_dedup_ann_t95_indexed(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
+    from simpletons_map_reduce_spark.caching import tracked_persist
+    from simpletons_map_reduce_spark.operators.ann_index import ivf_index_for
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+        embedding_dedup_ann_pairs,
+    )
+
+    index = ivf_index_for(spark, sf_dir)
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+        level=StorageLevel.DISK_ONLY,
+    )
+    return embedding_dedup_ann_pairs(emb, 0.95, index=index)
+
+
 #: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
 #: runner table-driven — an op name in a SCALE/BENCH report either exists
 #: in REGISTRY or is defined here, never as a loop special case).
 EXTRA_OPS = {
     "embedding_dedup_ann_t95": _embedding_dedup_ann_t95,
+    "ivf_index_build": _ivf_index_build,
+    "knn_classify_ann_indexed": _knn_classify_ann_indexed,
+    "embedding_dedup_ann_t95_indexed": _embedding_dedup_ann_t95_indexed,
 }
 
 
