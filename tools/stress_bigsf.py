@@ -113,9 +113,14 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_session("stress-bigsf")
-    # warm-up: footers + python worker pool (see bench.py)
+    # warm-up: footers + python worker pool (see bench.py); partial
+    # fixtures (e.g. the embeddings-only --emb-dup-group set) just skip
+    # the absent tables.
     for t in ("documents", "embeddings"):
-        spark.read.parquet(f"{args.sf_dir}/{t}.parquet").count()
+        try:
+            spark.read.parquet(f"{args.sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
 
     out = {}
     for name in args.ops:
