@@ -64,9 +64,8 @@ _PRIORITY = [
     "grouping_sets", "distinct_agg", "shipping_priority",
     "supplier_revenue", "promo_revenue",
     # round-9 new ops (hash gate / rows-only on first appearance)
-    "substring_dedup_keep_one", "stream_parity_stateful", "ann_ivf_indexed",
-    # second tour: incremental/maintenance tails (last driver-checked r1-r3)
-    "merge_upsert",
+    "substring_dedup_keep_one", "stream_parity_stateful",
+    "stream_parity_chained", "ann_ivf_indexed",
 ]
 
 

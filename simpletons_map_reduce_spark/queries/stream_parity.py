@@ -294,3 +294,141 @@ def stream_parity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_neardup))
         .crossJoin(F.broadcast(m_neardup))
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_parity_chained: multi-stateful pipelines, stream-stream join, sketch
+# ---------------------------------------------------------------------------
+
+def _build_chained_oracle() -> str:
+    """Oracle for stream_parity_chained, composing click_attribution's own
+    CTE for the expected pair count and mirroring the CMS cell hash
+    (same shared-oracle rule as the other parity reports)."""
+    from ..functions.hashing import SQL_MD5_INT60
+    from ..functions.text import sql_tokens
+    from .sketch_ops import CMS_D, CMS_W
+    from .temporal import CLICK_ATTRIBUTION_ORACLE
+
+    cell_hash = SQL_MD5_INT60.format(
+        e="CAST(d.depth AS VARCHAR) || ':' || tok"
+    )
+    return f"""
+WITH attr AS ({CLICK_ATTRIBUTION_ORACLE}),
+days AS (SELECT epoch_us(ts) // 86400000000 AS d FROM events GROUP BY d),
+toks AS (SELECT DISTINCT unnest({sql_tokens('text', lower=True)}) AS tok
+         FROM documents),
+cells AS (SELECT DISTINCT d.depth, {cell_hash} % {CMS_W} AS bucket
+          FROM toks CROSS JOIN
+               (SELECT unnest(range({CMS_D})) AS depth) d)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n_dau_days,
+       CAST(0 AS BIGINT) AS dau_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM attr) AS n_attr_pairs,
+       CAST(0 AS BIGINT) AS attr_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cms_cells,
+       CAST(0 AS BIGINT) AS cms_mismatch
+"""
+
+
+STREAM_PARITY_CHAINED_ORACLE = _build_chained_oracle()
+
+
+@register(
+    "stream_parity_chained", STREAM_PARITY_CHAINED_ORACLE, tags=("streaming",)
+)
+def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third parity report: the remaining high-risk streaming shapes under
+    the OFFICIAL hash gate — a MULTI-stateful-operator pipeline, a
+    stream-STREAM interval join, and the streaming sketch.
+
+    - ``dau_stream``          (dropDuplicatesWithinWatermark → windowed
+      count, two chained state stores) ≡ batch distinct-(user, day)
+      count per day: exact per-day active_users equality;
+    - ``attribution_stream``  (watermarked stream-stream interval join,
+      both sides' state evicted by the event-time constraint) ≡ batch
+      ``click_attribution``: exact (user, click, purchase, lag) set
+      equality — the oracle composes click_attribution's own CTE for the
+      expected pair count;
+    - ``cms_stream``          (running Count-Min relation, state capped
+      at d×w rows by construction) ≡ the SAME sketch expression run in
+      batch: bit-for-bit (depth, bucket, c) equality, the oracle pinning
+      the populated-cell count via the shared md5-int60 cell hash.
+
+    With ``stream_parity_report`` (windows + dedup) and
+    ``stream_parity_stateful`` (custom state machines), 9 of 15
+    streaming twins now report under the driver's value-hash gate; the
+    remainder are behavioral variants (TTL eviction, enrichment,
+    media/bloom arrival-order contracts) pinned by their dedicated
+    pytest differentials.  At 100 TB each comparison joins bounded
+    relations: days, attribution pairs, and a ≤ d×w-row sketch.
+    """
+    from ..streaming import run_to_memory
+    from ..streaming.events_stream import dau_stream
+    from ..streaming.join_stream import attribution_stream
+    from ..streaming.sketch_stream import cms_stream, cms_stream_from
+    from .temporal import click_attribution
+
+    # --- chained dedup → daily distinct-user aggregate ------------------
+    dw = run_to_memory(dau_stream(spark, sf_dir), _fresh(spark, "spc_dau"))
+    ev = load_table(spark, sf_dir, "events")
+    b_dau = (
+        ev.select("user_id", F.window("ts", "1 day").alias("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("b_active"))
+        .select(F.unix_micros(F.col("w.start")).alias("w_start"), "b_active")
+    )
+    n_dau = dw.agg(F.count("*").cast("long").alias("n_dau_days"))
+    m_dau = (
+        dw.join(b_dau, "w_start", "full_outer")
+        .filter(
+            F.col("active_users").isNull()
+            | F.col("b_active").isNull()
+            | (F.col("active_users") != F.col("b_active"))
+        )
+        .agg(F.count("*").cast("long").alias("dau_mismatch"))
+    )
+
+    # --- stream-stream interval join ------------------------------------
+    aw = run_to_memory(
+        attribution_stream(spark, sf_dir), _fresh(spark, "spc_attr")
+    )
+    b_attr = click_attribution(spark, sf_dir).select(
+        "user_id", "click_id", "purchase_id",
+        F.col("lag_us").alias("b_lag_us"),
+    )
+    n_attr = aw.agg(F.count("*").cast("long").alias("n_attr_pairs"))
+    m_attr = (
+        aw.join(
+            b_attr, ["user_id", "click_id", "purchase_id"], "full_outer"
+        )
+        .filter(
+            F.col("lag_us").isNull()
+            | F.col("b_lag_us").isNull()
+            | (F.col("lag_us") != F.col("b_lag_us"))
+        )
+        .agg(F.count("*").cast("long").alias("attr_mismatch"))
+    )
+
+    # --- streaming Count-Min sketch --------------------------------------
+    cw = run_to_memory(cms_stream(spark, sf_dir), _fresh(spark, "spc_cms"))
+    b_cms = cms_stream_from(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("depth", "bucket", F.col("c").alias("b_c"))
+    n_cms = cw.agg(F.count("*").cast("long").alias("n_cms_cells"))
+    m_cms = (
+        cw.join(b_cms, ["depth", "bucket"], "full_outer")
+        .filter(
+            F.col("c").isNull()
+            | F.col("b_c").isNull()
+            | (F.col("c") != F.col("b_c"))
+        )
+        .agg(F.count("*").cast("long").alias("cms_mismatch"))
+    )
+
+    return (
+        n_dau.crossJoin(F.broadcast(m_dau))
+        .crossJoin(F.broadcast(n_attr))
+        .crossJoin(F.broadcast(m_attr))
+        .crossJoin(F.broadcast(n_cms))
+        .crossJoin(F.broadcast(m_cms))
+    )

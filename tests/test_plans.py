@@ -830,6 +830,7 @@ EXCHANGE_BUDGET = {
     "split_assign": 1,
     "stats_moments": 1,
     "stratified_sample": 1,
+    "stream_parity_chained": 16,  # measured 14; ±2 with cache state
     "stream_parity_report": 14,
     # three full-outer parity joins (funnel per-user, totals per-user,
     # near-dup pairs) + the batch twins they embed — an observability
@@ -930,6 +931,7 @@ BROADCAST_BUDGET = {
     "semantic_prune": 3,
     "shipping_priority": 1,
     "similarity_topk": 1,
+    "stream_parity_chained": 5,
     "stream_parity_report": 5,
     "stream_parity_stateful": 5,
     "supplier_classes": 2,

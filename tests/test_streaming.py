@@ -214,3 +214,29 @@ def test_stream_parity_stateful_detects_funnel_drift(spark):
         .count()
     )
     assert mismatches > 0
+
+
+def test_stream_parity_chained_all_green(spark):
+    """The chained/join/sketch gate (dau / attribution / CMS) reports
+    zero mismatches on sf0.001, with cardinalities equal to the
+    independently-computed batch values."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.temporal import (
+        click_attribution,
+    )
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    row = REGISTRY["stream_parity_chained"].fn(spark, SF0001).collect()[0]
+    assert row.dau_mismatch == 0
+    assert row.attr_mismatch == 0
+    assert row.cms_mismatch == 0
+    n_days = (
+        load_table(spark, SF0001, "events")
+        .select(F.window("ts", "1 day"))
+        .distinct()
+        .count()
+    )
+    assert row.n_dau_days == n_days > 0
+    assert row.n_attr_pairs == click_attribution(spark, SF0001).count() > 0
+    assert row.n_cms_cells > 0
