@@ -143,3 +143,106 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(SEARCH_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search: BM25 lexical recall + dense cosine rerank (RAG retrieval)
+# ---------------------------------------------------------------------------
+
+#: rerank cut (top-k of the BM25 candidate set).
+HYBRID_K = 10
+#: the dense query: the designated query vector vec_id 0 (FIXTURES.md
+#: reserves vec_id < 10 as query vectors; documents and embeddings share
+#: the id space — doc_id ≙ vec_id).
+HYBRID_QUERY_VEC = 0
+
+
+def _build_hybrid_oracle() -> str:
+    """Composes BM25_SEARCH_ORACLE verbatim as the candidate CTE (the
+    lexical stage and the rerank can never disagree on the candidate
+    set) + the shared cosine/rounding macros for the dense stage."""
+    from ..functions.rounding import sql_rn
+    from ..functions.vectors import sql_cosine
+
+    return f"""
+WITH bm AS ({BM25_SEARCH_ORACLE}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT bm.doc_id, bm.score AS bm25_score,
+           {sql_rn(sql_cosine('e.v', 'q.qv'), 6)} AS cos_sim
+    FROM bm JOIN e ON e.vec_id = bm.doc_id CROSS JOIN q
+)
+SELECT * FROM (
+    SELECT doc_id, bm25_score, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+             AS rk
+    FROM scored
+) WHERE rk <= {HYBRID_K}
+"""
+
+
+HYBRID_SEARCH_ORACLE = _build_hybrid_oracle()
+
+
+@register("hybrid_search", HYBRID_SEARCH_ORACLE, tags=("search", "similarity"))
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-k lexical candidates re-ranked by dense
+    cosine similarity — the standard two-stage RAG retrieval shape
+    (lexical recall, semantic precision).
+
+    Stage 1 is the registered ``bm25_search`` relation verbatim (one
+    corpus scan, SEARCH_K candidates); stage 2 joins the candidates to
+    their embeddings on the shared id space and re-ranks by 6-dp-rounded
+    cosine against the designated query vector.  Both stages are exact
+    and deterministic, so the whole pipeline sits under the value-hash
+    gate — the oracle composes BM25's own CTE, making candidate-set
+    drift between the engines impossible by construction.
+
+    Scale shape at 100 TB: the lexical stage is the only corpus-wide
+    work (already single-scan, see bm25_search); the rerank touches
+    SEARCH_K rows — the candidate relation broadcasts into the embedding
+    scan (one pushed-down pass, no shuffle), the cosine is the JVM fold,
+    and the final window orders SEARCH_K rows in one partition.  Swap
+    the brute candidate join for the IVF index artifact
+    (operators/ann_index.py) when the dense stage must itself search —
+    here it only scores named candidates.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import rn
+    from ..functions.vectors import cosine_from_parts, dot
+    from .similarity_ops import _emb_with_norm
+
+    bm = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("bm25_score")
+    )
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    cand = (
+        bm.join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"), "v", "nv"
+            ),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25_score",
+            rn(
+                cosine_from_parts(
+                    dot(F.col("v"), F.col("qv")), F.col("nv"), F.col("nq")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= HYBRID_K)
+    )

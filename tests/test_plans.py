@@ -719,6 +719,7 @@ EXCHANGE_BUDGET = {
     "binary_meta": 0,
     "bloom_probe": 3,
     "bm25_search": 4,
+    "hybrid_search": 4,
     "bpe_encode": 2,
     "bpe_merges": 0,
     "broadcast_join": 0,
@@ -901,6 +902,7 @@ BROADCAST_BUDGET = {
     "anomaly_mad": 3,
     "bloom_probe": 1,
     "bm25_search": 2,
+    "hybrid_search": 3,
     "broadcast_join": 1,
     "churned_customers": 2,
     "cms_heavy_hitters": 1,

@@ -164,3 +164,23 @@ def test_anomaly_mad_brute_force(spark):
     }
     assert got == want
     assert statistics  # keep the import referenced
+
+
+def test_hybrid_search_composes_bm25_candidates(spark):
+    """hybrid_search's rows are a subset of bm25_search's candidate set,
+    ranks are 1..k by descending cosine, and the bm25_score column equals
+    the lexical stage's score for each kept doc."""
+    bm = {
+        r.doc_id: r.score
+        for r in REGISTRY["bm25_search"].fn(spark, SF0001).collect()
+    }
+    rows = sorted(
+        REGISTRY["hybrid_search"].fn(spark, SF0001).collect(),
+        key=lambda r: r.rk,
+    )
+    assert 0 < len(rows) <= 10
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.cos_sim, -a.doc_id) >= (b.cos_sim, -b.doc_id)
+    for r in rows:
+        assert r.doc_id in bm and r.bm25_score == bm[r.doc_id]
