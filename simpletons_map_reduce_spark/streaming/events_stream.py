@@ -57,14 +57,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_type = T.TimestampNTZType()
     else:
         ts_type = T.TimestampType()
-    # The file stream source requires a *directory*; select just the events
-    # file out of the sf dir with a glob filter.
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(_events_raw_schema(ts_type))
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    # Both fixture layouts, mirroring dedup_stream.docs_raw_stream: the
+    # driver's single ``events.parquet`` FILE (file-stream sources need a
+    # directory, so glob-filter the sf dir) and Spark-written
+    # ``events.parquet/`` DIRECTORIES of part files (big-SF fixtures —
+    # load the directory itself; the glob filter matches LEAF file names,
+    # so against a directory fixture it admits zero files and the stream
+    # silently reads nothing — caught by stream_parity_chained's sf1 red).
+    import os
+
+    reader = spark.readStream.format("parquet").schema(
+        _events_raw_schema(ts_type)
     )
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if stored == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # session tz is pinned UTC, so ntz→tz is the identity instant
