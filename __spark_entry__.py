@@ -62,10 +62,10 @@ _PRIORITY = [
     "anti_join", "quarter_recon", "salted_join", "salted_window_rank",
     "union_except", "intersect_op", "rollup_agg", "cube_agg",
     "grouping_sets", "distinct_agg", "shipping_priority",
-    "supplier_revenue",
     # round-9 new ops (hash gate / rows-only on first appearance)
     "substring_dedup_keep_one", "stream_parity_stateful",
     "stream_parity_chained", "ann_ivf_indexed", "hybrid_search",
+    "repetition_signals",
 ]
 
 

@@ -708,3 +708,197 @@ def quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn(F.percent_rank().over(w), 6).alias("quality_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals: the Gopher/MassiveText within-document repetition rules
+# ---------------------------------------------------------------------------
+
+REP_TOP_N = 2   # "fraction of tokens in the most common n-gram" grain
+REP_DUP_N = 5   # "fraction of tokens in duplicated n-grams" grain
+
+
+def _build_repetition_oracle() -> str:
+    from ..functions.hashing import SQL_MD5_INT60
+
+    g2 = SQL_MD5_INT60.format(
+        e=f"array_to_string(toks[i + 1 : i + {REP_TOP_N}], ' ')"
+    )
+    g5 = SQL_MD5_INT60.format(
+        e=f"array_to_string(toks[p + 1 : p + {REP_DUP_N}], ' ')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks,
+                  list_filter(string_split(text, chr(10)), x -> x <> '')
+                    AS lines
+           FROM documents),
+g2 AS (SELECT doc_id, {g2} AS h
+       FROM (SELECT doc_id, toks,
+                    unnest(range(0, len(toks) - {REP_TOP_N} + 1)) AS i
+             FROM t WHERE len(toks) >= {REP_TOP_N})),
+cnt2 AS (SELECT doc_id, h, count(*) AS c FROM g2 GROUP BY doc_id, h),
+top2 AS (SELECT doc_id, c FROM (
+           SELECT doc_id, c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, h) AS rk
+           FROM cnt2) WHERE rk = 1),
+w5 AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, {g5} AS h
+       FROM (SELECT doc_id, toks,
+                    unnest(range(0, len(toks) - {REP_DUP_N} + 1)) AS p
+             FROM t WHERE len(toks) >= {REP_DUP_N})),
+dup5 AS (SELECT doc_id, pos FROM w5
+         JOIN (SELECT doc_id, h FROM w5 GROUP BY doc_id, h
+               HAVING count(*) >= 2) d USING (doc_id, h)),
+cov5 AS (SELECT doc_id, count(DISTINCT q) AS covered
+         FROM (SELECT doc_id, unnest(range(pos, pos + {REP_DUP_N})) AS q
+               FROM dup5)
+         GROUP BY doc_id),
+ln AS (SELECT doc_id, CAST(len(lines) AS DOUBLE) AS n_lines,
+              CAST(len(list_distinct(lines)) AS DOUBLE) AS n_distinct
+       FROM t)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       {sql_rn(f"coalesce(top2.c, 0) * {REP_TOP_N}.0"
+               " / greatest(len(t.toks), 1)", 4)} AS top2gram_frac,
+       {sql_rn("coalesce(cov5.covered, 0) * 1.0"
+               " / greatest(len(t.toks), 1)", 4)} AS dup5gram_frac,
+       {sql_rn("CASE WHEN ln.n_lines <= 1 THEN 0.0"
+               " ELSE 1.0 - ln.n_distinct / ln.n_lines END", 4)}
+         AS dup_line_frac
+FROM t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN cov5 USING (doc_id)
+JOIN ln ON ln.doc_id = t.doc_id
+"""
+
+
+REPETITION_SIGNALS_ORACLE = _build_repetition_oracle()
+
+
+@register(
+    "repetition_signals", REPETITION_SIGNALS_ORACLE, tags=("text", "quality")
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals — the Gopher /
+    MassiveText repetition rules (Rae et al. 2021, App. A), the filter
+    family that removes degenerate boilerplate/spam BEFORE corpus-level
+    dedup ever runs:
+
+    - ``top2gram_frac``  — tokens claimed by the single most common
+      2-token gram over doc tokens (ties to the smallest gram hash; can
+      exceed 1.0 on degenerate overlap like "a a a a", exactly as the
+      published char-fraction can — thresholds sit well below 1);
+    - ``dup5gram_frac``  — fraction of token POSITIONS covered by a
+      5-gram occurring >= 2x within the doc (coverage grain, so
+      overlapping duplicate windows are not double-counted);
+    - ``dup_line_frac``  — 1 − distinct/total over non-empty newline
+      lines (0 when the doc has <= 1 line).
+
+    The published rules measure character fractions; these are the
+    token/position-grain equivalents (the corpus tokenizer is the
+    engine's declared unit — same substitution every op here makes).
+    Gram identity is the shared md5-int60 hash space, as in
+    ngram_jaccard/contamination_13gram.
+
+    Scale shape: one corpus scan persists the tokenized relation
+    (DISK_ONLY — token arrays never to heap); each signal is a
+    (doc_id, gram)-keyed aggregate — WITHIN-doc grain, so every shuffle
+    key embeds doc_id and skew is bounded by the longest single
+    document, not by corpus-wide gram frequency (unlike the cross-doc
+    dedup family, no hot-gram problem exists here by construction).
+    All fractions are exact-integer ratios rounded at 4 dp on both
+    engines.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.hashing import SPARK_MD5_INT60
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tracked_persist(
+        docs.select(
+            "doc_id",
+            tokens_lower(F.col("text")).alias("toks"),
+            F.filter(
+                F.split(F.col("text"), "\n"), lambda x: x != ""
+            ).alias("lines"),
+        ),
+        level=StorageLevel.DISK_ONLY,
+    )
+
+    def gram_expr(n: int) -> str:
+        h = SPARK_MD5_INT60.format(
+            e=f"concat_ws(' ', slice(toks, i + 1, {n}))"
+        )
+        return (
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> struct(CAST(i AS BIGINT) AS pos, {h} AS h))"
+        )
+
+    g2 = (
+        t.filter(F.size("toks") >= REP_TOP_N)
+        .select("doc_id", F.explode(F.expr(gram_expr(REP_TOP_N))).alias("s"))
+        .select("doc_id", F.col("s.h").alias("h"))
+    )
+    top2 = (
+        g2.groupBy("doc_id", "h")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), (-F.col("h")).alias("nh"))
+            ).alias("m")
+        )
+        .select("doc_id", F.col("m.c").alias("top_c"))
+    )
+
+    w5 = (
+        t.filter(F.size("toks") >= REP_DUP_N)
+        .select("doc_id", F.explode(F.expr(gram_expr(REP_DUP_N))).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_h = (
+        w5.groupBy("doc_id", "h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "h")
+    )
+    cov5 = (
+        w5.join(dup_h, ["doc_id", "h"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + REP_DUP_N - 1)
+            ).alias("q"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+
+    n_toks = F.greatest(F.size("toks"), F.lit(1)).cast("double")
+    n_lines = F.size("lines").cast("double")
+    n_dlines = F.size(F.array_distinct("lines")).cast("double")
+    return (
+        t.join(top2, "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            rn(
+                F.coalesce(F.col("top_c"), F.lit(0)) * float(REP_TOP_N)
+                / n_toks,
+                4,
+            ).alias("top2gram_frac"),
+            rn(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / n_toks,
+                4,
+            ).alias("dup5gram_frac"),
+            rn(
+                F.when(n_lines <= 1, F.lit(0.0)).otherwise(
+                    F.lit(1.0) - n_dlines / n_lines
+                ),
+                4,
+            ).alias("dup_line_frac"),
+        )
+    )

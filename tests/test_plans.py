@@ -720,6 +720,7 @@ EXCHANGE_BUDGET = {
     "bloom_probe": 3,
     "bm25_search": 4,
     "hybrid_search": 4,
+    "repetition_signals": 6,  # measured 5; +-1 with cache state
     "bpe_encode": 2,
     "bpe_merges": 0,
     "broadcast_join": 0,

@@ -255,3 +255,41 @@ def test_bm25_matches_independent_python_implementation(spark):
         assert row.doc_id == d
         assert row.n_terms == nt
         assert abs(row.score - sc) < 1e-9, (d, row.score, sc)
+
+
+def test_repetition_signals_planted(spark):
+    """Gopher repetition rules on planted degenerates: a doc that is one
+    5-gram repeated is fully covered (dup5gram_frac == 1.0) with an
+    over-unity top-2-gram fraction; a doc of repeated lines reports the
+    surplus-line fraction; a clean doc reports zeros."""
+    docs = spark.createDataFrame(
+        [
+            # 12 tokens, all "a": every 5-window duplicated; "a a" occurs
+            # 11x -> top2 = 22/12
+            (1, " ".join(["a"] * 12)),
+            # 3 lines, two identical -> dup_line_frac = 1 - 2/3
+            (2, "x y z\nx y z\nq r s"),
+            # all-distinct tokens, single line -> zeros
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    from simpletons_map_reduce_spark.queries.text_ops import (
+        repetition_signals,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        rows = {
+            r.doc_id: r for r in repetition_signals(spark, d).collect()
+        }
+    assert rows[1].dup5gram_frac == 1.0
+    assert rows[1].top2gram_frac == round(22 / 12, 4)
+    assert rows[2].dup_line_frac == round(1 - 2 / 3, 4)
+    assert rows[2].dup5gram_frac == 0.0
+    assert rows[3].top2gram_frac == round(2 / 10, 4)  # every 2-gram once
+    assert rows[3].dup5gram_frac == 0.0
+    assert rows[3].dup_line_frac == 0.0
