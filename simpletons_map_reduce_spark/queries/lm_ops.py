@@ -556,24 +556,35 @@ def duplicated_spans_keep_first(t: DataFrame, w: int = SUBSTR_W) -> DataFrame:
     (doc_id, pos) order.  Marked positions then merge into maximal runs
     exactly as in :func:`duplicated_spans`.
 
-    Scale shape: the first-occurrence is computed with a map-side
-    combinable ``min(struct(doc_id, pos))`` hash aggregate — NOT a
-    row_number window — so a boilerplate window occurring 10^6 times
-    costs one partial min per input partition, never a 10^6-row sorted
-    partition (the skew the oracle-side window formulation would hit).
+    Scale shape: the duplicated-hash set comes from the SAME 8-byte-buffer
+    count aggregate the remove-all variant runs (proven at sf100 — 700M
+    windows, 24g heap), and only then does the ``min(struct(doc_id,
+    pos))`` first-occurrence aggregate run, confined to the DUPLICATED
+    occurrences.  The first formulation ran the struct-min over every
+    distinct window hash in the corpus — a ~3× aggregation-buffer
+    inflation across ~600M keys that OOM'd the round-9 sf100 sweep where
+    the count aggregate survives; on natural corpora the duplicated mass
+    is a small fraction of the corpus, so the struct-min now aggregates
+    orders of magnitude fewer keys.  Both aggregates are map-side
+    combinable — never a row_number window, so a boilerplate window
+    occurring 10^6 times costs one partial min per input partition, not
+    a 10^6-row sorted partition (the skew the oracle-side window
+    formulation would hit).  All three joins key on ``h``, so one
+    exchange of the window relation serves the whole chain.
     """
     hh = _window_hashes(t, w)
-    firsts = (
+    dup_h = (
         hh.groupBy("h")
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-            F.count("*").alias("c"),
-        )
+        .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
-        .select("h", "first")
+        .select("h")
+    )
+    dup_occ = hh.join(dup_h, "h")
+    firsts = dup_occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
     dup = (
-        hh.join(firsts, "h")
+        dup_occ.join(firsts, "h")
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))

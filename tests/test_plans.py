@@ -843,7 +843,10 @@ EXCHANGE_BUDGET = {
     "stream_parity_stateful": 24,
     "substring_dedup": 2,
     "substring_dedup_apply": 2,
-    "substring_dedup_keep_one": 2,
+    # dup-count agg + dup-occurrence joins + first-occurrence agg (the
+    # sf100 OOM fix confines the struct-min to the duplicated mass at the
+    # cost of two extra same-key exchanges)
+    "substring_dedup_keep_one": 4,
     "supplier_classes": 3,
     "supplier_revenue": 2,
     "table_checks": 6,

@@ -95,6 +95,43 @@ def _embedding_dedup_ann_t95_indexed(spark, sf_dir):
     return embedding_dedup_ann_pairs(emb, 0.95, index=index)
 
 
+def _substring_keep_one_sum(spark, sf_dir):
+    # count() answers from metadata (the redaction's per-doc left joins
+    # are unique-keyed, so Catalyst prunes them — the substring_dedup_apply
+    # measurement note in SCALE.md); aggregate the accounting columns so
+    # the sweep actually executes the redaction.  The runner's count()
+    # ALSO constant-folds "count of a global aggregate = 1" without
+    # executing the child (measured: 1.7 s vs the real 375 s at sf100),
+    # so a value-dependent filter pins the aggregate into the plan.
+    from pyspark.sql import functions as F
+
+    return (
+        REGISTRY["substring_dedup_keep_one"].fn(spark, sf_dir)
+        .agg(
+            F.sum("n_removed").alias("sum_removed"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.coalesce(F.col("sum_removed"), F.lit(0)) >= -1)
+    )
+
+
+def _repetition_signals_sum(spark, sf_dir):
+    # same two hazards as _substring_keep_one_sum (join pruning under a
+    # bare count(); count-of-global-agg constant folding).
+    from pyspark.sql import functions as F
+
+    return (
+        REGISTRY["repetition_signals"].fn(spark, sf_dir)
+        .agg(
+            F.sum("top2gram_frac").alias("s1"),
+            F.sum("dup5gram_frac").alias("s2"),
+            F.sum("dup_line_frac").alias("s3"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.coalesce(F.col("s1"), F.lit(0.0)) >= -1.0)
+    )
+
+
 #: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
 #: runner table-driven — an op name in a SCALE/BENCH report either exists
 #: in REGISTRY or is defined here, never as a loop special case).
@@ -103,6 +140,8 @@ EXTRA_OPS = {
     "ivf_index_build": _ivf_index_build,
     "knn_classify_ann_indexed": _knn_classify_ann_indexed,
     "embedding_dedup_ann_t95_indexed": _embedding_dedup_ann_t95_indexed,
+    "substring_dedup_keep_one_sum": _substring_keep_one_sum,
+    "repetition_signals_sum": _repetition_signals_sum,
 }
 
 
