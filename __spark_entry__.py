@@ -61,11 +61,11 @@ _PRIORITY = [
     "range_join", "asof_join", "hash_join", "broadcast_join", "semi_join",
     "anti_join", "quarter_recon", "salted_join", "salted_window_rank",
     "union_except", "intersect_op", "rollup_agg", "cube_agg",
-    "grouping_sets", "distinct_agg", "shipping_priority",
+    "grouping_sets", "distinct_agg",
     # round-9 new ops (hash gate / rows-only on first appearance)
     "substring_dedup_keep_one", "stream_parity_stateful",
-    "stream_parity_chained", "ann_ivf_indexed", "hybrid_search",
-    "repetition_signals",
+    "stream_parity_chained", "stream_parity_extended",
+    "ann_ivf_indexed", "hybrid_search", "repetition_signals",
 ]
 
 

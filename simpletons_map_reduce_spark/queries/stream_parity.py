@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rn
 from ..sources.tables import load_table
 from .events import EVENTS_HOPPING_ORACLE, EVENTS_TUMBLING_ORACLE
 from .events import events_hopping, events_tumbling
@@ -353,13 +354,14 @@ def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
       batch: bit-for-bit (depth, bucket, c) equality, the oracle pinning
       the populated-cell count via the shared md5-int60 cell hash.
 
-    With ``stream_parity_report`` (windows + dedup) and
-    ``stream_parity_stateful`` (custom state machines), 9 of 15
-    streaming twins now report under the driver's value-hash gate; the
-    remainder are behavioral variants (TTL eviction, enrichment,
-    media/bloom arrival-order contracts) pinned by their dedicated
-    pytest differentials.  At 100 TB each comparison joins bounded
-    relations: days, attribution pairs, and a ≤ d×w-row sketch.
+    With ``stream_parity_report`` (windows + dedup),
+    ``stream_parity_stateful`` (custom state machines), and
+    ``stream_parity_extended`` (sessions/enrichment/media), 12 of 15
+    streaming twins report under the driver's value-hash gate; the
+    remaining 3 are behavioral TTL/arrival-order contracts pinned by
+    their dedicated pytest differentials.  At 100 TB each comparison
+    joins bounded relations: days, attribution pairs, a ≤ d×w-row
+    sketch.
     """
     from ..streaming import run_to_memory
     from ..streaming.events_stream import dau_stream
@@ -431,4 +433,152 @@ def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(m_attr))
         .crossJoin(F.broadcast(n_cms))
         .crossJoin(F.broadcast(m_cms))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_parity_extended: session windows, stream-static join, media decode
+# ---------------------------------------------------------------------------
+
+def _build_extended_oracle() -> str:
+    """Oracle for stream_parity_extended, composing events_sessionize's
+    own CTE chain for the expected session count."""
+    from .events import EVENTS_SESSIONIZE_ORACLE
+
+    return f"""
+WITH sess AS ({EVENTS_SESSIONIZE_ORACLE})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+       CAST(0 AS BIGINT) AS session_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_enriched,
+       CAST(0 AS BIGINT) AS enrich_mismatch,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_media,
+       CAST(0 AS BIGINT) AS media_mismatch
+"""
+
+
+STREAM_PARITY_EXTENDED_ORACLE = _build_extended_oracle()
+
+
+@register(
+    "stream_parity_extended", STREAM_PARITY_EXTENDED_ORACLE, tags=("streaming",)
+)
+def stream_parity_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth parity report: session windows, the stream-STATIC join, and
+    the Arrow media-decode twin under the OFFICIAL hash gate.
+
+    - ``sessionize_stream``  (Spark's stateful merging ``session_window``
+      operator — a DIFFERENT algorithm from the batch lag/cumsum
+      sessionizer, which is exactly why it needs its own gate) ≡ batch
+      ``events_sessionize``: per (user, session_start) existence + exact
+      n_events equality;
+    - ``enrich_stream``      (stream-static broadcast enrichment, zero
+      state) ≡ the identical batch join: per-event segment equality;
+    - ``media_stream``       (readStream → Arrow decode kernel) ≡ batch
+      ``media_features``: per-media (width, height, rounded f0..f7)
+      null-safe struct equality — the kernel is shared verbatim, so any
+      drift is a harness bug, which is what a parity gate is for.
+
+    With the other three reports, 12 of 15 streaming twins sit under the
+    driver's value-hash gate; the remaining 3 are behavioral TTL/
+    arrival-order contracts with no batch-equal output by design, pinned
+    by dedicated pytest differentials.
+    """
+    from ..streaming import run_to_memory
+    from ..streaming.events_stream import sessionize_stream
+    from ..streaming.join_stream import enrich_stream
+    from ..streaming.media_stream import media_stream
+    from .events import events_sessionize
+    from .multimodal_ops import N_FEATS, media_features
+
+    # --- session windows -------------------------------------------------
+    sw = run_to_memory(
+        sessionize_stream(spark, sf_dir), _fresh(spark, "spe_session")
+    )
+    s_final = sw.select(
+        "user_id", "session_start", F.col("n_events").alias("s_n")
+    )
+    b_sess = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", F.col("n_events").alias("b_n")
+    )
+    n_sess = s_final.agg(F.count("*").cast("long").alias("n_sessions"))
+    m_sess = (
+        s_final.join(b_sess, ["user_id", "session_start"], "full_outer")
+        .filter(
+            F.col("s_n").isNull()
+            | F.col("b_n").isNull()
+            | (F.col("s_n") != F.col("b_n"))
+        )
+        .agg(F.count("*").cast("long").alias("session_mismatch"))
+    )
+
+    # --- stream-static enrichment ----------------------------------------
+    ew = run_to_memory(
+        enrich_stream(spark, sf_dir), _fresh(spark, "spe_enrich")
+    )
+    b_enrich = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                )
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("b_segment"),
+        )
+    )
+    n_enrich = ew.agg(F.count("*").cast("long").alias("n_enriched"))
+    m_enrich = (
+        ew.select("event_id", "segment")
+        .join(b_enrich, "event_id", "full_outer")
+        .filter(
+            F.col("segment").isNull()
+            | F.col("b_segment").isNull()
+            | (F.col("segment") != F.col("b_segment"))
+        )
+        .agg(F.count("*").cast("long").alias("enrich_mismatch"))
+    )
+
+    # --- media decode -----------------------------------------------------
+    mw = run_to_memory(
+        media_stream(spark, sf_dir), _fresh(spark, "spe_media")
+    )
+    s_media = mw.select(
+        "media_id",
+        F.struct(
+            F.col("width"),
+            F.col("height"),
+            *[
+                rn(F.element_at("feature", k + 1).cast("double"), 4).alias(
+                    f"f{k}"
+                )
+                for k in range(N_FEATS)
+            ],
+        ).alias("s_row"),
+    )
+    b_media = media_features(spark, sf_dir).select(
+        "media_id",
+        F.struct(
+            F.col("width"),
+            F.col("height"),
+            *[F.col(f"f{k}") for k in range(N_FEATS)],
+        ).alias("b_row"),
+    )
+    n_media = s_media.agg(F.count("*").cast("long").alias("n_media"))
+    m_media = (
+        s_media.join(b_media, "media_id", "full_outer")
+        .filter(~F.col("s_row").eqNullSafe(F.col("b_row")))
+        .agg(F.count("*").cast("long").alias("media_mismatch"))
+    )
+
+    return (
+        n_sess.crossJoin(F.broadcast(m_sess))
+        .crossJoin(F.broadcast(n_enrich))
+        .crossJoin(F.broadcast(m_enrich))
+        .crossJoin(F.broadcast(n_media))
+        .crossJoin(F.broadcast(m_media))
     )

@@ -833,6 +833,7 @@ EXCHANGE_BUDGET = {
     "stats_moments": 1,
     "stratified_sample": 1,
     "stream_parity_chained": 16,  # measured 14; ±2 with cache state
+    "stream_parity_extended": 15,  # measured 13; ±2 with cache state
     "stream_parity_report": 14,
     # three full-outer parity joins (funnel per-user, totals per-user,
     # near-dup pairs) + the batch twins they embed — an observability
@@ -938,6 +939,7 @@ BROADCAST_BUDGET = {
     "shipping_priority": 1,
     "similarity_topk": 1,
     "stream_parity_chained": 5,
+    "stream_parity_extended": 6,
     "stream_parity_report": 5,
     "stream_parity_stateful": 5,
     "supplier_classes": 2,

@@ -240,3 +240,21 @@ def test_stream_parity_chained_all_green(spark):
     assert row.n_dau_days == n_days > 0
     assert row.n_attr_pairs == click_attribution(spark, SF0001).count() > 0
     assert row.n_cms_cells > 0
+
+
+def test_stream_parity_extended_all_green(spark):
+    """The session/enrichment/media gate reports zero mismatches on
+    sf0.001, with cardinalities equal to the batch values."""
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    row = REGISTRY["stream_parity_extended"].fn(spark, SF0001).collect()[0]
+    assert row.session_mismatch == 0
+    assert row.enrich_mismatch == 0
+    assert row.media_mismatch == 0
+    assert (
+        row.n_sessions
+        == REGISTRY["events_sessionize"].fn(spark, SF0001).count()
+        > 0
+    )
+    assert row.n_enriched == load_table(spark, SF0001, "events").count()
+    assert row.n_media == load_table(spark, SF0001, "documents").count()
