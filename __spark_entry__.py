@@ -60,12 +60,13 @@ _PRIORITY = [
     "pricing_summary", "region_revenue", "window_rank", "topk_orders",
     "range_join", "asof_join", "hash_join", "broadcast_join", "semi_join",
     "anti_join", "quarter_recon", "salted_join", "salted_window_rank",
-    "union_except", "intersect_op", "rollup_agg", "cube_agg",
+    "union_except", "rollup_agg", "cube_agg",
     "grouping_sets", "distinct_agg",
     # round-9 new ops (hash gate / rows-only on first appearance)
     "substring_dedup_keep_one", "stream_parity_stateful",
     "stream_parity_chained", "stream_parity_extended",
-    "ann_ivf_indexed", "hybrid_search", "repetition_signals",
+    "ann_ivf_indexed", "ann_pq_indexed", "hybrid_search",
+    "repetition_signals",
 ]
 
 

@@ -94,6 +94,79 @@ def load_ivf_index(
     return cents, assigned, int(meta.k)
 
 
+def write_pq_index(emb: DataFrame, index_dir: str) -> None:
+    """Build the PQ index over a (vec_id, v, nv) relation and persist it:
+    the per-subspace codebooks plus the ENCODED corpus (PQ_M uint8-range
+    codes per vector — the 64× compression that lets a 100 TB embedding
+    corpus live in cluster memory).  The encode pass — the O(n·k) term —
+    is paid here once; probes stream the 8-byte-code relation only."""
+    from ..functions.vectorized import np_pq_encode, pq_train_codebook
+    from ..queries.similarity_ops import PQ_K, PQ_M
+
+    cb_path = f"{index_dir}/pq_codebook.parquet"
+    (
+        pq_train_codebook(emb, PQ_M, PQ_K)
+        .select("sub", "code", "center")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cb_path)
+    )
+    np_pq_encode(emb, cb_path).write.mode("overwrite").parquet(
+        f"{index_dir}/pq_codes.parquet"
+    )
+    n = emb.count()
+    meta = emb.sparkSession.createDataFrame(
+        [(n, PQ_M, PQ_K)], "n BIGINT, m BIGINT, k BIGINT"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/pq_meta.parquet"
+    )
+
+
+def load_pq_index(
+    spark: SparkSession, index_dir: str, expect_n: int | None = None
+) -> tuple[str, DataFrame]:
+    """(codebook_path, codes relation) with the same staleness contract
+    as :func:`load_ivf_index`."""
+    meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
+    if expect_n is not None and meta.n != expect_n:
+        raise ValueError(
+            f"stale PQ index at {index_dir}: built over n={meta.n}, "
+            f"corpus now has n={expect_n} — rebuild with write_pq_index"
+        )
+    return (
+        f"{index_dir}/pq_codebook.parquet",
+        spark.read.parquet(f"{index_dir}/pq_codes.parquet"),
+    )
+
+
+def pq_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[str, DataFrame]:
+    """Cache-or-build PQ index for ``sf_dir``'s embeddings — shares the
+    per-corpus artifact directory with :func:`ivf_index_for` (one ingest
+    directory per corpus; IVF and PQ files coexist independently)."""
+    from ..caching import tracked_persist
+    from ..queries.similarity_ops import _emb_with_norm
+
+    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    name = Path(sf_dir.rstrip("/")).name or "corpus"
+    index_dir = str(Path(root) / f"{name}-n{n}")
+    if force or not Path(f"{index_dir}/pq_meta.parquet").exists():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = tracked_persist(
+            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+            level=StorageLevel.DISK_ONLY,
+        )
+        write_pq_index(emb, index_dir)
+    return load_pq_index(spark, index_dir, expect_n=n)
+
+
 def ivf_index_for(
     spark: SparkSession,
     sf_dir: str,

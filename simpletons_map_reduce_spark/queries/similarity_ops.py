@@ -780,6 +780,15 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_path = write_pq_queries(queries)
     codes = np_pq_encode(emb, model_path)
     cand = np_pq_scan(codes, model_path, queries_path, PQ_TOP_C)
+    return _pq_rank(emb, queries, cand)
+
+
+def _pq_rank(
+    emb: DataFrame, queries: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shared ADC→exact-rescore tail of the PQ search paths: global top-C
+    cut over the per-partition candidates, exact JVM cosine re-rank of
+    the ≤ queries×C survivors (emitted scores are true cosines)."""
     cw = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
     survivors = (
         cand.withColumn("crk", F.row_number().over(cw))
@@ -808,6 +817,42 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+@register("ann_pq_indexed", None, tags=("similarity",))
+def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq`` through the build-once/probe-many PQ index artifact
+    (operators/ann_index.py::write_pq_index).
+
+    First invocation per corpus trains the codebooks and ENCODES the
+    corpus once (the O(n·k) pass), persisting codebooks + the 8-byte
+    code relation; every later invocation streams the code parquet
+    straight into the ADC scan — the probe plan carries exactly ONE
+    Arrow stage (the scan kernel itself; PQ's lookup-table scan is
+    Arrow-native by design) and no training or encode stage (pinned in
+    tests/test_ann_index.py).  Search parameters and output are
+    identical to ``ann_pq`` (shared ``_pq_rank`` tail; codebook training
+    is deterministic, so the equality is exact and pytest-pinned) —
+    same rows-only evidence class.  Together with ``ann_ivf_indexed``
+    this completes the index-as-artifact story: IVF cuts which vectors a
+    query touches, PQ cuts what each vector costs, and both builds are
+    paid once per corpus ingest.
+    """
+    from ..functions.vectorized import np_pq_scan, write_pq_queries
+    from ..operators.ann_index import pq_index_for
+
+    cb_path, codes = pq_index_for(spark, sf_dir)
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    queries_path = write_pq_queries(queries)
+    cand = np_pq_scan(codes, cb_path, queries_path, PQ_TOP_C)
+    return _pq_rank(emb, queries, cand)
 
 
 BINARY_META_ORACLE = """

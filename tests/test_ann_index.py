@@ -177,3 +177,36 @@ def test_dedup_pairs_index_path_matches_self_built(spark):
             ).collect()
         }
     assert idx_pairs == self_pairs
+
+
+def test_pq_indexed_equals_self_built_and_probe_has_one_arrow_stage(spark):
+    """ann_pq_indexed is a materialization of ann_pq's build: identical
+    rows (deterministic codebook training), and the probe plan carries
+    exactly ONE Arrow stage — the ADC scan kernel itself — with no
+    training or encode stage."""
+    a = sorted(map(tuple, REGISTRY["ann_pq"].fn(spark, SF0001).collect()))
+    b = sorted(
+        map(tuple, REGISTRY["ann_pq_indexed"].fn(spark, SF0001).collect())
+    )
+    assert a == b and len(a) > 0
+    df = REGISTRY["ann_pq_indexed"].fn(spark, SF0001)  # artifact now cached
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    # the self-built path encodes in-plan: 2 Arrow stages (encode + scan)
+    df2 = REGISTRY["ann_pq"].fn(spark, SF0001)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInPandas") == 2, plan2
+
+
+def test_pq_stale_index_refuses_to_load(spark, tmp_path):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        load_pq_index,
+        write_pq_index,
+    )
+
+    emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    write_pq_index(emb, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="stale PQ index"):
+        load_pq_index(
+            spark, str(tmp_path / "idx"), expect_n=emb.count() + 1
+        )

@@ -708,6 +708,7 @@ EXCHANGE_BUDGET = {
     "ann_ivf_indexed": 1,
     "ann_lsh": 2,
     "ann_pq": 2,
+    "ann_pq_indexed": 2,
     "ann_recall_report": 10,
     "anomaly_mad": 3,
     "anti_join": 0,
@@ -903,6 +904,7 @@ BROADCAST_BUDGET = {
     "ann_ivf_indexed": 1,
     "ann_lsh": 1,
     "ann_pq": 2,
+    "ann_pq_indexed": 2,
     "ann_recall_report": 7,
     "anomaly_mad": 3,
     "bloom_probe": 1,
