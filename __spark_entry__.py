@@ -66,7 +66,7 @@ _PRIORITY = [
     "substring_dedup_keep_one", "stream_parity_stateful",
     "stream_parity_chained", "stream_parity_extended",
     "ann_ivf_indexed", "ann_pq_indexed", "hybrid_search",
-    "repetition_signals",
+    "repetition_signals", "dsir_weights", "dsir_select",
 ]
 
 

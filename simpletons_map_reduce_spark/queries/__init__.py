@@ -29,5 +29,6 @@ from . import multimodal_ops  # noqa: E402,F401
 from . import layout_ops  # noqa: E402,F401
 from . import tokenizer_ops  # noqa: E402,F401
 from . import stream_parity  # noqa: E402,F401
+from . import dsir_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -747,6 +747,8 @@ EXCHANGE_BUDGET = {
     "disjunctive_filter": 1,
     "distinct_agg": 2,
     "doc_chunks": 0,
+    "dsir_weights": 4,
+    "dsir_select": 4,
     "doc_fingerprint": 1,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
@@ -916,6 +918,8 @@ BROADCAST_BUDGET = {
     "corpus_balance": 1,
     "customer_deciles": 1,
     "disjunctive_filter": 1,
+    "dsir_weights": 2,
+    "dsir_select": 3,
     "embedding_dedup": 2,
     "incremental_join": 2,
     "key_skew_profile": 1,
