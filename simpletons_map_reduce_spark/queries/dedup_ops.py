@@ -221,6 +221,28 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_pairs(docs)
 
 
+@register("near_dedup_indexed", NEAR_DEDUP_ORACLE, tags=("dedup",))
+def near_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dedup served off the persisted MinHash signature artifact.
+
+    Identical output (and the SAME DuckDB oracle) as ``near_dedup``, but
+    the shingle sets and LSH band relation come from the write-once
+    parquet index (operators/minhash_index.py) instead of being
+    recomputed — tokenization, per-token md5, gram combination, and the
+    NUM_PERM min-permutation kernel do not run (no MapInPandas stage in
+    the probe plan; pinned in tests/test_minhash_index.py).  This is the
+    production shape at 100 TB: signatures are computed once at ingest,
+    and every dedup/incremental-probe query reads them as ordinary
+    parquet relations.
+    """
+    from ..operators.minhash_index import minhash_index_for
+
+    shs, bands = minhash_index_for(spark, sf_dir)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(_band_collisions(kept), kept, "doc_a", "doc_b")
+    return _bucket_verified(assigned, shs, "doc_a", "doc_b")
+
+
 def near_dedup_pairs(
     docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:
@@ -498,14 +520,22 @@ def _lsh_kept(shs: DataFrame, bucket_cap: int) -> DataFrame:
     bands = np_minhash_bands(
         shs.select("doc_id", "hl"), minhash_params(NUM_PERM), BAND_ROWS
     )
-    # Hot-bucket cap: count bucket membership with a window on the exact keys
-    # the self-join shuffles on (one exchange, reused by the join), then drop
-    # buckets outside [2, bucket_cap] — singletons can't pair, hot buckets
-    # would explode quadratically.  Persist the surviving relation: both
-    # sides of the self-join consume it, and the md5 + NUM_PERM min-folds
-    # over every shingle are the dominant map-side cost — computing them
-    # once matters more than the shset cache.  Tiny payload: (doc_id, band,
-    # 4-hash key) × num_bands rows per doc.
+    return kept_from_bands(bands, bucket_cap)
+
+
+def kept_from_bands(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Apply the hot-bucket cap to a (doc_id, band, band_key) relation —
+    shared by the inline path above and the artifact probe path
+    (operators/minhash_index.py), so both cut buckets identically.
+
+    Count bucket membership with a window on the exact keys the self-join
+    shuffles on (one exchange, reused by the join), then drop buckets
+    outside [2, bucket_cap] — singletons can't pair, hot buckets would
+    explode quadratically.  Persist the surviving relation: both sides of
+    the self-join consume it, and (on the inline path) the md5 + NUM_PERM
+    min-folds over every shingle are the dominant map-side cost —
+    computing them once matters more than the shset cache.  Tiny payload:
+    (doc_id, band, 4-hash key) × num_bands rows per doc."""
     bucket_w = Window.partitionBy("band", "band_key")
     return tracked_persist(
         bands.withColumn("bsz", F.count("*").over(bucket_w))

@@ -750,6 +750,7 @@ EXCHANGE_BUDGET = {
     "dsir_weights": 4,
     "dsir_select": 4,
     "doc_fingerprint": 1,
+    "near_dedup_indexed": 5,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
     "embedding_stats": 1,
