@@ -167,6 +167,89 @@ def pq_index_for(
     return load_pq_index(spark, index_dir, expect_n=n)
 
 
+def _hyperplane_checksum(planes: list[list[int]]) -> int:
+    """Order-sensitive integer fingerprint of the ±1 hyperplane matrix —
+    cheap, deterministic, and any seed/geometry change flips it."""
+    acc = 0
+    for i, row in enumerate(planes):
+        for j, v in enumerate(row):
+            acc = (acc * 1_000_003 + (i * len(row) + j + 2) * v) % (2**61 - 1)
+    return acc
+
+
+def write_lsh_index(emb: DataFrame, index_dir: str) -> None:
+    """Build the sign-random-projection band relation over a (vec_id, v,
+    nv) relation and persist it — the signature matmul (the only Arrow
+    stage of the LSH path) is paid here once; probes are pure JVM."""
+    from ..functions.vectorized import np_sign_bands
+    from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
+
+    planes = _hyperplanes()
+    (
+        np_sign_bands(emb, planes, LSH_BAND_BITS)
+        .repartition("band", "bkey")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/lsh_bands.parquet")
+    )
+    n = emb.count()
+    meta = emb.sparkSession.createDataFrame(
+        [(n, LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(planes))],
+        "n BIGINT, nbits BIGINT, band_bits BIGINT, plane_sum BIGINT",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/lsh_meta.parquet"
+    )
+
+
+def load_lsh_index(
+    spark: SparkSession, index_dir: str, expect_n: int | None = None
+) -> DataFrame:
+    """The (vec_id, band, bkey) band relation, refusing stale artifacts:
+    corpus-size mismatch AND hyperplane/geometry mismatch both raise."""
+    from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
+
+    meta = spark.read.parquet(f"{index_dir}/lsh_meta.parquet").collect()[0]
+    if expect_n is not None and meta.n != expect_n:
+        raise ValueError(
+            f"stale LSH index at {index_dir}: built over n={meta.n}, "
+            f"corpus now has n={expect_n} — rebuild with write_lsh_index"
+        )
+    current = (LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(_hyperplanes()))
+    if (meta.nbits, meta.band_bits, meta.plane_sum) != current:
+        raise ValueError(
+            f"LSH index at {index_dir} was built under different "
+            f"hyperplanes/geometry (nbits={meta.nbits}, "
+            f"band_bits={meta.band_bits}) — rebuild"
+        )
+    return spark.read.parquet(f"{index_dir}/lsh_bands.parquet")
+
+
+def lsh_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Cache-or-build, sharing the per-corpus ingest directory with the
+    IVF/PQ (and MinHash) artifacts."""
+    from ..caching import tracked_persist
+    from ..queries.similarity_ops import _emb_with_norm
+
+    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    name = Path(sf_dir.rstrip("/")).name or "corpus"
+    index_dir = str(Path(root) / f"{name}-n{n}")
+    if force or not Path(f"{index_dir}/lsh_meta.parquet").exists():
+        from pyspark.storagelevel import StorageLevel
+
+        emb = tracked_persist(
+            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+            level=StorageLevel.DISK_ONLY,
+        )
+        write_lsh_index(emb, index_dir)
+    return load_lsh_index(spark, index_dir, expect_n=n)
+
+
 def ivf_index_for(
     spark: SparkSession,
     sf_dir: str,

@@ -922,6 +922,32 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the distinct never shuffle 64-dim payloads, just ids and 4-char
     # keys.
     bands = tracked_persist(np_sign_bands(emb, _hyperplanes(), LSH_BAND_BITS))
+    return _lsh_search(emb, bands)
+
+
+@register("ann_lsh_indexed", None, tags=("similarity",))
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh served off the persisted sign-band artifact — completes
+    the index-as-artifact triple (IVF, PQ, LSH).
+
+    Identical output to ``ann_lsh`` by deterministic hyperplanes (pinned
+    in tests/test_ann_index.py); the signature matmul (the one Arrow
+    stage) moves into the write-once build, so the probe plan is PURE
+    JVM — band equi-joins + the fold-cosine rescore, no Python worker at
+    all.  The meta row carries a hyperplane checksum: an artifact built
+    under a different seed/geometry refuses to load rather than silently
+    probing foreign buckets.
+    """
+    from ..operators.ann_index import lsh_index_for
+
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    bands = lsh_index_for(spark, sf_dir)
+    return _lsh_search(emb, bands)
+
+
+def _lsh_search(emb: DataFrame, bands: DataFrame) -> DataFrame:
+    """Shared probe half of ann_lsh / ann_lsh_indexed: multiprobe bucket
+    join over a (vec_id, band, bkey) relation + exact rescore."""
     # Multiprobe: each QUERY band key also probes its 1-bit-flipped
     # neighbors (a near neighbor that just missed a band differs in ~1
     # bit).  Only the tiny query side fans out (×(1+LSH_BAND_BITS)), the

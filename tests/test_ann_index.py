@@ -210,3 +210,28 @@ def test_pq_stale_index_refuses_to_load(spark, tmp_path):
         load_pq_index(
             spark, str(tmp_path / "idx"), expect_n=emb.count() + 1
         )
+
+
+def test_lsh_indexed_equals_inline_and_probe_is_pure_jvm(spark, tmp_path):
+    """ann_lsh_indexed completes the artifact triple: identical output to
+    ann_lsh (deterministic hyperplanes), and the probe plan carries NO
+    Python stage at all — the signature matmul lives in the build."""
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        load_lsh_index,
+        write_lsh_index,
+    )
+
+    a = sorted(map(tuple, REGISTRY["ann_lsh"].fn(spark, SF0001).collect()))
+    b = sorted(
+        map(tuple, REGISTRY["ann_lsh_indexed"].fn(spark, SF0001).collect())
+    )
+    assert a == b and len(a) > 0
+    df = REGISTRY["ann_lsh_indexed"].fn(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(s in plan for s in _PY_STAGES), plan
+
+    # staleness: both the size and the hyperplane fingerprint gate loads
+    emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    write_lsh_index(emb, str(tmp_path / "lsh"))
+    with pytest.raises(ValueError, match="stale LSH index"):
+        load_lsh_index(spark, str(tmp_path / "lsh"), expect_n=emb.count() + 1)

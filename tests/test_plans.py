@@ -707,6 +707,7 @@ EXCHANGE_BUDGET = {
     "ann_ivf": 1,
     "ann_ivf_indexed": 1,
     "ann_lsh": 2,
+    "ann_lsh_indexed": 2,
     "ann_pq": 2,
     "ann_pq_indexed": 2,
     "ann_recall_report": 10,
@@ -906,6 +907,7 @@ BROADCAST_BUDGET = {
     "ann_ivf": 1,
     "ann_ivf_indexed": 1,
     "ann_lsh": 1,
+    "ann_lsh_indexed": 1,
     "ann_pq": 2,
     "ann_pq_indexed": 2,
     "ann_recall_report": 7,
