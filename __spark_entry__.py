@@ -67,7 +67,7 @@ _PRIORITY = [
     "stream_parity_chained", "stream_parity_extended",
     "ann_ivf_indexed", "ann_pq_indexed", "hybrid_search",
     "repetition_signals", "dsir_weights", "dsir_select",
-    "near_dedup_indexed", "ann_lsh_indexed",
+    "near_dedup_indexed", "ann_lsh_indexed", "dedup_incremental_indexed",
 ]
 
 

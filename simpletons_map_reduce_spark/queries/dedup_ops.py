@@ -405,6 +405,41 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental_pairs(docs)
 
 
+@register("dedup_incremental_indexed", DEDUP_INCREMENTAL_ORACLE, tags=("dedup",))
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental served off the MinHash signature artifact — the
+    production ingest loop made literal: the standing corpus's signatures
+    come from the write-once index (operators/minhash_index.py), and ONLY
+    the bucket probe + bucket-local verification run per batch.  Identical
+    output (and the SAME DuckDB oracle) as ``dedup_incremental``; no
+    signature recomputation in the probe plan (MapInPandas-free, pinned in
+    tests/test_minhash_index.py).
+
+    On a real crawler the new batch would be signed fresh and the corpus
+    side read from the artifact; the fixture's batch split is a doc_id
+    predicate over ONE table, so here both sides read the same artifact —
+    the plan shape (probe joins over precomputed band relations) is the
+    production one either way.
+    """
+    from ..operators.minhash_index import minhash_index_for
+
+    shs, bands = minhash_index_for(spark, sf_dir)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
+    corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
+    collisions = new.join(
+        corp,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key")),
+    ).select(
+        F.col("x.doc_id").alias("new_doc"),
+        F.col("y.doc_id").alias("corpus_doc"),
+        F.col("x.band").alias("band"),
+    )
+    assigned = _assign_to_bucket(collisions, kept, "new_doc", "corpus_doc")
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
 def dedup_incremental_pairs(
     docs: DataFrame, bucket_cap: int = MAX_BAND_BUCKET
 ) -> DataFrame:

@@ -57,6 +57,25 @@ def test_indexed_output_equals_inline(spark):
     assert len(a) > 0
 
 
+def test_incremental_indexed_equals_inline(spark):
+    """The production ingest probe: artifact-served incremental dedup
+    matches the inline operator exactly, and its probe plan never
+    recomputes signatures."""
+    a = sorted(
+        map(
+            tuple,
+            REGISTRY["dedup_incremental_indexed"].fn(spark, SF0001).collect(),
+        )
+    )
+    b = sorted(
+        map(tuple, REGISTRY["dedup_incremental"].fn(spark, SF0001).collect())
+    )
+    assert a == b
+    probe = REGISTRY["dedup_incremental_indexed"].fn(spark, SF0001)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+
+
 def test_stale_index_refuses_to_load(spark, tmp_path):
     docs = _docs(spark)
     idx = str(tmp_path / "mh")

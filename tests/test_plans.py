@@ -752,6 +752,7 @@ EXCHANGE_BUDGET = {
     "dsir_select": 4,
     "doc_fingerprint": 1,
     "near_dedup_indexed": 5,
+    "dedup_incremental_indexed": 5,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
     "embedding_stats": 1,
