@@ -279,6 +279,37 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAMINATION_APPLY_ORACLE = f"""
+WITH flagged AS ({CONTAMINATION_13GRAM_ORACLE})
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@register("contamination_apply", CONTAMINATION_APPLY_ORACLE, tags=("pipeline",))
+def contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of 13-gram decontamination: materialize the corpus
+    with every flagged document removed (GPT-3 App. C removes training
+    docs that share a 13-gram with any eval suite; ``contamination_13gram``
+    is the report, this is the surviving corpus a pipeline actually
+    trains on).
+
+    Shared-subquery construction (the substring_dedup_apply trick): the
+    drop list IS the registered report query on both engines, so report
+    and apply can never disagree on the flagged set.  Plan shape: the
+    corpus anti-joins a (doc_id)-distinct drop list that is bounded by
+    contamination mass, not corpus size — tiny in any sane pipeline, so
+    AQE broadcasts it and the apply is one scan; a fully-contaminated
+    corpus degrades to a shuffled anti-join, never a product.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    drop = contamination_13gram(spark, sf_dir).select("doc_id").distinct()
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline_funnel: per-stage survivor counts for the whole pipeline
 # ---------------------------------------------------------------------------

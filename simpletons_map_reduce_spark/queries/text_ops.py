@@ -902,3 +902,80 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_line_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprint: winnowing fingerprint selection (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+#: k-gram size (tokens) for winnowing — the noise threshold: matches
+#: shorter than WINNOW_K tokens are never detected.
+WINNOW_K = 4
+#: window size (gram hashes) — the guarantee threshold: any shared run of
+#: >= WINNOW_W + WINNOW_K - 1 tokens shares at least one fingerprint.
+WINNOW_W = 5
+
+def _winnow_oracle() -> str:
+    from ..functions.hashing import SQL_MD5_INT60
+
+    g = SQL_MD5_INT60.format(
+        e=f"list_aggregate(toks[i:i + {WINNOW_K - 1}], 'string_agg', ' ')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text', lower=True)} AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(1, len(toks) - {WINNOW_K - 2}),
+                            i -> {g}) AS gh
+      FROM t WHERE len(toks) >= {WINNOW_K}),
+f AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(1, len(gh) - {WINNOW_W - 1}) + 1),
+                 j -> list_min(gh[j : j + {WINNOW_W - 1}])))) AS fp
+      FROM g)
+SELECT doc_id, fp FROM f
+"""
+
+
+@register("winnow_fingerprint", _winnow_oracle(), tags=("text",))
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document — the MOSS selection rule
+    (Schleimer, Wilkerson, Aiken, SIGMOD 2003).
+
+    Every document reduces to the DISTINCT minima of a sliding window of
+    WINNOW_W consecutive k-gram hashes: expected density 2/(w+1) of the
+    gram count, with the GUARANTEE that two documents sharing any token
+    run of >= w + k - 1 tokens share at least one fingerprint (the local
+    property ``doc_fingerprint``'s single global min lacks, at a fraction
+    of ``span_dedup``'s fixed-stride emission).  Short docs (>= k tokens
+    but fewer than w grams) emit the min of all their grams — one window.
+
+    Scale shape: pure scan-local array expressions (gram hash, window
+    min, distinct) inside whole-stage codegen; the output relation is the
+    only thing that leaves the scan, at ~2/(w+1) rows per gram.  Zero
+    shuffles, zero Python.  Downstream consumers (clone detection, index
+    build) group this relation by fp — bounded by fingerprint frequency
+    exactly as the published index construction.
+    """
+    from ..functions.hashing import SPARK_MD5_INT60
+
+    gram_hash = SPARK_MD5_INT60.format(
+        e=f"concat_ws(' ', slice(toks, i, {WINNOW_K}))"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", tokens_lower(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= WINNOW_K).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {WINNOW_K - 1}),"
+            f" i -> {gram_hash})"
+        ).alias("gh"),
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(gh) - {WINNOW_W - 1})),"
+            f" j -> array_min(slice(gh, j, {WINNOW_W})))"
+        )
+    )
+    return g.select("doc_id", F.explode(fps).alias("fp"))

@@ -102,3 +102,27 @@ def test_contamination_13gram_planted_collisions(spark, tmp_path):
         (m1, m2): 1,
     }
     assert got == want
+
+
+def test_contamination_apply_is_exact_complement(spark):
+    """The apply op must keep exactly the docs the 13-gram report does
+    not flag — shared-subquery construction means this cannot drift, but
+    the pin guards the anti-join shape itself."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.sources.tables import load_table
+    from tests.conftest import SF001
+
+    flagged = {
+        r.doc_id
+        for r in REGISTRY["contamination_13gram"].fn(spark, SF001).collect()
+    }
+    kept = {
+        r.doc_id
+        for r in REGISTRY["contamination_apply"].fn(spark, SF001).collect()
+    }
+    all_ids = {
+        r.doc_id
+        for r in load_table(spark, SF001, "documents").select("doc_id").collect()
+    }
+    assert kept == all_ids - flagged
+    assert kept and flagged, "fixture should have both survivors and flags"

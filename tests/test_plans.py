@@ -753,6 +753,8 @@ EXCHANGE_BUDGET = {
     "doc_fingerprint": 1,
     "near_dedup_indexed": 5,
     "dedup_incremental_indexed": 5,
+    "winnow_fingerprint": 0,
+    "contamination_apply": 3,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
     "embedding_stats": 1,

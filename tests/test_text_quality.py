@@ -293,3 +293,50 @@ def test_repetition_signals_planted(spark):
     assert rows[3].top2gram_frac == round(2 / 10, 4)  # every 2-gram once
     assert rows[3].dup5gram_frac == 0.0
     assert rows[3].dup_line_frac == 0.0
+
+
+def test_winnow_fingerprint_guarantee_and_density(spark, tmp_path):
+    """Winnowing pins (Schleimer et al. 2003): two docs sharing a token
+    run of >= w+k-1 share at least one fingerprint (the guarantee); docs
+    with no shared k-gram share none; a doc with >= k tokens but fewer
+    than w grams still emits (one whole-list window); selection density
+    on random text sits near the published 2/(w+1) expectation."""
+    import random
+
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.queries.text_ops import WINNOW_K, WINNOW_W
+
+    rng = random.Random(3)
+
+    def words(prefix, n):
+        # letters only: the tokenizer treats digits as separators
+        return [
+            prefix + "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(8))
+            for _ in range(n)
+        ]
+
+    shared = ["shared" + "x" * (i + 1) for i in range(WINNOW_W + WINNOW_K - 1)]
+    docs = {
+        1: words("a", 30) + shared + words("a", 30),
+        2: words("b", 30) + shared + words("b", 30),
+        3: words("c", 60),                      # disjoint from everything
+        4: words("d", WINNOW_K),                # exactly one k-gram
+        5: words("e", 400),                     # density measurement
+    }
+    t = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id BIGINT, text STRING",
+    )
+    t.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["winnow_fingerprint"].fn(spark, str(tmp_path)).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert len(by_doc[4]) == 1
+    n_grams = 400 - WINNOW_K + 1
+    density = len(by_doc[5]) / n_grams
+    expect = 2.0 / (WINNOW_W + 1)
+    assert 0.5 * expect <= density <= 1.5 * expect, density

@@ -132,6 +132,23 @@ def _repetition_signals_sum(spark, sf_dir):
     )
 
 
+def _minhash_index_build(spark, sf_dir):
+    # the write-once signature build (round 9); returns the band relation
+    # so count() forces a full read-back of the written artifact.
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        minhash_index_for,
+    )
+
+    shs, bands = minhash_index_for(spark, sf_dir, force=True)
+    return bands
+
+
+def _lsh_index_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import lsh_index_for
+
+    return lsh_index_for(spark, sf_dir, force=True)
+
+
 #: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
 #: runner table-driven — an op name in a SCALE/BENCH report either exists
 #: in REGISTRY or is defined here, never as a loop special case).
@@ -142,6 +159,8 @@ EXTRA_OPS = {
     "embedding_dedup_ann_t95_indexed": _embedding_dedup_ann_t95_indexed,
     "substring_dedup_keep_one_sum": _substring_keep_one_sum,
     "repetition_signals_sum": _repetition_signals_sum,
+    "minhash_index_build": _minhash_index_build,
+    "lsh_index_build": _lsh_index_build,
 }
 
 
