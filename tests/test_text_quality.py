@@ -340,3 +340,44 @@ def test_winnow_fingerprint_guarantee_and_density(spark, tmp_path):
     density = len(by_doc[5]) / n_grams
     expect = 2.0 / (WINNOW_W + 1)
     assert 0.5 * expect <= density <= 1.5 * expect, density
+
+
+def test_winnow_fingerprint_matches_independent_python(spark, tmp_path):
+    """Differential vs a from-scratch pure-Python winnower on random
+    corpora — pins the whole chain (tokenize, k-gram hash, window min,
+    distinct) beyond the fixture shapes the oracle sweep covers."""
+    import hashlib
+    import random
+
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from simpletons_map_reduce_spark.queries.text_ops import WINNOW_K, WINNOW_W
+
+    def py_winnow(text: str) -> set[int]:
+        # replicate the engine tokenizer: maximal unicode-letter runs,
+        # lowercased
+        import re
+
+        toks = [t.lower() for t in re.findall(r"[^\W\d_]+", text, re.UNICODE)]
+        if len(toks) < WINNOW_K:
+            return set()
+        ghs = []
+        for i in range(len(toks) - WINNOW_K + 1):
+            g = " ".join(toks[i : i + WINNOW_K])
+            ghs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+        m = max(1, len(ghs) - WINNOW_W + 1)
+        return {min(ghs[j : j + WINNOW_W]) for j in range(m)}
+
+    rng = random.Random(11)
+    vocab = ["".join(rng.choice("abcdefgh") for _ in range(3)) for _ in range(40)]
+    docs = []
+    for d in range(30):
+        n = rng.randrange(0, 60)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    t = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    t.write.parquet(str(tmp_path / "documents.parquet"))
+    got: dict[int, set[int]] = {}
+    for r in REGISTRY["winnow_fingerprint"].fn(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    want = {d: py_winnow(text) for d, text in docs}
+    want = {d: s for d, s in want.items() if s}
+    assert got == want

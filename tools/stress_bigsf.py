@@ -132,6 +132,23 @@ def _repetition_signals_sum(spark, sf_dir):
     )
 
 
+def _dsir_weights_sum(spark, sf_dir):
+    # same constant-fold hazards as _substring_keep_one_sum: a bare
+    # count() of the doc-grain aggregate can prune the logw sum — the
+    # expensive column — so aggregate it behind a value-dependent filter.
+    from pyspark.sql import functions as F
+
+    return (
+        REGISTRY["dsir_weights"].fn(spark, sf_dir)
+        .agg(
+            F.sum("logw").alias("s"),
+            F.sum("n_grams").alias("g"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.coalesce(F.col("s"), F.lit(0.0)) >= -1e18)
+    )
+
+
 def _minhash_index_build(spark, sf_dir):
     # the write-once signature build (round 9); returns the band relation
     # so count() forces a full read-back of the written artifact.
@@ -161,6 +178,7 @@ EXTRA_OPS = {
     "repetition_signals_sum": _repetition_signals_sum,
     "minhash_index_build": _minhash_index_build,
     "lsh_index_build": _lsh_index_build,
+    "dsir_weights_sum": _dsir_weights_sum,
 }
 
 
