@@ -60,7 +60,7 @@ _PRIORITY = [
     "ann_ivf_indexed", "ann_pq_indexed", "hybrid_search",
     "repetition_signals", "dsir_weights", "dsir_select",
     "near_dedup_indexed", "ann_lsh_indexed", "dedup_incremental_indexed",
-    "contamination_apply", "winnow_fingerprint",
+    "contamination_apply", "winnow_fingerprint", "dedup_weights",
     # second tour: events/behavior family (last driver-checked r1-r3) —
     # free cumulative evidence with the first-pass coverage complete.
     "events_sessionize", "events_tumbling", "events_hopping",

@@ -1494,3 +1494,69 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s") - F.count("*")).alias("n_losers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_weights: SOFT dedup — downweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+def _build_weights_oracle() -> str:
+    body = _build_clusters_oracle().strip()
+    assert body.startswith("WITH RECURSIVE ")
+    idx = body.rindex("SELECT doc_id")
+    ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
+    final_select = body[idx:]
+    return f"""
+WITH RECURSIVE {ctes},
+clusters AS ({final_select}),
+sizes AS (SELECT cluster_id, count(*) AS s FROM clusters GROUP BY cluster_id),
+w AS (SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             coalesce(s.s, 1) AS s
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      LEFT JOIN sizes s ON s.cluster_id = c.cluster_id)
+SELECT doc_id, cluster_id, CAST(s AS BIGINT) AS cluster_size,
+       {sql_rn('CAST(1 AS DOUBLE) / s', 6)} AS weight
+FROM w
+"""
+
+
+@register("dedup_weights", _build_weights_oracle(), tags=("dedup",))
+def dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: per-document sampling weight 1/|cluster| instead of
+    hard removal — every near-dup GROUP contributes exactly unit mass to
+    training, so no content is lost but boilerplate stops dominating the
+    token distribution (the down-weighting alternative pipelines use when
+    duplicates carry legitimate signal, e.g. popular quotations; feeds
+    straight into ``weighted_sample``/``mixture_apply``).
+
+    Composes the registered cluster relation (weights can never disagree
+    with the clustering) plus its O(clusters) size table; singletons —
+    docs in no near-dup pair — get cluster_id = doc_id and weight 1.
+    Plan shape: the CC iterations dominate; the weighting itself is two
+    doc-keyed left joins against cluster-bounded relations (AQE picks
+    broadcast whenever dup mass is small, the common case).
+    """
+    from ..functions.rounding import rn
+
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("s"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce("s", F.lit(1)).cast("long").alias("cluster_size"),
+            rn(
+                F.lit(1.0) / F.coalesce("s", F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )
+    return w

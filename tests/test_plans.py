@@ -755,6 +755,7 @@ EXCHANGE_BUDGET = {
     "dedup_incremental_indexed": 5,
     "winnow_fingerprint": 0,
     "contamination_apply": 3,
+    "dedup_weights": 4,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
     "embedding_stats": 1,

@@ -126,3 +126,26 @@ def test_salted_join_spreads_hot_key(spark):
     hot = int(n * 0.9)
     for r in sizes:
         assert r["count"] < hot / JOIN_SALT * 1.5  # no residual hot bucket
+
+
+def test_dedup_weights_unit_mass_per_cluster(spark):
+    """Soft dedup invariants: every doc appears exactly once; each
+    near-dup cluster's member weights sum to 1 (unit mass), singletons
+    get weight 1; total weight = n_clusters + n_singletons."""
+    from collections import defaultdict
+
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from tests.conftest import SF001
+
+    rows = REGISTRY["dedup_weights"].fn(spark, SF001).collect()
+    assert len({r.doc_id for r in rows}) == len(rows) == 500
+    mass = defaultdict(float)
+    size = {}
+    for r in rows:
+        mass[r.cluster_id] += r.weight
+        size[r.cluster_id] = r.cluster_size
+        if r.cluster_size == 1:
+            assert r.weight == 1.0 and r.cluster_id == r.doc_id
+    for cid, m in mass.items():
+        assert abs(m - 1.0) < 1e-4, (cid, m, size[cid])
+    assert any(s > 1 for s in size.values()), "fixture should have clusters"
