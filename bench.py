@@ -72,6 +72,10 @@ HEADLINE = [
     # rotates through the driver window this round; a HEADLINE seat keeps
     # its round-over-round trend alive after the window moves on.
     "table_profile",
+    # round 9: data-selection family seat (DSIR) — two corpus passes over
+    # the hashed-gram relation + a broadcast lookup join; trend-tracked
+    # from the round it shipped.
+    "dsir_weights",
 ]
 
 
