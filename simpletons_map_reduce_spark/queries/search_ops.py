@@ -246,3 +246,45 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= HYBRID_K)
     )
+
+
+@register("bm25_search_indexed", BM25_SEARCH_ORACLE, tags=("search", "text"))
+def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served off the persisted postings index — identical
+    output (and the SAME DuckDB oracle), zero corpus scans at query time.
+
+    The probe's ``tok IN (...)`` predicate is PUSHED into the postings
+    parquet scan (pinned in tests/test_bm25_index.py): the build sorted
+    postings by term, so row-group min/max stats prune everything but the
+    queried terms' blocks — the plan reads O(df) postings rows, not
+    O(corpus tokens).  idf comes from the broadcast term-stats relation;
+    length normalization joins the doc-keyed length relation only for
+    the hit docs; the corpus constants (N, avgdl) inline from the meta
+    row as literals.  Scoring and the top-k cut are shared verbatim with
+    the inline operator (order-exact integer-unit sum, rank on the
+    rounded score), so the two paths cannot diverge.
+    """
+    from ..operators.bm25_index import bm25_index_for
+
+    postings, dl, termstats, n_docs, avgdl = bm25_index_for(spark, sf_dir)
+    hits = postings.filter(F.col("tok").isin(*QUERY_TERMS)).select(
+        "tok", "doc_id", F.col("tf").cast("double").alias("tf")
+    )
+    df_t = termstats.filter(F.col("tok").isin(*QUERY_TERMS)).select(
+        "tok", F.col("df").cast("double").alias("df")
+    )
+    contrib = F.expr(_CONTRIB_SQL)
+    return (
+        hits.join(F.broadcast(df_t), "tok")
+        .join(dl.select("doc_id", F.col("dl").cast("double").alias("dl")),
+              "doc_id")
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            rsum(contrib, 4, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_K)
+    )

@@ -756,6 +756,7 @@ EXCHANGE_BUDGET = {
     "winnow_fingerprint": 0,
     "contamination_apply": 3,
     "dedup_weights": 4,
+    "bm25_search_indexed": 1,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
     "embedding_stats": 1,
@@ -918,6 +919,7 @@ BROADCAST_BUDGET = {
     "anomaly_mad": 3,
     "bloom_probe": 1,
     "bm25_search": 2,
+    "bm25_search_indexed": 1,
     "hybrid_search": 3,
     "broadcast_join": 1,
     "churned_customers": 2,

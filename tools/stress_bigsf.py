@@ -166,6 +166,15 @@ def _lsh_index_build(spark, sf_dir):
     return lsh_index_for(spark, sf_dir, force=True)
 
 
+def _bm25_index_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.bm25_index import bm25_index_for
+
+    postings, dl, termstats, n_docs, avgdl = bm25_index_for(
+        spark, sf_dir, force=True
+    )
+    return postings
+
+
 #: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
 #: runner table-driven — an op name in a SCALE/BENCH report either exists
 #: in REGISTRY or is defined here, never as a loop special case).
@@ -179,6 +188,7 @@ EXTRA_OPS = {
     "minhash_index_build": _minhash_index_build,
     "lsh_index_build": _lsh_index_build,
     "dsir_weights_sum": _dsir_weights_sum,
+    "bm25_index_build": _bm25_index_build,
 }
 
 
