@@ -61,7 +61,7 @@ _PRIORITY = [
     "repetition_signals", "dsir_weights", "dsir_select",
     "near_dedup_indexed", "ann_lsh_indexed", "dedup_incremental_indexed",
     "contamination_apply", "winnow_fingerprint", "dedup_weights",
-    "bm25_search_indexed",
+    "bm25_search_indexed", "hybrid_search_indexed",
     # second tour: events/behavior family (last driver-checked r1-r3) —
     # free cumulative evidence with the first-pass coverage complete.
     "events_sessionize", "events_tumbling", "events_hopping",

@@ -209,15 +209,22 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ann_index.py) when the dense stage must itself search —
     here it only scores named candidates.
     """
+    bm = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("bm25_score")
+    )
+    return _dense_rerank(spark, sf_dir, bm)
+
+
+def _dense_rerank(spark: SparkSession, sf_dir: str, bm: DataFrame) -> DataFrame:
+    """Stage 2 shared by hybrid_search / hybrid_search_indexed: cosine
+    re-rank of a (doc_id, bm25_score) candidate relation against the
+    designated query vector."""
     from pyspark.sql import Window
 
     from ..functions.rounding import rn
     from ..functions.vectors import cosine_from_parts, dot
     from .similarity_ops import _emb_with_norm
 
-    bm = bm25_search(spark, sf_dir).select(
-        "doc_id", F.col("score").alias("bm25_score")
-    )
     emb = _emb_with_norm(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
         F.col("v").alias("qv"), F.col("nv").alias("nq")
@@ -288,3 +295,22 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(SEARCH_K)
     )
+
+
+@register(
+    "hybrid_search_indexed", HYBRID_SEARCH_ORACLE, tags=("search", "similarity")
+)
+def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search with the lexical stage served off the BM25 postings
+    artifact — the full two-stage retrieval with ZERO corpus text scans
+    at query time (the rerank still reads only the candidates' embedding
+    rows).  Same oracle and identical output as ``hybrid_search``: the
+    candidate stage is ``bm25_search_indexed`` (output-identical to
+    ``bm25_search`` under its own gate), and stage 2 is shared verbatim.
+    This is the deployed RAG shape: both stages probe ingest-time
+    artifacts; nothing re-derives corpus state per query.
+    """
+    bm = bm25_search_indexed(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("bm25_score")
+    )
+    return _dense_rerank(spark, sf_dir, bm)

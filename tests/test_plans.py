@@ -722,6 +722,7 @@ EXCHANGE_BUDGET = {
     "bloom_probe": 3,
     "bm25_search": 4,
     "hybrid_search": 4,
+    "hybrid_search_indexed": 1,
     "repetition_signals": 6,  # measured 5; +-1 with cache state
     "bpe_encode": 2,
     "bpe_merges": 0,
@@ -921,6 +922,7 @@ BROADCAST_BUDGET = {
     "bm25_search": 2,
     "bm25_search_indexed": 1,
     "hybrid_search": 3,
+    "hybrid_search_indexed": 2,
     "broadcast_join": 1,
     "churned_customers": 2,
     "cms_heavy_hitters": 1,
