@@ -1141,6 +1141,7 @@ def knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_classify_ann(spark, sf_dir, index=None)
 
 
+@register("knn_classify_ann_indexed", None, tags=("similarity",))
 def knn_classify_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``knn_classify_ann`` probing the shared IVF index artifact
     (operators/ann_index.py) instead of learning its own centroids — the

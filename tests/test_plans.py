@@ -785,6 +785,7 @@ EXCHANGE_BUDGET = {
     "key_skew_profile": 3,
     "knn_classify": 1,
     "knn_classify_ann": 1,
+    "knn_classify_ann_indexed": 1,
     "lang_id": 2,
     "latest_events": 1,
     "leakage_safe_split": 4,
@@ -936,6 +937,7 @@ BROADCAST_BUDGET = {
     "key_skew_profile": 1,
     "knn_classify": 1,
     "knn_classify_ann": 1,
+    "knn_classify_ann_indexed": 1,
     "market_share": 4,
     "merge_upsert": 1,
     "min_cost_supplier": 3,

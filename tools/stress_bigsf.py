@@ -69,14 +69,6 @@ def _ivf_index_build(spark, sf_dir):
     return cents
 
 
-def _knn_classify_ann_indexed(spark, sf_dir):
-    from simpletons_map_reduce_spark.queries.similarity_ops import (
-        knn_classify_ann_indexed,
-    )
-
-    return knn_classify_ann_indexed(spark, sf_dir)
-
-
 def _embedding_dedup_ann_t95_indexed(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
@@ -181,7 +173,6 @@ def _bm25_index_build(spark, sf_dir):
 EXTRA_OPS = {
     "embedding_dedup_ann_t95": _embedding_dedup_ann_t95,
     "ivf_index_build": _ivf_index_build,
-    "knn_classify_ann_indexed": _knn_classify_ann_indexed,
     "embedding_dedup_ann_t95_indexed": _embedding_dedup_ann_t95_indexed,
     "substring_dedup_keep_one_sum": _substring_keep_one_sum,
     "repetition_signals_sum": _repetition_signals_sum,
