@@ -62,7 +62,7 @@ _PRIORITY = [
     "near_dedup_indexed", "ann_lsh_indexed", "dedup_incremental_indexed",
     "contamination_apply", "winnow_fingerprint", "dedup_weights",
     "bm25_search_indexed", "hybrid_search_indexed",
-    "knn_classify_ann_indexed",
+    "knn_classify_ann_indexed", "embedding_dedup_ann_indexed",
     # second tour: events/behavior family (last driver-checked r1-r3) —
     # free cumulative evidence with the first-pass coverage complete.
     "events_sessionize", "events_tumbling", "events_hopping",

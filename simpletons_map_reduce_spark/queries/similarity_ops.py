@@ -574,6 +574,28 @@ def embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_ann_threshold(spark, sf_dir, DUP_COS_THRESHOLD)
 
 
+@register("embedding_dedup_ann_indexed", None, tags=("similarity",))
+def embedding_dedup_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_dedup_ann`` blocked by the SHARED IVF index artifact
+    (operators/ann_index.py) instead of learning its own centroids —
+    the third consumer of the one-per-corpus index (retrieval +
+    classification + dedup), at the registered DUP_COS_THRESHOLD.
+    Rows-only like its self-built twin; equality with the self-built
+    blocking is NOT expected (different centroids ⇒ different blocks ⇒
+    recall-boundary differences), so the evidence is the same planted-
+    duplicate recall pin in tests/test_similarity.py plus the sf100
+    sweep's measured pair-mass recovery (SCALE.md round 9)."""
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+        level=StorageLevel.DISK_ONLY,
+    )
+    from ..operators.ann_index import ivf_index_for
+
+    return embedding_dedup_ann_pairs(
+        emb, DUP_COS_THRESHOLD, index=ivf_index_for(spark, sf_dir)
+    )
+
+
 def embedding_dedup_ann_threshold(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:

@@ -760,6 +760,7 @@ EXCHANGE_BUDGET = {
     "bm25_search_indexed": 1,
     "embedding_dedup": 2,
     "embedding_dedup_ann": 2,
+    "embedding_dedup_ann_indexed": 2,
     "embedding_stats": 1,
     "event_pivot": 1,
     "event_transitions": 2,

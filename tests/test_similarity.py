@@ -323,3 +323,46 @@ def test_knn_classify_ann_agreement_floor(spark):
         assert 1 <= r.n_votes <= 5
     agree = sum(1 for q in exact if ann[q] == exact[q])
     assert agree >= 0.8 * len(exact), f"{agree}/{len(exact)}"
+
+
+def test_embedding_dedup_ann_indexed_finds_planted_dups(spark, tmp_path):
+    """The artifact-blocked variant: planted identical twins must be
+    recovered when the blocking comes from a WRITTEN index (not a fresh
+    in-plan Lloyd build) — identical vectors share an argmax centroid
+    under whatever centroids the artifact learned, so perfect duplicates
+    can never be blocked apart.  Mirrors
+    test_embedding_dedup_ann_finds_planted_dups through the
+    write/load/probe path."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.caching import release_persisted
+    from simpletons_map_reduce_spark.functions.vectors import norm2, to_double_vec
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        load_ivf_index,
+        write_ivf_index,
+    )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        embedding_dedup_ann_pairs,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .select("vec_id", to_double_vec(F.col("embedding")).alias("v"))
+    )
+    twins = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "v"
+    )
+    emb = base.union(twins).withColumn("nv", norm2(F.col("v"))).persist()
+    try:
+        idx = str(tmp_path / "ivf")
+        write_ivf_index(emb, idx)
+        index = load_ivf_index(spark, idx, expect_n=emb.count())
+        found = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_dedup_ann_pairs(emb, index=index).collect()
+        }
+    finally:
+        release_persisted()
+        emb.unpersist()
+    for i in range(20):
+        assert (i, i + 10_000) in found, f"planted dup pair {i} missed"
