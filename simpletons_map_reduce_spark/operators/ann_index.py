@@ -46,6 +46,37 @@ from pyspark.sql import functions as F
 DEFAULT_INDEX_ROOT = str(Path(__file__).resolve().parents[2] / ".annindex")
 
 
+def index_location(
+    spark: SparkSession, sf_dir: str, root: str | None, table: str
+) -> tuple[str, int]:
+    """(index_dir, n): the shared per-corpus artifact directory, keyed on
+    (corpus dir name, row count of the indexed table) under ``root``
+    (default ``<repo>/.annindex``; override with $SPARK_GRAFT_ANNINDEX
+    for sweeps on other volumes).  One keying scheme for every artifact
+    type — IVF/PQ/LSH/MinHash/BM25 files coexist per corpus."""
+    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
+    n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    name = Path(sf_dir.rstrip("/")).name or "corpus"
+    return str(Path(root) / f"{name}-n{n}"), n
+
+
+def cache_or_build(index_dir: str, meta_name: str, force: bool, build, load):
+    """Shared cache-or-build gate: build when forced or the meta file is
+    absent; otherwise load, and if the load REJECTS the artifact
+    (staleness/scheme-fingerprint ValueError, or a meta schema from an
+    older engine version) rebuild ONCE and re-load — a rebuild is always
+    safe, and a permanent error on a scheme bump would brick every
+    registered probe query until someone hand-deleted the artifact."""
+    if force or not Path(f"{index_dir}/{meta_name}").exists():
+        build()
+        return load()
+    try:
+        return load()
+    except (ValueError, AttributeError, KeyError):
+        build()
+        return load()
+
+
 def write_ivf_index(emb: DataFrame, index_dir: str) -> None:
     """Build the IVF index over a (vec_id, v, nv) relation and persist it.
 
@@ -140,6 +171,21 @@ def load_pq_index(
     )
 
 
+def _persisted_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISK_ONLY (vec_id, v, nv) relation for index builds — corpus-scale
+    550-byte vector rows never go to heap (the ann_recall_report sf100
+    OOM rule)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import tracked_persist
+    from ..queries.similarity_ops import _emb_with_norm
+
+    return tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
+        level=StorageLevel.DISK_ONLY,
+    )
+
+
 def pq_index_for(
     spark: SparkSession,
     sf_dir: str,
@@ -149,22 +195,14 @@ def pq_index_for(
     """Cache-or-build PQ index for ``sf_dir``'s embeddings — shares the
     per-corpus artifact directory with :func:`ivf_index_for` (one ingest
     directory per corpus; IVF and PQ files coexist independently)."""
-    from ..caching import tracked_persist
-    from ..queries.similarity_ops import _emb_with_norm
-
-    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    index_dir = str(Path(root) / f"{name}-n{n}")
-    if force or not Path(f"{index_dir}/pq_meta.parquet").exists():
-        from pyspark.storagelevel import StorageLevel
-
-        emb = tracked_persist(
-            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
-            level=StorageLevel.DISK_ONLY,
-        )
-        write_pq_index(emb, index_dir)
-    return load_pq_index(spark, index_dir, expect_n=n)
+    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    return cache_or_build(
+        index_dir,
+        "pq_meta.parquet",
+        force,
+        lambda: write_pq_index(_persisted_emb(spark, sf_dir), index_dir),
+        lambda: load_pq_index(spark, index_dir, expect_n=n),
+    )
 
 
 def _hyperplane_checksum(planes: list[list[int]]) -> int:
@@ -231,23 +269,17 @@ def lsh_index_for(
     force: bool = False,
 ) -> DataFrame:
     """Cache-or-build, sharing the per-corpus ingest directory with the
-    IVF/PQ (and MinHash) artifacts."""
-    from ..caching import tracked_persist
-    from ..queries.similarity_ops import _emb_with_norm
-
-    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    index_dir = str(Path(root) / f"{name}-n{n}")
-    if force or not Path(f"{index_dir}/lsh_meta.parquet").exists():
-        from pyspark.storagelevel import StorageLevel
-
-        emb = tracked_persist(
-            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
-            level=StorageLevel.DISK_ONLY,
-        )
-        write_lsh_index(emb, index_dir)
-    return load_lsh_index(spark, index_dir, expect_n=n)
+    IVF/PQ (and MinHash) artifacts.  A hyperplane/geometry fingerprint
+    mismatch rebuilds automatically (cache_or_build) rather than erroring
+    until someone deletes the artifact."""
+    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    return cache_or_build(
+        index_dir,
+        "lsh_meta.parquet",
+        force,
+        lambda: write_lsh_index(_persisted_emb(spark, sf_dir), index_dir),
+        lambda: load_lsh_index(spark, index_dir, expect_n=n),
+    )
 
 
 def ivf_index_for(
@@ -258,27 +290,15 @@ def ivf_index_for(
 ) -> tuple[DataFrame, DataFrame, int]:
     """Cache-or-build: the index artifact for ``sf_dir``'s embeddings.
 
-    Keyed on (corpus dir name, row count) under ``root`` (default
-    ``<repo>/.annindex``; override with $SPARK_GRAFT_ANNINDEX for sweeps
-    on other volumes).  First call per corpus pays the build; every
-    later call — including other queries and other sessions — loads the
-    parquet relations and probes without a Lloyd stage.
+    Keyed via :func:`index_location`.  First call per corpus pays the
+    build; every later call — including other queries and other sessions
+    — loads the parquet relations and probes without a Lloyd stage.
     """
-    from ..caching import tracked_persist
-    from ..queries.similarity_ops import _emb_with_norm
-
-    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    index_dir = str(Path(root) / f"{name}-n{n}")
-    if force or not Path(f"{index_dir}/meta.parquet").exists():
-        from pyspark.storagelevel import StorageLevel
-
-        # DISK_ONLY: corpus-scale 550-byte vector rows never go to heap
-        # (the ann_recall_report sf100 OOM rule).
-        emb = tracked_persist(
-            _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv"),
-            level=StorageLevel.DISK_ONLY,
-        )
-        write_ivf_index(emb, index_dir)
-    return load_ivf_index(spark, index_dir, expect_n=n)
+    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    return cache_or_build(
+        index_dir,
+        "meta.parquet",
+        force,
+        lambda: write_ivf_index(_persisted_emb(spark, sf_dir), index_dir),
+        lambda: load_ivf_index(spark, index_dir, expect_n=n),
+    )

@@ -27,13 +27,8 @@ operator — identical output, same DuckDB oracle, zero corpus scans.
 
 from __future__ import annotations
 
-import os
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from .ann_index import DEFAULT_INDEX_ROOT
 
 
 def write_bm25_index(docs: DataFrame, index_dir: str) -> None:
@@ -76,9 +71,14 @@ def write_bm25_index(docs: DataFrame, index_dir: str) -> None:
         )
         .collect()[0]
     )
+    # n (scoring) counts docs with >= 1 token — the population BM25's
+    # N/avgdl are defined over (a letterless doc can never be a hit);
+    # n_corpus (staleness) counts ALL documents, the same unit callers'
+    # expect_n uses — conflating the two bricks the index on any corpus
+    # containing an empty/letterless doc.
     meta = spark.createDataFrame(
-        [(stats.n, float(stats.avgdl), stats.n_tokens)],
-        "n BIGINT, avgdl DOUBLE, n_tokens BIGINT",
+        [(stats.n, float(stats.avgdl), stats.n_tokens, docs.count())],
+        "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/bm25_meta.parquet"
@@ -91,10 +91,11 @@ def load_bm25_index(
     """(postings, doclen, termstats, n_docs, avgdl), refusing a stale
     artifact on corpus-size mismatch."""
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
-    if expect_n is not None and meta.n != expect_n:
+    if expect_n is not None and meta.n_corpus != expect_n:
         raise ValueError(
-            f"stale BM25 index at {index_dir}: built over n={meta.n}, "
-            f"corpus now has n={expect_n} — rebuild with write_bm25_index"
+            f"stale BM25 index at {index_dir}: built over "
+            f"n_corpus={meta.n_corpus}, corpus now has n={expect_n} — "
+            f"rebuild with write_bm25_index"
         )
     return (
         spark.read.parquet(f"{index_dir}/postings.parquet"),
@@ -111,14 +112,22 @@ def bm25_index_for(
     root: str | None = None,
     force: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
-    """Cache-or-build under the shared per-corpus ingest directory."""
+    """Cache-or-build under the shared per-corpus ingest directory
+    (``ann_index.index_location`` keying + ``cache_or_build`` rebuild
+    semantics)."""
     from ..sources.tables import load_table
+    from .ann_index import cache_or_build, index_location
 
-    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    index_dir = str(Path(root) / f"{name}-n{n}")
-    if force or not Path(f"{index_dir}/bm25_meta.parquet").exists():
+    index_dir, n = index_location(spark, sf_dir, root, "documents")
+
+    def _build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         write_bm25_index(docs, index_dir)
-    return load_bm25_index(spark, index_dir, expect_n=n)
+
+    return cache_or_build(
+        index_dir,
+        "bm25_meta.parquet",
+        force,
+        _build,
+        lambda: load_bm25_index(spark, index_dir, expect_n=n),
+    )

@@ -36,12 +36,7 @@ so it shares the SAME DuckDB oracle.
 
 from __future__ import annotations
 
-import os
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
-
-from .ann_index import DEFAULT_INDEX_ROOT
 
 
 def write_minhash_index(docs: DataFrame, index_dir: str) -> None:
@@ -116,16 +111,24 @@ def minhash_index_for(
     root: str | None = None,
     force: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Cache-or-build, keyed on (corpus dir name, row count) under the
-    shared per-corpus artifact directory (same convention as
-    ``ivf_index_for`` / ``pq_index_for``)."""
+    """Cache-or-build under the shared per-corpus artifact directory
+    (``ann_index.index_location`` keying; a num_perm/band_rows scheme
+    bump rebuilds automatically via ``cache_or_build``)."""
     from ..sources.tables import load_table, spread
+    from .ann_index import cache_or_build, index_location
 
-    root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    n = docs.count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    index_dir = str(Path(root) / f"{name}-n{n}")
-    if force or not Path(f"{index_dir}/mh_meta.parquet").exists():
+    index_dir, n = index_location(spark, sf_dir, root, "documents")
+
+    def _build():
+        docs = spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         write_minhash_index(docs, index_dir)
-    return load_minhash_index(spark, index_dir, expect_n=n)
+
+    return cache_or_build(
+        index_dir,
+        "mh_meta.parquet",
+        force,
+        _build,
+        lambda: load_minhash_index(spark, index_dir, expect_n=n),
+    )

@@ -425,9 +425,20 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shs, bands = minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+    )
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
+def _incremental_collisions(kept: DataFrame) -> DataFrame:
+    """(new_doc, corpus_doc, band) — the asymmetric new-batch-vs-corpus
+    bucket join, shared by the inline and artifact-probe paths so the
+    batch-split and collision semantics cannot drift between the two
+    entries registered under the SAME oracle."""
     new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
     corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
-    collisions = new.join(
+    return new.join(
         corp,
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.band_key") == F.col("y.band_key")),
@@ -436,8 +447,6 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.doc_id").alias("corpus_doc"),
         F.col("x.band").alias("band"),
     )
-    assigned = _assign_to_bucket(collisions, kept, "new_doc", "corpus_doc")
-    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
 
 def dedup_incremental_pairs(
@@ -452,18 +461,9 @@ def dedup_incremental_pairs(
     shingle set ships once per needed bucket instead of once per pair."""
     shs = _shingle_sets(docs)
     kept = _lsh_kept(shs, bucket_cap)
-    new = kept.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).alias("x")
-    corp = kept.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).alias("y")
-    collisions = new.join(
-        corp,
-        (F.col("x.band") == F.col("y.band"))
-        & (F.col("x.band_key") == F.col("y.band_key")),
-    ).select(
-        F.col("x.doc_id").alias("new_doc"),
-        F.col("y.doc_id").alias("corpus_doc"),
-        F.col("x.band").alias("band"),
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
     )
-    assigned = _assign_to_bucket(collisions, kept, "new_doc", "corpus_doc")
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
 
@@ -1116,15 +1116,23 @@ MAX_CC_ITERATIONS = 20
 # dedup_apply: materialize the deduplicated corpus
 # ---------------------------------------------------------------------------
 
-def _build_apply_oracle() -> str:
-    """Survivor oracle = exact-dedup winners minus near-dup cluster losers,
-    composed from the SAME recursive-CTE cluster oracle dedup_clusters uses
-    (so the two queries can never disagree on the cluster graph)."""
+def _clusters_cte_parts() -> tuple[str, str]:
+    """(ctes, final_select) of the recursive cluster oracle — the ONE
+    place that performs the string surgery on _build_clusters_oracle, so
+    the three composed oracles (apply/report/weights) cannot diverge if
+    its final SELECT is ever reworded."""
     body = _build_clusters_oracle().strip()
     assert body.startswith("WITH RECURSIVE ")
     idx = body.rindex("SELECT doc_id")
     ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
-    final_select = body[idx:]
+    return ctes, body[idx:]
+
+
+def _build_apply_oracle() -> str:
+    """Survivor oracle = exact-dedup winners minus near-dup cluster losers,
+    composed from the SAME recursive-CTE cluster oracle dedup_clusters uses
+    (so the two queries can never disagree on the cluster graph)."""
+    ctes, final_select = _clusters_cte_parts()
     return f"""
 WITH RECURSIVE {ctes},
 clusters AS ({final_select}),
@@ -1452,11 +1460,7 @@ _SIZE_BUCKET_SQL = """CASE WHEN s = 2 THEN '2'
 
 
 def _build_report_oracle() -> str:
-    body = _build_clusters_oracle().strip()
-    assert body.startswith("WITH RECURSIVE ")
-    idx = body.rindex("SELECT doc_id")
-    ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
-    final_select = body[idx:]
+    ctes, final_select = _clusters_cte_parts()
     return f"""
 WITH RECURSIVE {ctes},
 clusters AS ({final_select}),
@@ -1501,11 +1505,7 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _build_weights_oracle() -> str:
-    body = _build_clusters_oracle().strip()
-    assert body.startswith("WITH RECURSIVE ")
-    idx = body.rindex("SELECT doc_id")
-    ctes = body[len("WITH RECURSIVE "):idx].rstrip().rstrip(",")
-    final_select = body[idx:]
+    ctes, final_select = _clusters_cte_parts()
     return f"""
 WITH RECURSIVE {ctes},
 clusters AS ({final_select}),

@@ -36,9 +36,12 @@ Scale shape (100 TB):
 - Gumbel top-k is ORDER BY + LIMIT → TakeOrderedAndProject (per-
   partition top-k, never a global sort); the k winners then join back
   to ``documents`` for their attributes with a broadcast of the K-row
-  side.  Selection compares a pre-QUANTIZED integer key (floor(key·1e6))
-  so a last-ulp ``ln`` divergence between engines cannot flip the
-  boundary rank.
+  side.  The whole score path is INTEGER: each bucket's log-ratio is
+  quantized once to 10^-6 units (so the per-doc sum is an exact,
+  order-free BIGINT — the rsum rule for mixed-sign float sums), and the
+  per-doc Gumbel variate is quantized to the same units before adding.
+  Neither a last-ulp ``ln`` divergence nor Spark-vs-DuckDB summation
+  order can flip a boundary rank.
 
 Reference parity: the reference's only data-selection facility is the
 deterministic hash partition of mr/worker.go:41-45; DSIR is tier-C
@@ -105,7 +108,15 @@ def _gram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _log_ratio(grams: DataFrame) -> DataFrame:
-    """(b, lr) — add-1-smoothed log p_target/p_raw per bucket; DSIR_B rows."""
+    """(b, lr_units) — add-1-smoothed log p_target/p_raw per bucket,
+    PRE-quantized to integer 10^-6 units; DSIR_B rows.
+
+    Quantizing per bucket (not per doc-sum) is what makes the per-doc
+    weight an exact BIGINT sum: a float Σ over hundreds of mixed-sign lr
+    addends is association-dependent (Spark partial/final vs DuckDB
+    single-threaded can differ in the last ulp — see
+    functions/rounding.py's rsum rationale), while integer units commute
+    across any partial-aggregate tree."""
     dist = grams.groupBy("b").agg(
         F.count("*").alias("n_raw"),
         F.sum(F.col("is_tgt").cast("long")).alias("n_tgt"),
@@ -113,17 +124,18 @@ def _log_ratio(grams: DataFrame) -> DataFrame:
     tot = dist.agg(
         F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
     )
+    lr = F.log(
+        (F.col("n_tgt") + 1.0) / (F.col("t_tgt") + float(DSIR_B))
+    ) - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + float(DSIR_B)))
     return dist.crossJoin(F.broadcast(tot)).select(
         "b",
-        (
-            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + float(DSIR_B)))
-            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + float(DSIR_B)))
-        ).alias("lr"),
+        F.floor(lr * DSIR_KEY_SCALE + F.lit(0.5)).cast("long").alias("lr_units"),
     )
 
 
 def _doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_grams, logw) — unrounded importance log-weights."""
+    """(doc_id, n_grams, lw_units) — importance log-weights in exact
+    integer 10^-6 units (order-free BIGINT sum)."""
     grams = tracked_persist(
         _gram_buckets(spark, sf_dir), level=StorageLevel.DISK_ONLY
     )
@@ -133,7 +145,7 @@ def _doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum("lr").alias("logw"),
+            F.sum("lr_units").alias("lw_units"),
         )
     )
 
@@ -155,17 +167,19 @@ dist AS (SELECT b, count(*) AS n_raw,
          FROM grams GROUP BY b),
 tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM dist),
 lr AS (SELECT b,
-              ln((n_tgt + 1.0) / (t_tgt + {float(DSIR_B)}))
-            - ln((n_raw + 1.0) / (t_raw + {float(DSIR_B)})) AS lr
+              CAST(FLOOR((ln((n_tgt + 1.0) / (t_tgt + {float(DSIR_B)}))
+                        - ln((n_raw + 1.0) / (t_raw + {float(DSIR_B)})))
+                         * {DSIR_KEY_SCALE} + 0.5) AS BIGINT) AS lr_units
        FROM dist CROSS JOIN tot),
-w AS (SELECT doc_id, count(*) AS n_grams, sum(lr) AS logw
+w AS (SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(lr_units) AS BIGINT) AS lw_units
       FROM grams JOIN lr USING (b) GROUP BY doc_id)
 """
 
 DSIR_WEIGHTS_ORACLE = f"""
 WITH {_GRAMS_SQL}
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-       {sql_rn('logw', 4)} AS logw
+       {sql_rn(f'(lw_units / {DSIR_KEY_SCALE})', 4)} AS logw
 FROM w
 """
 
@@ -179,19 +193,27 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     look like the target slice score high, out-of-distribution documents
     score low.  The hashed-gram relation is built once (DISK_ONLY), the
     bucket distributions come out of ONE aggregate over it, and scoring
-    is a broadcast lookup join + one doc-keyed shuffle.
+    is a broadcast lookup join + one doc-keyed shuffle.  The per-doc sum
+    runs in integer 10^-6 units (each bucket's log-ratio quantized once),
+    so it is exact and order-free — the rsum rule for cancellation-heavy
+    mixed-sign aggregates under the value-hash gate.
     """
     w = _doc_weights(spark, sf_dir)
-    return w.select("doc_id", "n_grams", rn(F.col("logw"), 4).alias("logw"))
+    return w.select(
+        "doc_id",
+        "n_grams",
+        rn(F.col("lw_units") / DSIR_KEY_SCALE, 4).alias("logw"),
+    )
 
 
 DSIR_SELECT_ORACLE = f"""
 WITH {_GRAMS_SQL},
 keyed AS (
     SELECT doc_id,
-           CAST(FLOOR((logw + -ln(-ln(({_SQL_DOC_HASH} + 0.5)
-                                       / {float(MINHASH_PRIME)})))
-                      * {DSIR_KEY_SCALE}) AS BIGINT) AS key_scaled
+           lw_units + CAST(FLOOR(-ln(-ln(({_SQL_DOC_HASH} + 0.5)
+                                         / {float(MINHASH_PRIME)}))
+                                 * {DSIR_KEY_SCALE} + 0.5) AS BIGINT)
+             AS key_scaled
     FROM w),
 sel AS (SELECT doc_id, key_scaled FROM keyed
         ORDER BY key_scaled DESC, doc_id LIMIT {DSIR_K})
@@ -205,18 +227,21 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling: the DSIR_K selected documents.
 
     ``key = logw + Gumbel(0,1)`` with the Gumbel variate derived from
-    ``md5(doc_id)`` (u = (h + 0.5)/p ∈ (0,1) strictly — no ±inf edge),
-    quantized to an integer before ranking so both engines cut the same
-    boundary.  ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
-    partition top-k); the K winners broadcast back onto ``documents``
-    for their attributes.
+    ``md5(doc_id)`` (u = (h + 0.5)/p ∈ (0,1) strictly — no ±inf edge).
+    The key is a pure BIGINT: the weight is already an exact integer-unit
+    sum, and the per-doc Gumbel variate is quantized to the same 10^-6
+    units before adding — both engines rank identical integers, so no
+    float last-ulp can flip the cut.  ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (per-partition top-k); the K winners broadcast
+    back onto ``documents`` for their attributes.
     """
     u = (md5_mod_prime(F.expr(_DOC_HASH)) + 0.5) / float(MINHASH_PRIME)
+    gumbel_units = F.floor(
+        -F.log(-F.log(u)) * DSIR_KEY_SCALE + F.lit(0.5)
+    ).cast("long")
     keyed = _doc_weights(spark, sf_dir).select(
         "doc_id",
-        F.floor((F.col("logw") + -F.log(-F.log(u))) * DSIR_KEY_SCALE)
-        .cast("long")
-        .alias("key_scaled"),
+        (F.col("lw_units") + gumbel_units).alias("key_scaled"),
     )
     sel = keyed.orderBy(F.desc("key_scaled"), "doc_id").limit(DSIR_K)
     docs = load_table(spark, sf_dir, "documents").select(

@@ -75,15 +75,14 @@ def test_dsir_select_keys_descend_from_weights(spark):
     u = (md5_mod_prime(F.expr("CAST(doc_id AS STRING)")) + 0.5) / float(
         MINHASH_PRIME
     )
+    gumbel_units = F.floor(
+        -F.log(-F.log(u)) * DSIR_KEY_SCALE + F.lit(0.5)
+    ).cast("long")
     all_keys = sorted(
         (
             r.k
             for r in _doc_weights(spark, SF001)
-            .select(
-                F.floor((F.col("logw") + -F.log(-F.log(u))) * DSIR_KEY_SCALE)
-                .cast("long")
-                .alias("k")
-            )
+            .select((F.col("lw_units") + gumbel_units).alias("k"))
             .collect()
         ),
         reverse=True,
