@@ -88,3 +88,53 @@ def test_dsir_select_keys_descend_from_weights(spark):
         reverse=True,
     )
     assert keys == all_keys[:DSIR_K]
+
+
+def test_dsir_matches_oracle_on_random_corpora(spark, tmp_path):
+    """Cross-engine differential on RANDOM corpora (the oracle sweep only
+    covers the fixture shapes): random token soup across 3 'languages'
+    with varying doc lengths — including sub-bigram docs — must produce
+    identical weights and an identical selection on both engines."""
+    import random
+
+    import duckdb
+
+    from simpletons_map_reduce_spark.queries import REGISTRY
+
+    rng = random.Random(29)
+    vocab = {
+        lang: ["".join(rng.choice("abcdefghij") for _ in range(4))
+               for _ in range(30)]
+        for lang in ("en", "de", "zh")
+    }
+    docs = []
+    for d in range(60):
+        lang = rng.choice(("en", "de", "zh"))
+        n = rng.randrange(0, 40)  # includes 0- and 1-token docs
+        docs.append(
+            (d, " ".join(rng.choice(vocab[lang]) for _ in range(n)),
+             lang, f"src{d % 3}", n * 5)
+        )
+    sdf = spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    path = str(tmp_path / "documents.parquet")
+    sdf.coalesce(1).write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    for name in ("dsir_weights", "dsir_select"):
+        q = REGISTRY[name]
+        got = {
+            tuple(r): None for r in q.fn(spark, str(tmp_path)).collect()
+        }
+        want = {tuple(r): None for r in con.sql(q.oracle).fetchall()}
+        # column order differs between engines only if the SQL reorders;
+        # both emit the same order here — compare full row tuples.
+        assert got.keys() == want.keys(), (
+            name,
+            sorted(got.keys() - want.keys())[:3],
+            sorted(want.keys() - got.keys())[:3],
+        )
+    con.close()
