@@ -49,30 +49,45 @@ DEFAULT_INDEX_ROOT = str(Path(__file__).resolve().parents[2] / ".annindex")
 def index_location(
     spark: SparkSession, sf_dir: str, root: str | None, table: str
 ) -> tuple[str, int]:
-    """(index_dir, n): the shared per-corpus artifact directory, keyed on
-    (corpus dir name, row count of the indexed table) under ``root``
-    (default ``<repo>/.annindex``; override with $SPARK_GRAFT_ANNINDEX
-    for sweeps on other volumes).  One keying scheme for every artifact
-    type — IVF/PQ/LSH/MinHash/BM25 files coexist per corpus."""
+    """(index_dir, n): the shared per-corpus artifact directory under
+    ``root`` (default ``<repo>/.annindex``; override with
+    $SPARK_GRAFT_ANNINDEX for sweeps on other volumes).
+
+    Keyed on (corpus dir BASENAME, an 8-hex digest of the corpus dir's
+    ABSOLUTE path, row count of the indexed table): the path digest keeps
+    two different corpora that happen to share a basename and a row
+    count (e.g. /vol_a/sf001 vs /vol_b/sf001) from silently serving each
+    other's artifacts.  Embedding-table artifacts (IVF/PQ/LSH) and
+    document-table artifacts (MinHash/BM25) land in the same directory
+    when the two tables have equal row counts (the fixtures' shape) and
+    in sibling ``<name>-…`` directories otherwise — coexistence is a
+    convenience, not a contract."""
+    import hashlib
+
     root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
     n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
-    name = Path(sf_dir.rstrip("/")).name or "corpus"
-    return str(Path(root) / f"{name}-n{n}"), n
+    resolved = str(Path(sf_dir).resolve())
+    digest = hashlib.md5(resolved.encode()).hexdigest()[:8]
+    name = Path(resolved.rstrip("/")).name or "corpus"
+    return str(Path(root) / f"{name}-{digest}-n{n}"), n
 
 
 def cache_or_build(index_dir: str, meta_name: str, force: bool, build, load):
     """Shared cache-or-build gate: build when forced or the meta file is
-    absent; otherwise load, and if the load REJECTS the artifact
-    (staleness/scheme-fingerprint ValueError, or a meta schema from an
-    older engine version) rebuild ONCE and re-load — a rebuild is always
-    safe, and a permanent error on a scheme bump would brick every
-    registered probe query until someone hand-deleted the artifact."""
+    absent; otherwise load, and if the load fails for ANY reason —
+    staleness/scheme-fingerprint ValueError, a meta schema from an older
+    engine version, or a corrupt/partially-written artifact (killed mid-
+    overwrite) — rebuild ONCE and re-load.  A rebuild is always safe,
+    and a permanent load error would brick every registered probe query
+    until someone hand-deleted the artifact.  A genuine code bug in the
+    load path costs one wasted rebuild and then surfaces unchanged from
+    the second load."""
     if force or not Path(f"{index_dir}/{meta_name}").exists():
         build()
         return load()
     try:
         return load()
-    except (ValueError, AttributeError, KeyError):
+    except Exception:
         build()
         return load()
 

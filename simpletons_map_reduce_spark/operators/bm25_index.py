@@ -31,9 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_bm25_index(docs: DataFrame, index_dir: str) -> None:
+def write_bm25_index(
+    docs: DataFrame, index_dir: str, n_corpus: int | None = None
+) -> None:
     """Tokenize (doc_id, text) once and persist the postings, doc-length,
-    and term-stats relations."""
+    and term-stats relations.  ``n_corpus`` lets callers that already
+    counted the corpus (bm25_index_for via index_location) skip the
+    redundant count job; standalone callers omit it."""
     from ..caching import tracked_persist
     from ..functions.text import tokens_lower
 
@@ -76,8 +80,10 @@ def write_bm25_index(docs: DataFrame, index_dir: str) -> None:
     # n_corpus (staleness) counts ALL documents, the same unit callers'
     # expect_n uses — conflating the two bricks the index on any corpus
     # containing an empty/letterless doc.
+    if n_corpus is None:
+        n_corpus = docs.count()
     meta = spark.createDataFrame(
-        [(stats.n, float(stats.avgdl), stats.n_tokens, docs.count())],
+        [(stats.n, float(stats.avgdl), stats.n_tokens, n_corpus)],
         "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
@@ -122,7 +128,7 @@ def bm25_index_for(
 
     def _build():
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        write_bm25_index(docs, index_dir)
+        write_bm25_index(docs, index_dir, n_corpus=n)
 
     return cache_or_build(
         index_dir,

@@ -40,8 +40,12 @@ Scale shape (100 TB):
   quantized once to 10^-6 units (so the per-doc sum is an exact,
   order-free BIGINT — the rsum rule for mixed-sign float sums), and the
   per-doc Gumbel variate is quantized to the same units before adding.
-  Neither a last-ulp ``ln`` divergence nor Spark-vs-DuckDB summation
-  order can flip a boundary rank.
+  Summation-order divergence is fully eliminated; per-VALUE ``ln``
+  parity still relies on both engines computing the same double for the
+  same input (bit parity on this container, same contract as
+  lm_ops/log2) — a 1-ulp ``ln`` difference landing exactly on a
+  quantization boundary would shift one bucket by one unit, a far
+  smaller surface than the per-sum last-ulp it replaces.
 
 Reference parity: the reference's only data-selection facility is the
 deterministic hash partition of mr/worker.go:41-45; DSIR is tier-C

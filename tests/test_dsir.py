@@ -126,15 +126,20 @@ def test_dsir_matches_oracle_on_random_corpora(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
     for name in ("dsir_weights", "dsir_select"):
         q = REGISTRY[name]
-        got = {
-            tuple(r): None for r in q.fn(spark, str(tmp_path)).collect()
-        }
-        want = {tuple(r): None for r in con.sql(q.oracle).fetchall()}
+        got_rows = [tuple(r) for r in q.fn(spark, str(tmp_path)).collect()]
+        want_rows = [tuple(r) for r in con.sql(q.oracle).fetchall()]
+        # row counts too: set-compare alone would hide duplicate-row
+        # fan-out bugs and pass vacuously on empty-vs-empty
+        assert len(got_rows) == len(want_rows) > 0, (
+            name, len(got_rows), len(want_rows)
+        )
+        got, want = set(got_rows), set(want_rows)
+        assert len(got) == len(got_rows), f"{name}: duplicate Spark rows"
         # column order differs between engines only if the SQL reorders;
         # both emit the same order here — compare full row tuples.
-        assert got.keys() == want.keys(), (
+        assert got == want, (
             name,
-            sorted(got.keys() - want.keys())[:3],
-            sorted(want.keys() - got.keys())[:3],
+            sorted(got - want)[:3],
+            sorted(want - got)[:3],
         )
     con.close()
