@@ -28,15 +28,31 @@ a Python worker for the index.
 
 Staleness contract: same as any database index — rebuild when the corpus
 changes.  ``ivf_index_for`` keys the cached artifact on (corpus name,
-row count) and validates the count on load (a parquet count() is
-metadata-cheap), so a regenerated fixture of different size can never be
-served a stale index; same-size content changes require an explicit
-rebuild (``force=True``), exactly like re-CLUSTERing a table.
+row count) and validates BOTH the count and a file-metadata content
+fingerprint on load (round 10; both checks are metadata-cheap — no scan),
+so neither a regenerated fixture of different size NOR a same-size
+in-place rewrite of the corpus files can ever be served a stale index.
+
+Maintenance contract (round 10): artifacts are APPENDABLE.  Data
+relations are segmented — ``assignments.parquet`` is segment 0 and
+``append_ivf_batch`` adds ``assignments_seg{i}.parquet`` for each
+ingested batch, assigning the new vectors under the FROZEN segment-0
+centroids (the standard production IVF shape: FAISS ``add`` after
+``train``).  The meta row is the commit pointer and is written LAST:
+a killed append leaves an orphan segment directory that no load ever
+reads (meta still says the old segment count) and that the retried
+append simply overwrites — write-new-then-swap, no torn state served.
+Rebuilds get the same discipline: every ``write_*`` deletes the meta
+file FIRST, so a killed rebuild leaves a meta-less (→ rebuild on next
+access) artifact, never a half-overwritten one served as fresh.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,12 +62,77 @@ from pyspark.sql import functions as F
 DEFAULT_INDEX_ROOT = str(Path(__file__).resolve().parents[2] / ".annindex")
 
 
+def corpus_fingerprint(sf_dir: str, table: str) -> int:
+    """Metadata-cheap content fingerprint of a corpus parquet directory:
+    an md5 over the sorted (relative path, size, mtime_ns) triples of its
+    data files, folded to a signed-BIGINT-safe int.  Catches the one hole
+    row-count keying leaves open — an in-place rewrite that preserves n —
+    without ever scanning data (any rewrite changes mtime_ns; a byte-
+    identical rewrite triggers a rebuild, which is safe, merely unneeded).
+    Directories and _SUCCESS/.crc sidecars are skipped so a re-commit of
+    identical part files with identical stats fingerprints identically.
+    Handles both layouts: a Spark-written parquet DIRECTORY of part files
+    and a single parquet FILE (the driver's testdata fixtures)."""
+    p = Path(sf_dir) / f"{table}.parquet"
+    acc = hashlib.md5()
+    files = [p] if p.is_file() else sorted(p.rglob("*"))
+    for f in files:
+        if not f.is_file() or f.name.startswith(("_", ".")):
+            continue
+        st = f.stat()
+        acc.update(
+            f"{f.relative_to(p.parent)}:{st.st_size}:{st.st_mtime_ns}\n".encode()
+        )
+    return int.from_bytes(acc.digest()[:8], "big") % (2**62)
+
+
+def _clear_meta(index_dir: str, meta_name: str) -> None:
+    """Invalidate an artifact before overwriting its data relations: with
+    the meta file gone, a concurrent or post-crash reader takes the
+    rebuild path instead of loading half-overwritten data as fresh."""
+    shutil.rmtree(f"{index_dir}/{meta_name}", ignore_errors=True)
+
+
+def _segment_paths(index_dir: str, base: str, segments: int) -> list[str]:
+    """Parquet paths for a segmented relation: ``{base}.parquet`` is
+    segment 0, appended batches live in ``{base}_seg{i}.parquet``."""
+    paths = [f"{index_dir}/{base}.parquet"]
+    paths += [
+        f"{index_dir}/{base}_seg{i}.parquet" for i in range(1, segments + 1)
+    ]
+    return paths
+
+
+def _check_fresh(
+    meta, index_dir: str, kind: str,
+    expect_n: int | None, expect_fp: int | None,
+    n_attr: str = "n",
+) -> None:
+    """Shared load-time staleness gate: row count + content fingerprint.
+    Metas written before the fingerprint era lack the column — the row
+    access raises, and cache_or_build upgrades the artifact by rebuild."""
+    built_n = getattr(meta, n_attr)
+    if expect_n is not None and built_n != expect_n:
+        raise ValueError(
+            f"stale {kind} index at {index_dir}: built over n={built_n}, "
+            f"corpus now has n={expect_n} — rebuild"
+        )
+    if expect_fp is not None and meta.corpus_fp != expect_fp:
+        raise ValueError(
+            f"stale {kind} index at {index_dir}: corpus files changed "
+            f"since the build (fingerprint {meta.corpus_fp} != "
+            f"{expect_fp}) — rebuild"
+        )
+
+
 def index_location(
     spark: SparkSession, sf_dir: str, root: str | None, table: str
-) -> tuple[str, int]:
-    """(index_dir, n): the shared per-corpus artifact directory under
-    ``root`` (default ``<repo>/.annindex``; override with
-    $SPARK_GRAFT_ANNINDEX for sweeps on other volumes).
+) -> tuple[str, int, int]:
+    """(index_dir, n, corpus_fp): the shared per-corpus artifact directory
+    under ``root`` (default ``<repo>/.annindex``; override with
+    $SPARK_GRAFT_ANNINDEX for sweeps on other volumes), the table's row
+    count, and its file-metadata content fingerprint — the load-time
+    staleness pair.
 
     Keyed on (corpus dir BASENAME, an 8-hex digest of the corpus dir's
     ABSOLUTE path, row count of the indexed table): the path digest keeps
@@ -62,14 +143,13 @@ def index_location(
     when the two tables have equal row counts (the fixtures' shape) and
     in sibling ``<name>-…`` directories otherwise — coexistence is a
     convenience, not a contract."""
-    import hashlib
-
     root = root or os.environ.get("SPARK_GRAFT_ANNINDEX", DEFAULT_INDEX_ROOT)
     n = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     resolved = str(Path(sf_dir).resolve())
     digest = hashlib.md5(resolved.encode()).hexdigest()[:8]
     name = Path(resolved.rstrip("/")).name or "corpus"
-    return str(Path(root) / f"{name}-{digest}-n{n}"), n
+    fp = corpus_fingerprint(sf_dir, table)
+    return str(Path(root) / f"{name}-{digest}-n{n}"), n, fp
 
 
 def cache_or_build(index_dir: str, meta_name: str, force: bool, build, load):
@@ -81,26 +161,51 @@ def cache_or_build(index_dir: str, meta_name: str, force: bool, build, load):
     and a permanent load error would brick every registered probe query
     until someone hand-deleted the artifact.  A genuine code bug in the
     load path costs one wasted rebuild and then surfaces unchanged from
-    the second load."""
+    the second load.  The swallowed load error is WARNED, not silent
+    (ADVICE r9): a recovery rebuild and a routine cache miss must be
+    distinguishable in operator logs."""
     if force or not Path(f"{index_dir}/{meta_name}").exists():
         build()
         return load()
     try:
         return load()
-    except Exception:
+    except Exception as exc:
+        warnings.warn(
+            f"index artifact at {index_dir} ({meta_name}) failed to load "
+            f"({type(exc).__name__}: {exc}) — rebuilding once",
+            stacklevel=2,
+        )
         build()
         return load()
 
 
-def write_ivf_index(emb: DataFrame, index_dir: str) -> None:
+def _write_ivf_meta(
+    spark: SparkSession, index_dir: str,
+    n: int, k: int, dim: int, corpus_fp: int | None, segments: int,
+) -> None:
+    meta = spark.createDataFrame(
+        [(n, k, dim, corpus_fp, segments)],
+        "n BIGINT, k BIGINT, dim BIGINT, corpus_fp BIGINT, segments BIGINT",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/meta.parquet"
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame, index_dir: str, corpus_fp: int | None = None
+) -> None:
     """Build the IVF index over a (vec_id, v, nv) relation and persist it.
 
     ``emb`` should be persisted by the caller if it is expensive to
     recompute (the build scans it for the count, the Lloyd sample, and
-    the assignment pass).
+    the assignment pass).  Meta is written LAST (the commit marker) and
+    deleted FIRST, so neither a killed build nor a killed rebuild can be
+    loaded as fresh.
     """
     from ..queries.similarity_ops import EMB_DIM, _ivf_build
 
+    _clear_meta(index_dir, "meta.parquet")
     cents, assigned, k = _ivf_build(emb)
     n = emb.count()
     # one writer task per cluster group: the probe-side join then reads
@@ -115,32 +220,70 @@ def write_ivf_index(emb: DataFrame, index_dir: str) -> None:
     cents.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/centroids.parquet"
     )
-    meta = emb.sparkSession.createDataFrame(
-        [(n, k, EMB_DIM)], "n BIGINT, k BIGINT, dim BIGINT"
+    _write_ivf_meta(emb.sparkSession, index_dir, n, k, EMB_DIM, corpus_fp, 0)
+
+
+def append_ivf_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_emb: DataFrame,
+    new_corpus_fp: int | None = None,
+) -> None:
+    """Absorb an ingested batch into a standing IVF artifact WITHOUT a
+    rebuild: assign the batch's (vec_id, v, nv) rows under the FROZEN
+    segment-0 centroids (the FAISS train-once/add-many shape — Lloyd
+    never re-runs, which is the whole point: at 100 TB the re-train is
+    the cost an ingest loop cannot pay per batch) and persist them as a
+    new assignment segment.  The meta row — row count, fingerprint,
+    segment count — is rewritten LAST: a killed append leaves an orphan
+    segment no load reads and the retry overwrites (write-new-then-swap).
+
+    Callers pass ``new_corpus_fp`` = the corpus fingerprint AFTER the
+    batch landed, so probes against the grown corpus see a fresh index.
+    """
+    from ..functions.vectorized import np_assign_clusters
+
+    meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+    seg = int(meta.segments) + 1
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    assigned = np_assign_clusters(batch_emb, cents, top=2, carry_vectors=True)
+    (
+        assigned.select("cluster", "vec_id", "v", "nv")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/assignments_seg{seg}.parquet")
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/meta.parquet"
+    batch_n = batch_emb.count()
+    _write_ivf_meta(
+        spark, index_dir,
+        int(meta.n) + batch_n, int(meta.k), int(meta.dim),
+        new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+        seg,
     )
 
 
 def load_ivf_index(
-    spark: SparkSession, index_dir: str, expect_n: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    expect_n: int | None = None,
+    expect_fp: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Load a written index as the (cents, assigned, k) triple the search
-    paths take.  ``expect_n`` (the current corpus row count) makes the
-    load refuse a stale artifact instead of silently probing it."""
+    paths take.  ``expect_n`` (the current corpus row count) and
+    ``expect_fp`` (its file fingerprint) make the load refuse a stale
+    artifact instead of silently probing it.  The assignment relation is
+    the UNION of segment 0 and every appended batch segment."""
     meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
-    if expect_n is not None and meta.n != expect_n:
-        raise ValueError(
-            f"stale IVF index at {index_dir}: built over n={meta.n}, "
-            f"corpus now has n={expect_n} — rebuild with write_ivf_index"
-        )
+    _check_fresh(meta, index_dir, "IVF", expect_n, expect_fp)
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
-    assigned = spark.read.parquet(f"{index_dir}/assignments.parquet")
+    assigned = spark.read.parquet(
+        *_segment_paths(index_dir, "assignments", int(meta.segments))
+    )
     return cents, assigned, int(meta.k)
 
 
-def write_pq_index(emb: DataFrame, index_dir: str) -> None:
+def write_pq_index(
+    emb: DataFrame, index_dir: str, corpus_fp: int | None = None
+) -> None:
     """Build the PQ index over a (vec_id, v, nv) relation and persist it:
     the per-subspace codebooks plus the ENCODED corpus (PQ_M uint8-range
     codes per vector — the 64× compression that lets a 100 TB embedding
@@ -149,6 +292,7 @@ def write_pq_index(emb: DataFrame, index_dir: str) -> None:
     from ..functions.vectorized import np_pq_encode, pq_train_codebook
     from ..queries.similarity_ops import PQ_K, PQ_M
 
+    _clear_meta(index_dir, "pq_meta.parquet")
     cb_path = f"{index_dir}/pq_codebook.parquet"
     (
         pq_train_codebook(emb, PQ_M, PQ_K)
@@ -162,7 +306,8 @@ def write_pq_index(emb: DataFrame, index_dir: str) -> None:
     )
     n = emb.count()
     meta = emb.sparkSession.createDataFrame(
-        [(n, PQ_M, PQ_K)], "n BIGINT, m BIGINT, k BIGINT"
+        [(n, PQ_M, PQ_K, corpus_fp)],
+        "n BIGINT, m BIGINT, k BIGINT, corpus_fp BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/pq_meta.parquet"
@@ -170,16 +315,15 @@ def write_pq_index(emb: DataFrame, index_dir: str) -> None:
 
 
 def load_pq_index(
-    spark: SparkSession, index_dir: str, expect_n: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    expect_n: int | None = None,
+    expect_fp: int | None = None,
 ) -> tuple[str, DataFrame]:
     """(codebook_path, codes relation) with the same staleness contract
     as :func:`load_ivf_index`."""
     meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
-    if expect_n is not None and meta.n != expect_n:
-        raise ValueError(
-            f"stale PQ index at {index_dir}: built over n={meta.n}, "
-            f"corpus now has n={expect_n} — rebuild with write_pq_index"
-        )
+    _check_fresh(meta, index_dir, "PQ", expect_n, expect_fp)
     return (
         f"{index_dir}/pq_codebook.parquet",
         spark.read.parquet(f"{index_dir}/pq_codes.parquet"),
@@ -210,13 +354,15 @@ def pq_index_for(
     """Cache-or-build PQ index for ``sf_dir``'s embeddings — shares the
     per-corpus artifact directory with :func:`ivf_index_for` (one ingest
     directory per corpus; IVF and PQ files coexist independently)."""
-    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    index_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     return cache_or_build(
         index_dir,
         "pq_meta.parquet",
         force,
-        lambda: write_pq_index(_persisted_emb(spark, sf_dir), index_dir),
-        lambda: load_pq_index(spark, index_dir, expect_n=n),
+        lambda: write_pq_index(
+            _persisted_emb(spark, sf_dir), index_dir, corpus_fp=fp
+        ),
+        lambda: load_pq_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )
 
 
@@ -230,13 +376,16 @@ def _hyperplane_checksum(planes: list[list[int]]) -> int:
     return acc
 
 
-def write_lsh_index(emb: DataFrame, index_dir: str) -> None:
+def write_lsh_index(
+    emb: DataFrame, index_dir: str, corpus_fp: int | None = None
+) -> None:
     """Build the sign-random-projection band relation over a (vec_id, v,
     nv) relation and persist it — the signature matmul (the only Arrow
     stage of the LSH path) is paid here once; probes are pure JVM."""
     from ..functions.vectorized import np_sign_bands
     from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
 
+    _clear_meta(index_dir, "lsh_meta.parquet")
     planes = _hyperplanes()
     (
         np_sign_bands(emb, planes, LSH_BAND_BITS)
@@ -246,8 +395,9 @@ def write_lsh_index(emb: DataFrame, index_dir: str) -> None:
     )
     n = emb.count()
     meta = emb.sparkSession.createDataFrame(
-        [(n, LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(planes))],
-        "n BIGINT, nbits BIGINT, band_bits BIGINT, plane_sum BIGINT",
+        [(n, LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(planes), corpus_fp)],
+        "n BIGINT, nbits BIGINT, band_bits BIGINT, plane_sum BIGINT, "
+        "corpus_fp BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/lsh_meta.parquet"
@@ -255,18 +405,17 @@ def write_lsh_index(emb: DataFrame, index_dir: str) -> None:
 
 
 def load_lsh_index(
-    spark: SparkSession, index_dir: str, expect_n: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    expect_n: int | None = None,
+    expect_fp: int | None = None,
 ) -> DataFrame:
     """The (vec_id, band, bkey) band relation, refusing stale artifacts:
-    corpus-size mismatch AND hyperplane/geometry mismatch both raise."""
+    corpus-size/content mismatch AND hyperplane/geometry mismatch raise."""
     from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
 
     meta = spark.read.parquet(f"{index_dir}/lsh_meta.parquet").collect()[0]
-    if expect_n is not None and meta.n != expect_n:
-        raise ValueError(
-            f"stale LSH index at {index_dir}: built over n={meta.n}, "
-            f"corpus now has n={expect_n} — rebuild with write_lsh_index"
-        )
+    _check_fresh(meta, index_dir, "LSH", expect_n, expect_fp)
     current = (LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(_hyperplanes()))
     if (meta.nbits, meta.band_bits, meta.plane_sum) != current:
         raise ValueError(
@@ -287,13 +436,15 @@ def lsh_index_for(
     IVF/PQ (and MinHash) artifacts.  A hyperplane/geometry fingerprint
     mismatch rebuilds automatically (cache_or_build) rather than erroring
     until someone deletes the artifact."""
-    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    index_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     return cache_or_build(
         index_dir,
         "lsh_meta.parquet",
         force,
-        lambda: write_lsh_index(_persisted_emb(spark, sf_dir), index_dir),
-        lambda: load_lsh_index(spark, index_dir, expect_n=n),
+        lambda: write_lsh_index(
+            _persisted_emb(spark, sf_dir), index_dir, corpus_fp=fp
+        ),
+        lambda: load_lsh_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )
 
 
@@ -309,11 +460,53 @@ def ivf_index_for(
     build; every later call — including other queries and other sessions
     — loads the parquet relations and probes without a Lloyd stage.
     """
-    index_dir, n = index_location(spark, sf_dir, root, "embeddings")
+    index_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     return cache_or_build(
         index_dir,
         "meta.parquet",
         force,
-        lambda: write_ivf_index(_persisted_emb(spark, sf_dir), index_dir),
-        lambda: load_ivf_index(spark, index_dir, expect_n=n),
+        lambda: write_ivf_index(
+            _persisted_emb(spark, sf_dir), index_dir, corpus_fp=fp
+        ),
+        lambda: load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp),
+    )
+
+
+def appended_ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The ingest-loop exercise path behind ``ann_ivf_appended``: train
+    the IVF index over the STANDING corpus (vec_id % 10 != 0 — the same
+    ~10% batch split the document-side maintenance ops use), then
+    ``append_ivf_batch`` the new vectors under the frozen centroids.
+    The loaded assignment relation covers the FULL corpus (pinned in
+    tests/test_index_maintenance.py: the appended segment equals a direct
+    frozen-centroid assignment of the batch), so probes serve the grown
+    corpus without a re-train — FAISS's train-once/add-many, as parquet.
+    Sibling ``…-app`` directory; refuse-and-redo resumability."""
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-app"
+    emb = _persisted_emb(spark, sf_dir)
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        # batch residue 7, not 0: Lloyd seeds centroids at vec_id %
+        # cent_mod == 0 — residue-0 batches would remove EVERY seed from
+        # the standing corpus whenever 10 | cent_mod (empty centroid
+        # model, caught by the round-10 smoke); residue 7 can never
+        # annihilate the seed set (vec_id 0 is always a seed and ≡ 0).
+        standing = emb.filter(F.col("vec_id") % 10 != 7)
+        batch = emb.filter(F.col("vec_id") % 10 == 7)
+        write_ivf_index(standing, index_dir, corpus_fp=fp)
+        append_ivf_batch(spark, index_dir, batch, new_corpus_fp=fp)
+
+    return cache_or_build(
+        index_dir,
+        "meta.parquet",
+        force,
+        _build,
+        lambda: load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )

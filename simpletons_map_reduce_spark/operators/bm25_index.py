@@ -16,8 +16,22 @@ artifact contract as the IVF/PQ/LSH/MinHash indexes:
   BM25's length normalization reads;
 - ``termstats.parquet``  (tok, df) — per-term document frequency, so idf
   needs no postings aggregation at probe time;
-- ``bm25_meta.parquet``  1 row (n docs, avgdl, n_tokens) — the corpus
-  constants + the staleness check.
+- ``bm25_meta.parquet``  1 row (n docs, avgdl, n_tokens, n_corpus,
+  corpus_fp, segments) — the corpus constants + the staleness checks
+  (row count AND a file-metadata content fingerprint).
+
+MAINTENANCE (round 10): the artifact is APPENDABLE.  An ingest batch of
+NEW documents is tokenized alone; its (tok, doc_id, tf) postings and
+(doc_id, dl) lengths are disjoint from the standing corpus's (new doc
+ids), so they land as segments (``postings_seg{i}`` / ``doclen_seg{i}``)
+with no merge.  Only the vocabulary-grain relations merge: termstats df
+counts sum with the batch's, and the scalar constants (n, avgdl,
+n_tokens) are re-derived from the segmented doclen relation — all
+vocabulary/doc-grain work, never a corpus re-tokenize.  Each append
+writes a fresh ``termstats_v{i}.parquet`` (full rewrite of a small
+relation: Heaps' law keeps vocabulary ~√corpus) and commits by writing
+the meta row LAST — a killed append leaves orphan files no load reads
+(write-new-then-swap; pinned append ≡ rebuild in tests/test_bm25_index).
 
 The PROBE (``bm25_search_indexed``) reads term-pruned postings, joins
 the broadcast per-term stats and the doc-keyed length relation, and
@@ -30,44 +44,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ann_index import _check_fresh, _clear_meta, _segment_paths
 
-def write_bm25_index(
-    docs: DataFrame, index_dir: str, n_corpus: int | None = None
-) -> None:
-    """Tokenize (doc_id, text) once and persist the postings, doc-length,
-    and term-stats relations.  ``n_corpus`` lets callers that already
-    counted the corpus (bm25_index_for via index_location) skip the
-    redundant count job; standalone callers omit it."""
+
+def _batch_postings(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, tf) over a (doc_id, text) relation — the tokenize +
+    term-count pass shared by build and append.  Persisted DISK_ONLY: the
+    postings relation is corpus-scale (one row per distinct term per doc)
+    and feeds doclen + termstats + the write, and corpus-scale relations
+    never go to heap (the house rule the MinHash/IVF builds follow;
+    ADVICE r9)."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..caching import tracked_persist
     from ..functions.text import tokens_lower
 
     e = docs.select(
         "doc_id", F.explode(tokens_lower(F.col("text"))).alias("tok")
     )
-    postings = tracked_persist(
-        e.groupBy("tok", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    return tracked_persist(
+        e.groupBy("tok", "doc_id").agg(F.count("*").cast("long").alias("tf")),
+        level=StorageLevel.DISK_ONLY,
     )
-    (
-        postings.repartition("tok")
-        .sortWithinPartitions("tok")
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/postings.parquet")
-    )
-    dl = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("dl")
-    )
-    dl.write.mode("overwrite").parquet(f"{index_dir}/doclen.parquet")
-    (
-        postings.groupBy("tok")
-        .agg(F.count("*").cast("long").alias("df"))
-        .repartition("tok")
-        .sortWithinPartitions("tok")
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/termstats.parquet")
-    )
-    spark = docs.sparkSession
+
+
+def _termstats_path(index_dir: str, segments: int) -> str:
+    """Versioned termstats location: the initial build's relation keeps
+    the historical name; each append commits a full rewrite under a new
+    version so the meta pointer swap is atomic-in-effect."""
+    if segments == 0:
+        return f"{index_dir}/termstats.parquet"
+    return f"{index_dir}/termstats_v{segments}.parquet"
+
+
+def _write_bm25_meta(
+    spark: SparkSession, index_dir: str,
+    segments: int, n_corpus: int, corpus_fp: int | None,
+) -> None:
+    """Derive the scoring constants from the (segmented) doclen relation
+    and commit the meta row — the write that publishes a build/append."""
     stats = (
-        spark.read.parquet(f"{index_dir}/doclen.parquet")
+        spark.read.parquet(*_segment_paths(index_dir, "doclen", segments))
         .agg(
             F.count("*").alias("n"),
             F.avg("dl").alias("avgdl"),
@@ -80,33 +97,142 @@ def write_bm25_index(
     # n_corpus (staleness) counts ALL documents, the same unit callers'
     # expect_n uses — conflating the two bricks the index on any corpus
     # containing an empty/letterless doc.
-    if n_corpus is None:
-        n_corpus = docs.count()
     meta = spark.createDataFrame(
-        [(stats.n, float(stats.avgdl), stats.n_tokens, n_corpus)],
-        "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT",
+        [(
+            stats.n, float(stats.avgdl), stats.n_tokens, n_corpus,
+            corpus_fp, segments,
+        )],
+        "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT, "
+        "corpus_fp BIGINT, segments BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/bm25_meta.parquet"
     )
 
 
-def load_bm25_index(
-    spark: SparkSession, index_dir: str, expect_n: int | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
-    """(postings, doclen, termstats, n_docs, avgdl), refusing a stale
-    artifact on corpus-size mismatch."""
+def write_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    n_corpus: int | None = None,
+    corpus_fp: int | None = None,
+) -> None:
+    """Tokenize (doc_id, text) once and persist the postings, doc-length,
+    and term-stats relations.  ``n_corpus`` lets callers that already
+    counted the corpus (bm25_index_for via index_location) skip the
+    redundant count job; standalone callers omit it.  Meta is deleted
+    first / written last (the commit marker)."""
+    _clear_meta(index_dir, "bm25_meta.parquet")
+    postings = _batch_postings(docs)
+    (
+        postings.repartition("tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings.parquet")
+    )
+    (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen.parquet")
+    )
+    (
+        postings.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .repartition("tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(_termstats_path(index_dir, 0))
+    )
+    if n_corpus is None:
+        n_corpus = docs.count()
+    _write_bm25_meta(docs.sparkSession, index_dir, 0, n_corpus, corpus_fp)
+
+
+def append_bm25_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    new_corpus_fp: int | None = None,
+    check_disjoint: bool = True,
+) -> None:
+    """Absorb an ingest batch of NEW documents into a standing BM25
+    artifact without re-tokenizing the corpus: batch postings/doclen land
+    as segments, termstats merges df counts (vocabulary-grain — small by
+    Heaps' law), and the scoring constants re-derive from the segmented
+    doclen (doc-grain).  Per-batch cost is O(|batch| + vocabulary), never
+    O(corpus) — the cost model a production ingest loop needs at 100 TB.
+    Meta commits LAST: a killed append leaves orphan segment/termstats
+    files no load reads, and the retry overwrites them.
+
+    ``check_disjoint`` guards the NEW-docs contract with one doc-grain
+    semi-join against the standing doclen relation (appending an UPDATE
+    would double-count its terms); disable for trusted ingest paths.
+    """
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
-    if expect_n is not None and meta.n_corpus != expect_n:
-        raise ValueError(
-            f"stale BM25 index at {index_dir}: built over "
-            f"n_corpus={meta.n_corpus}, corpus now has n={expect_n} — "
-            f"rebuild with write_bm25_index"
+    segs = int(meta.segments)
+    seg = segs + 1
+    postings = _batch_postings(batch_docs)
+    if check_disjoint:
+        old_dl = spark.read.parquet(*_segment_paths(index_dir, "doclen", segs))
+        n_overlap = (
+            postings.select("doc_id").distinct()
+            .join(old_dl, "doc_id", "left_semi")
+            .count()
         )
+        if n_overlap:
+            raise ValueError(
+                f"append_bm25_batch: {n_overlap} batch doc_ids already "
+                f"indexed at {index_dir} — appends must be NEW documents "
+                f"(an update needs a rebuild)"
+            )
+    (
+        postings.repartition("tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings_seg{seg}.parquet")
+    )
+    (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclen_seg{seg}.parquet")
+    )
+    batch_df = postings.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    old_ts = spark.read.parquet(_termstats_path(index_dir, segs))
+    (
+        old_ts.unionByName(batch_df)
+        .groupBy("tok")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .repartition("tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(_termstats_path(index_dir, seg))
+    )
+    _write_bm25_meta(
+        spark, index_dir, seg,
+        int(meta.n_corpus) + batch_docs.count(),
+        new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+    )
+
+
+def load_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    expect_n: int | None = None,
+    expect_fp: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
+    """(postings, doclen, termstats, n_docs, avgdl) — postings/doclen as
+    segment unions, termstats at the meta's version pointer — refusing a
+    stale artifact on corpus-size or content-fingerprint mismatch."""
+    meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
+    _check_fresh(meta, index_dir, "BM25", expect_n, expect_fp, n_attr="n_corpus")
+    segs = int(meta.segments)
     return (
-        spark.read.parquet(f"{index_dir}/postings.parquet"),
-        spark.read.parquet(f"{index_dir}/doclen.parquet"),
-        spark.read.parquet(f"{index_dir}/termstats.parquet"),
+        spark.read.parquet(*_segment_paths(index_dir, "postings", segs)),
+        spark.read.parquet(*_segment_paths(index_dir, "doclen", segs)),
+        spark.read.parquet(_termstats_path(index_dir, segs)),
         float(meta.n),
         float(meta.avgdl),
     )
@@ -124,16 +250,64 @@ def bm25_index_for(
     from ..sources.tables import load_table
     from .ann_index import cache_or_build, index_location
 
-    index_dir, n = index_location(spark, sf_dir, root, "documents")
+    index_dir, n, fp = index_location(spark, sf_dir, root, "documents")
 
     def _build():
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        write_bm25_index(docs, index_dir, n_corpus=n)
+        write_bm25_index(docs, index_dir, n_corpus=n, corpus_fp=fp)
 
     return cache_or_build(
         index_dir,
         "bm25_meta.parquet",
         force,
         _build,
-        lambda: load_bm25_index(spark, index_dir, expect_n=n),
+        lambda: load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp),
+    )
+
+
+def appended_bm25_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
+    """The ingest-loop exercise path behind ``bm25_search_appended``:
+    build the artifact over the STANDING corpus (``doc_id %
+    NEW_BATCH_MOD != 0`` — dedup_incremental's batch split, reused so
+    every incremental-maintenance op agrees on what "the new batch" is),
+    then ``append_bm25_batch`` the remaining ~10%.  Because append ≡
+    rebuild exactly (pytest-pinned), the probe result is identical to
+    ``bm25_search_indexed``'s and shares its oracle — the driver hash
+    gate therefore checks the APPEND arithmetic end-to-end.
+
+    Lives under a sibling ``…-app`` directory so it never fights the
+    full-build artifact (same corpus, same n — same index_location key).
+    Resumable: a run killed between build and append leaves meta.n_corpus
+    short of the full count, the next load refuses, and cache_or_build
+    redoes the sequence from scratch.
+    """
+    import shutil
+
+    from ..sources.tables import load_table
+    from .ann_index import cache_or_build, index_location
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-app"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        from ..queries.dedup_ops import NEW_BATCH_MOD
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        standing = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+        batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+        write_bm25_index(standing, index_dir, corpus_fp=fp)
+        append_bm25_batch(spark, index_dir, batch, new_corpus_fp=fp)
+
+    return cache_or_build(
+        index_dir,
+        "bm25_meta.parquet",
+        force,
+        _build,
+        lambda: load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )

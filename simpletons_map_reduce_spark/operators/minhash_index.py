@@ -19,10 +19,22 @@ one ingest directory per corpus):
   relation, PRE-cap (bucket caps are a query-time policy: the same
   artifact serves probes with different caps, exactly like a database
   index serving different predicates);
-- ``mh_meta.parquet``      1 row (n, num_perm, band_rows) — staleness
-  check + the signature-scheme fingerprint (an artifact built under a
-  different permutation count refuses to load rather than silently
-  producing wrong-band probes).
+- ``mh_meta.parquet``      1 row (n, num_perm, band_rows, corpus_fp,
+  segments) — staleness check (row count + file-metadata content
+  fingerprint) + the signature-scheme fingerprint (an artifact built
+  under a different permutation count refuses to load rather than
+  silently producing wrong-band probes).
+
+MAINTENANCE (round 10): the artifact is APPENDABLE.  Per-document
+signatures are independent — a doc's shingle set and band keys depend on
+its text alone — so absorbing an ingest batch means signing ONLY the
+batch and landing the rows as new segments (``mh_shingles_seg{i}`` /
+``mh_bands_seg{i}``); the standing corpus is never re-signed.  The meta
+row is the commit pointer, written LAST: a killed append leaves orphan
+segment directories no load reads, and the retry overwrites them
+(write-new-then-swap).  ``append_minhash_batch`` output is EXACTLY what
+a from-scratch build over the grown corpus would produce (pinned in
+tests/test_minhash_index.py), so every probe op keeps its oracle.
 
 The PROBE path (``near_dedup_indexed``) reads the two relations and runs
 bucket-cap → collision self-join → bucket-local exact verification —
@@ -38,12 +50,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .ann_index import _check_fresh, _clear_meta, _segment_paths
 
-def write_minhash_index(docs: DataFrame, index_dir: str) -> None:
-    """Compute shingle sets + LSH bands over (doc_id, text) and persist
-    both relations.  ``docs`` is scanned once: the shingle projection is
-    persisted DISK_ONLY (house rule for corpus-scale array rows) and
-    feeds both writes."""
+
+def _minhash_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands) over a (doc_id, text) relation — the signature
+    computation shared by the initial build and the batch append, so the
+    two paths can never drift.  The shingle projection is persisted
+    DISK_ONLY (house rule for corpus-scale array rows) and feeds both
+    relations; callers release via release_persisted()."""
     from ..caching import tracked_persist
     from ..functions.hashing import minhash_params
     from ..functions.vectorized import np_minhash_bands
@@ -54,13 +69,42 @@ def write_minhash_index(docs: DataFrame, index_dir: str) -> None:
     shs = tracked_persist(
         shingle_projection(docs), level=StorageLevel.DISK_ONLY
     )
+    bands = np_minhash_bands(
+        shs.select("doc_id", "hl"), minhash_params(NUM_PERM), BAND_ROWS
+    )
+    return shs, bands
+
+
+def _write_mh_meta(
+    spark: SparkSession, index_dir: str,
+    n: int, corpus_fp: int | None, segments: int,
+) -> None:
+    from ..queries.dedup_ops import BAND_ROWS, NUM_PERM
+
+    meta = spark.createDataFrame(
+        [(n, NUM_PERM, BAND_ROWS, corpus_fp, segments)],
+        "n BIGINT, num_perm BIGINT, band_rows BIGINT, corpus_fp BIGINT, "
+        "segments BIGINT",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/mh_meta.parquet"
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame, index_dir: str, corpus_fp: int | None = None
+) -> None:
+    """Compute shingle sets + LSH bands over (doc_id, text) and persist
+    both relations.  ``docs`` is scanned once via the shared DISK_ONLY
+    shingle projection.  Meta is deleted first / written last, so a
+    killed (re)build is a cache miss on next access, never torn data
+    served as fresh."""
+    _clear_meta(index_dir, "mh_meta.parquet")
+    shs, bands = _minhash_relations(docs)
     (
         shs.select("doc_id", "shset")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/mh_shingles.parquet")
-    )
-    bands = np_minhash_bands(
-        shs.select("doc_id", "hl"), minhash_params(NUM_PERM), BAND_ROWS
     )
     # cluster files by band so a probe's bucket-count window reads
     # band-colocated row groups (the exchange still happens — plain
@@ -70,38 +114,80 @@ def write_minhash_index(docs: DataFrame, index_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/mh_bands.parquet")
     )
-    n = docs.count()
-    meta = docs.sparkSession.createDataFrame(
-        [(n, NUM_PERM, BAND_ROWS)], "n BIGINT, num_perm BIGINT, band_rows BIGINT"
+    _write_mh_meta(docs.sparkSession, index_dir, docs.count(), corpus_fp, 0)
+
+
+def append_minhash_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    new_corpus_fp: int | None = None,
+) -> None:
+    """Absorb an ingest batch into a standing MinHash artifact: sign ONLY
+    the batch (per-doc signatures are independent of the rest of the
+    corpus, so segment union ≡ full rebuild EXACTLY — pinned in
+    tests/test_minhash_index.py) and land the rows as new shingle/band
+    segments.  At 100 TB this is the difference between per-batch cost
+    O(|batch|) and the full re-sign (hours) the rebuild-only contract
+    forced.  Meta (count, fingerprint, segment pointer) commits LAST —
+    a killed append is invisible and the retry overwrites its orphans.
+
+    ``batch_docs`` must be NEW doc_ids (an ingest batch, not an update);
+    ``new_corpus_fp`` is the corpus fingerprint AFTER the batch landed.
+    """
+    meta = spark.read.parquet(f"{index_dir}/mh_meta.parquet").collect()[0]
+    from ..queries.dedup_ops import BAND_ROWS, NUM_PERM
+
+    if (meta.num_perm, meta.band_rows) != (NUM_PERM, BAND_ROWS):
+        raise ValueError(
+            f"MinHash index at {index_dir} uses num_perm={meta.num_perm}, "
+            f"band_rows={meta.band_rows}; the engine now uses "
+            f"({NUM_PERM}, {BAND_ROWS}) — rebuild, do not append"
+        )
+    seg = int(meta.segments) + 1
+    shs, bands = _minhash_relations(batch_docs)
+    (
+        shs.select("doc_id", "shset")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/mh_shingles_seg{seg}.parquet")
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/mh_meta.parquet"
+    (
+        bands.repartition("band")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/mh_bands_seg{seg}.parquet")
+    )
+    _write_mh_meta(
+        spark, index_dir,
+        int(meta.n) + batch_docs.count(),
+        new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+        seg,
     )
 
 
 def load_minhash_index(
-    spark: SparkSession, index_dir: str, expect_n: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    expect_n: int | None = None,
+    expect_fp: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(shingles, bands) with the same staleness contract as the ANN
-    artifacts: a count or signature-scheme mismatch raises instead of
-    silently probing a stale index."""
+    """(shingles, bands) — each the union of the base segment and every
+    appended batch segment — with the same staleness contract as the ANN
+    artifacts: a count, content-fingerprint, or signature-scheme mismatch
+    raises instead of silently probing a stale index."""
     from ..queries.dedup_ops import BAND_ROWS, NUM_PERM
 
     meta = spark.read.parquet(f"{index_dir}/mh_meta.parquet").collect()[0]
-    if expect_n is not None and meta.n != expect_n:
-        raise ValueError(
-            f"stale MinHash index at {index_dir}: built over n={meta.n}, "
-            f"corpus now has n={expect_n} — rebuild with write_minhash_index"
-        )
+    _check_fresh(meta, index_dir, "MinHash", expect_n, expect_fp)
     if (meta.num_perm, meta.band_rows) != (NUM_PERM, BAND_ROWS):
         raise ValueError(
             f"MinHash index at {index_dir} was built with "
             f"num_perm={meta.num_perm}, band_rows={meta.band_rows}; the "
             f"engine now uses ({NUM_PERM}, {BAND_ROWS}) — rebuild"
         )
+    segs = int(meta.segments)
     return (
-        spark.read.parquet(f"{index_dir}/mh_shingles.parquet"),
-        spark.read.parquet(f"{index_dir}/mh_bands.parquet"),
+        spark.read.parquet(*_segment_paths(index_dir, "mh_shingles", segs)),
+        spark.read.parquet(*_segment_paths(index_dir, "mh_bands", segs)),
     )
 
 
@@ -113,22 +199,67 @@ def minhash_index_for(
 ) -> tuple[DataFrame, DataFrame]:
     """Cache-or-build under the shared per-corpus artifact directory
     (``ann_index.index_location`` keying; a num_perm/band_rows scheme
-    bump rebuilds automatically via ``cache_or_build``)."""
+    bump or content-fingerprint mismatch rebuilds automatically via
+    ``cache_or_build``)."""
     from ..sources.tables import load_table, spread
     from .ann_index import cache_or_build, index_location
 
-    index_dir, n = index_location(spark, sf_dir, root, "documents")
+    index_dir, n, fp = index_location(spark, sf_dir, root, "documents")
 
     def _build():
         docs = spread(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         )
-        write_minhash_index(docs, index_dir)
+        write_minhash_index(docs, index_dir, corpus_fp=fp)
 
     return cache_or_build(
         index_dir,
         "mh_meta.parquet",
         force,
         _build,
-        lambda: load_minhash_index(spark, index_dir, expect_n=n),
+        lambda: load_minhash_index(spark, index_dir, expect_n=n, expect_fp=fp),
+    )
+
+
+def appended_minhash_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The ingest-loop exercise path behind ``dedup_incremental_appended``:
+    build the signature artifact over the STANDING corpus (``doc_id %
+    NEW_BATCH_MOD != 0``), then ``append_minhash_batch`` the new ~10%.
+    Per-doc signatures are corpus-independent, so the appended artifact
+    is EXACTLY the full build (pytest-pinned) and the probe shares
+    ``dedup_incremental``'s oracle — the driver hash gate checks the
+    append path end-to-end.  Sibling ``…-app`` directory; resumable via
+    the same refuse-and-redo contract as ``appended_bm25_index_for``.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table, spread
+    from .ann_index import cache_or_build, index_location
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-app"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        from ..queries.dedup_ops import NEW_BATCH_MOD
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        standing = spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0))
+        batch = spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0))
+        write_minhash_index(standing, index_dir, corpus_fp=fp)
+        append_minhash_batch(spark, index_dir, batch, new_corpus_fp=fp)
+
+    return cache_or_build(
+        index_dir,
+        "mh_meta.parquet",
+        force,
+        _build,
+        lambda: load_minhash_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )

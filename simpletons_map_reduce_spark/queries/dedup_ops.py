@@ -431,6 +431,30 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
 
+@register(
+    "dedup_incremental_appended", DEDUP_INCREMENTAL_ORACLE, tags=("dedup",)
+)
+def dedup_incremental_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental served off an artifact that ABSORBED the new
+    batch via ``append_minhash_batch`` instead of a rebuild — the round-10
+    maintenance path: the standing corpus was signed once at build, the
+    batch was signed alone at append, and the probe reads the segmented
+    union (operators/minhash_index.py::appended_minhash_index_for).
+    Because per-doc signatures are corpus-independent, append ≡ rebuild
+    exactly, so this shares ``dedup_incremental``'s oracle — the driver
+    hash gate verifies the append arithmetic (segment union, meta
+    accounting) end-to-end, not just "it ran".
+    """
+    from ..operators.minhash_index import appended_minhash_index_for
+
+    shs, bands = appended_minhash_index_for(spark, sf_dir)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+    )
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
 def _incremental_collisions(kept: DataFrame) -> DataFrame:
     """(new_doc, corpus_doc, band) — the asymmetric new-batch-vs-corpus
     bucket join, shared by the inline and artifact-probe paths so the

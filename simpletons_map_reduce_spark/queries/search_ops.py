@@ -273,7 +273,18 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.bm25_index import bm25_index_for
 
-    postings, dl, termstats, n_docs, avgdl = bm25_index_for(spark, sf_dir)
+    return _bm25_index_probe(*bm25_index_for(spark, sf_dir))
+
+
+def _bm25_index_probe(
+    postings: DataFrame,
+    dl: DataFrame,
+    termstats: DataFrame,
+    n_docs: float,
+    avgdl: float,
+) -> DataFrame:
+    """The artifact-served BM25 probe plan, shared by the full-build and
+    appended index paths so the scoring arithmetic cannot drift."""
     hits = postings.filter(F.col("tok").isin(*QUERY_TERMS)).select(
         "tok", "doc_id", F.col("tf").cast("double").alias("tf")
     )
@@ -295,6 +306,23 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(SEARCH_K)
     )
+
+
+@register("bm25_search_appended", BM25_SEARCH_ORACLE, tags=("search", "text"))
+def bm25_search_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served off an index that ABSORBED the last ~10% of the
+    corpus via ``append_bm25_batch`` (round-10 incremental maintenance)
+    instead of a rebuild: batch postings/doclen land as segments, term
+    dfs merge at vocabulary grain, and the scoring constants re-derive
+    from the segmented doclen — per-batch cost O(|batch| + vocab), never
+    a corpus re-tokenize.  Append ≡ rebuild exactly (pytest-pinned), so
+    this shares ``bm25_search``'s oracle: the driver hash gate verifies
+    the merged df counts, the re-derived N/avgdl, and the segment-union
+    read — the entire append path — against DuckDB on the full corpus.
+    """
+    from ..operators.bm25_index import appended_bm25_index_for
+
+    return _bm25_index_probe(*appended_bm25_index_for(spark, sf_dir))
 
 
 @register(

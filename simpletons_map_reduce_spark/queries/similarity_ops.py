@@ -329,6 +329,15 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import ivf_index_for
 
     index = ivf_index_for(spark, sf_dir)
+    return _indexed_ivf_search(spark, sf_dir, index)
+
+
+def _indexed_ivf_search(
+    spark: SparkSession, sf_dir: str, index
+) -> DataFrame:
+    """The artifact-probe search shared by ``ann_ivf_indexed`` and
+    ``ann_ivf_appended`` — queries are the reserved vec_id < N_QUERIES
+    rows, nprobe tracks k exactly as the inline operator's."""
     queries = _emb_with_norm(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -336,6 +345,29 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("query_id") < N_QUERIES)
     nprobe = max(MIN_NPROBE, index[2] // 5)
     return _ivf_search(queries, index[0], index[1], nprobe)
+
+
+@register("ann_ivf_appended", None, tags=("similarity",))
+def ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf`` probing an index that ABSORBED the last ~10% of the
+    corpus via ``append_ivf_batch`` (round-10 incremental maintenance):
+    centroids are trained once over the standing corpus and FROZEN; the
+    batch's vectors are assigned under them and land as a new assignment
+    segment — FAISS's train-once/add-many shape, as parquet relations.
+    No re-train, no corpus re-assignment: per-batch ingest cost is
+    O(|batch| · k), the cost model a 100 TB ingest loop needs.
+
+    Rows-only evidence class like the other ANN entries (approximate by
+    nature); the append arithmetic itself is pytest-pinned exact in
+    tests/test_index_maintenance.py (appended segment ≡ a direct
+    frozen-centroid assignment of the batch; segment-union covers the
+    full corpus), and the probe plan is the same pure-JVM
+    ``_ivf_search`` the indexed entry pins.
+    """
+    from ..operators.ann_index import appended_ivf_index_for
+
+    index = appended_ivf_index_for(spark, sf_dir)
+    return _indexed_ivf_search(spark, sf_dir, index)
 
 
 def _ivf_build(

@@ -1,0 +1,238 @@
+"""Pins for round-10 incremental index maintenance + staleness hardening.
+
+Contracts:
+- append ≡ rebuild EXACTLY for the MinHash and BM25 artifacts (per-doc
+  signatures / per-doc postings are corpus-independent; vocabulary-grain
+  merges are exact integer sums), so the appended artifacts keep their
+  probes' DuckDB oracles;
+- IVF append assigns the batch under the FROZEN segment-0 centroids
+  (FAISS train-once/add-many) — the appended segment equals a direct
+  frozen-centroid assignment of the batch, and the segment union covers
+  the full corpus;
+- a killed append is INVISIBLE: orphan segment directories written
+  without a meta commit are never read, and the retry overwrites them
+  (write-new-then-swap);
+- the content fingerprint closes the same-size staleness hole: every
+  artifact family refuses to load when the corpus files changed even if
+  the row count did not (VERDICT r9 missing #2 / ADVICE r9);
+- appends refuse contract violations loudly (BM25 overlapping doc_ids,
+  MinHash signature-scheme drift).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.operators.ann_index import (
+    append_ivf_batch,
+    corpus_fingerprint,
+    load_ivf_index,
+    load_lsh_index,
+    load_pq_index,
+    write_ivf_index,
+    write_lsh_index,
+    write_pq_index,
+)
+from simpletons_map_reduce_spark.operators.bm25_index import (
+    append_bm25_batch,
+    load_bm25_index,
+    write_bm25_index,
+)
+from simpletons_map_reduce_spark.operators.minhash_index import (
+    append_minhash_batch,
+    load_minhash_index,
+    write_minhash_index,
+)
+from simpletons_map_reduce_spark.sources.tables import load_table
+
+from tests.conftest import SF0001
+
+
+def _docs(spark):
+    return load_table(spark, SF0001, "documents").select("doc_id", "text")
+
+
+def _split(docs):
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def _emb(spark):
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    return _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+# ---------------------------------------------------------------------------
+# append ≡ rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_append_equals_full_build(spark, tmp_path):
+    docs = _docs(spark)
+    n = docs.count()
+    standing, batch = _split(docs)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_minhash_index(standing, inc, corpus_fp=1)
+    append_minhash_batch(spark, inc, batch, new_corpus_fp=2)
+    write_minhash_index(docs, full, corpus_fp=2)
+    shs_i, bands_i = load_minhash_index(spark, inc, expect_n=n, expect_fp=2)
+    shs_f, bands_f = load_minhash_index(spark, full, expect_n=n, expect_fp=2)
+    assert _rows(shs_i, ["doc_id", "shset"]) == _rows(shs_f, ["doc_id", "shset"])
+    assert _rows(bands_i, ["doc_id", "band", "band_key"]) == _rows(
+        bands_f, ["doc_id", "band", "band_key"]
+    )
+
+
+def test_bm25_append_equals_full_build(spark, tmp_path):
+    docs = _docs(spark)
+    n = docs.count()
+    standing, batch = _split(docs)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_bm25_index(standing, inc, corpus_fp=1)
+    append_bm25_batch(spark, inc, batch, new_corpus_fp=2)
+    write_bm25_index(docs, full, n_corpus=n, corpus_fp=2)
+    p_i, dl_i, ts_i, nd_i, avg_i = load_bm25_index(
+        spark, inc, expect_n=n, expect_fp=2
+    )
+    p_f, dl_f, ts_f, nd_f, avg_f = load_bm25_index(
+        spark, full, expect_n=n, expect_fp=2
+    )
+    assert _rows(p_i, ["tok", "doc_id", "tf"]) == _rows(
+        p_f, ["tok", "doc_id", "tf"]
+    )
+    assert _rows(dl_i, ["doc_id", "dl"]) == _rows(dl_f, ["doc_id", "dl"])
+    assert _rows(ts_i, ["tok", "df"]) == _rows(ts_f, ["tok", "df"])
+    assert (nd_i, avg_i) == (nd_f, avg_f)
+
+
+def test_bm25_append_rejects_overlapping_batch(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    write_bm25_index(docs.limit(100), idx)
+    with pytest.raises(ValueError, match="already indexed"):
+        append_bm25_batch(spark, idx, docs.limit(10))
+
+
+def test_ivf_append_assigns_under_frozen_centroids(spark, tmp_path):
+    from simpletons_map_reduce_spark.functions.vectorized import (
+        np_assign_clusters,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    standing = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(standing, idx, corpus_fp=1)
+    cents0, assigned0, k0 = load_ivf_index(spark, idx)
+    append_ivf_batch(spark, idx, batch, new_corpus_fp=2)
+    cents1, assigned1, k1 = load_ivf_index(spark, idx, expect_n=n, expect_fp=2)
+    # centroids frozen, k unchanged
+    assert k1 == k0
+    assert _rows(cents1, ["cent_id"]) == _rows(cents0, ["cent_id"])
+    # segment union covers the full corpus (top-2 soft assignment → each
+    # vector appears once per assigned cluster, max 2)
+    assert assigned1.select("vec_id").distinct().count() == n
+    # the appended rows ARE a direct frozen-centroid assignment of the batch
+    got = assigned1.join(batch.select("vec_id"), "vec_id", "left_semi")
+    want = np_assign_clusters(batch, cents0, top=2, carry_vectors=True)
+    assert _rows(got, ["vec_id", "cluster"]) == _rows(
+        want, ["vec_id", "cluster"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# transactionality: orphan segments are invisible, retries overwrite them
+# ---------------------------------------------------------------------------
+
+
+def test_killed_append_is_invisible_and_retry_overwrites(spark, tmp_path):
+    docs = _docs(spark)
+    standing, batch = _split(docs)
+    n_standing = standing.count()
+    idx = str(tmp_path / "mh")
+    write_minhash_index(standing, idx, corpus_fp=1)
+    # simulate an append killed after the segment write but BEFORE the
+    # meta commit: the orphan segment must not be served
+    batch.limit(3).selectExpr(
+        "doc_id", "array(1L, 2L) AS shset"
+    ).write.parquet(f"{idx}/mh_shingles_seg1.parquet")
+    shs, _bands = load_minhash_index(spark, idx, expect_n=n_standing)
+    assert shs.count() == n_standing  # orphan invisible
+    # the retried append overwrites the orphan and commits
+    append_minhash_batch(spark, idx, batch, new_corpus_fp=2)
+    shs2, _ = load_minhash_index(spark, idx, expect_n=docs.count(), expect_fp=2)
+    assert shs2.count() == docs.count()
+    # no leftover fake rows: every shset is a real gram set, not [1, 2]
+    fake = F.array(F.lit(1).cast("long"), F.lit(2).cast("long"))
+    assert shs2.filter(F.col("shset") == fake).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# content-fingerprint staleness (same-size corpus mutation)
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_changes_on_touch(tmp_path):
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001/documents.parquet"  # single-FILE layout
+    dst = tmp_path / "documents.parquet"
+    shutil.copy(src, dst)
+    fp1 = corpus_fingerprint(str(tmp_path), "documents")
+    # same bytes, same size — only mtime moves (the in-place-rewrite shape)
+    os.utime(dst, ns=(dst.stat().st_atime_ns, dst.stat().st_mtime_ns + 1))
+    fp2 = corpus_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
+    # DIRECTORY layout (Spark-written part files): part files count,
+    # sidecars (_SUCCESS, .crc) do not
+    d2 = tmp_path / "dir" / "documents.parquet"
+    d2.mkdir(parents=True)
+    shutil.copy(src, d2 / "part-00000.parquet")
+    fpd = corpus_fingerprint(str(tmp_path / "dir"), "documents")
+    (d2 / "_SUCCESS").write_text("")
+    (d2 / ".part-00000.parquet.crc").write_text("x")
+    assert corpus_fingerprint(str(tmp_path / "dir"), "documents") == fpd
+    shutil.copy(src, d2 / "part-00001.parquet")
+    assert corpus_fingerprint(str(tmp_path / "dir"), "documents") != fpd
+
+
+@pytest.mark.parametrize("family", ["minhash", "bm25", "ivf", "pq", "lsh"])
+def test_content_fingerprint_refusal(spark, tmp_path, family):
+    idx = str(tmp_path / family)
+    if family in ("minhash", "bm25"):
+        data = _docs(spark).limit(60)
+        n = data.count()
+        write = {"minhash": write_minhash_index, "bm25": write_bm25_index}[
+            family
+        ]
+        load = {"minhash": load_minhash_index, "bm25": load_bm25_index}[family]
+        write(data, idx, corpus_fp=111)
+    else:
+        data = _emb(spark).limit(60)
+        n = data.count()
+        write = {"ivf": write_ivf_index, "pq": write_pq_index, "lsh": write_lsh_index}[
+            family
+        ]
+        load = {"ivf": load_ivf_index, "pq": load_pq_index, "lsh": load_lsh_index}[
+            family
+        ]
+        write(data, idx, corpus_fp=111)
+    # row count unchanged, content fingerprint moved → must refuse
+    with pytest.raises(ValueError, match="corpus files changed"):
+        load(spark, idx, expect_n=n, expect_fp=999)
+    # matching fingerprint loads fine
+    load(spark, idx, expect_n=n, expect_fp=111)

@@ -754,6 +754,11 @@ EXCHANGE_BUDGET = {
     "doc_fingerprint": 1,
     "near_dedup_indexed": 5,
     "dedup_incremental_indexed": 5,
+    # round 10: the appended-artifact probes share their indexed twins'
+    # plans exactly (segment union adds scan legs, not shuffles)
+    "dedup_incremental_appended": 5,
+    "bm25_search_appended": 1,
+    "ann_ivf_appended": 1,
     "winnow_fingerprint": 0,
     "contamination_apply": 3,
     "dedup_weights": 4,
@@ -923,6 +928,10 @@ BROADCAST_BUDGET = {
     "bloom_probe": 1,
     "bm25_search": 2,
     "bm25_search_indexed": 1,
+    # round 10 appended probes: same bounded hints as their indexed twins
+    # (BM25's |QUERY_TERMS|-row term stats; IVF's k-row centroid model)
+    "bm25_search_appended": 1,
+    "ann_ivf_appended": 1,
     "hybrid_search": 3,
     "hybrid_search_indexed": 2,
     "broadcast_join": 1,
