@@ -32,50 +32,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Priority order for the driver's correctness window.  The driver checks
 # queries in dict insertion order and truncates at entry 50, so the window
-# ROTATES each round to extend cumulative driver evidence: rounds 1-8
-# covered 144/156 distinct queries (see CORRECTNESS_r0*.json).  Round 9's
-# window leads with the LAST 12 never-driver-checked queries (the
-# profiling battery + the two approx sketches — closes cumulative
-# coverage at 156/156), keeps the three long-lived sentinels (wordcount,
-# mr_wordcount, near_dedup) as regression canaries, and fills the
-# remaining slots with a SECOND TOUR of queries whose only driver
-# evidence dates to rounds 1-3 (events/behavior + the relational core) —
-# re-checks are free cumulative evidence once first-pass coverage is
-# complete.  Every query off the window stays exact-oracle-checked by
-# tools/check_oracle.py --all and by pytest on every run.
+# ROTATES each round to extend cumulative driver evidence: rounds 1-9
+# covered all 176 then-registered queries (see CORRECTNESS_r0*.json).
+# Round 10's window (VERDICT r9 item 7: evidence FRESHNESS — no query's
+# latest driver row should predate round 4) leads with the five new
+# round-10 ops (first-time evidence outranks re-checks), keeps the three
+# long-lived sentinels, then re-tours every query whose most recent
+# driver evidence is round 1/3/4 (binary_meta r1; the 28-query r3
+# relational/misc cohort; the r4 inline ANN trio), and spends the last
+# ten slots on the oldest r7 items (the multimodal/codec family, the
+# sampling battery, the reference's inverted index).  Every query off
+# the window stays exact-oracle-checked by tools/check_oracle.py --all
+# and by pytest on every run.
 _PRIORITY = [
+    # round-10 new ops: incremental index maintenance (append ≡ rebuild,
+    # hash-gated via the shared oracles) + the approx profiling scale
+    # paths (rows-only; accuracy pinned in tests/test_profiling_approx)
+    "dedup_incremental_appended", "bm25_search_appended",
+    "ann_ivf_appended", "table_profile_approx", "histogram_equi_depth_approx",
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # the final 12 never-driver-checked: profiling battery + approx
-    # sketches (VERDICT r8 item 1 — cumulative coverage goes 156/156)
-    "event_pivot", "value_histogram", "customer_deciles", "table_profile",
-    "embedding_stats", "key_skew_profile", "table_checks", "weighted_median",
-    "stats_moments", "histogram_equi_depth", "approx_distinct",
-    "approx_quantiles",
-    # round-9 new ops (hash gate / rows-only on first appearance) — these
-    # MUST precede the second tours: the window truncates at 50 and
-    # first-time driver evidence outranks a re-check.
-    "substring_dedup_keep_one", "stream_parity_stateful",
-    "stream_parity_chained", "stream_parity_extended",
-    "ann_ivf_indexed", "ann_pq_indexed", "hybrid_search",
-    "repetition_signals", "dsir_weights", "dsir_select",
-    "near_dedup_indexed", "ann_lsh_indexed", "dedup_incremental_indexed",
-    "contamination_apply", "winnow_fingerprint", "dedup_weights",
-    "bm25_search_indexed", "hybrid_search_indexed",
-    "knn_classify_ann_indexed", "embedding_dedup_ann_indexed",
-    # second tour: events/behavior family (last driver-checked r1-r3) —
-    # free cumulative evidence with the first-pass coverage complete.
+    # freshness tour: last driver evidence round 1
+    "binary_meta",
+    # freshness tour: the r3 cohort (relational core + misc batch ops)
+    "anomaly_mad", "anti_join", "broadcast_join", "cube_agg",
+    "distinct_agg", "filter_scan", "forecast_revenue", "grouping_sets",
+    "hash_join", "incremental_agg", "incremental_join", "intersect_op",
+    "merge_upsert", "nested_lines", "promo_revenue", "quarter_recon",
+    "revenue_unpivot", "rollup_agg", "salted_join", "salted_window_rank",
+    "scd_intervals", "semi_join", "shipping_priority", "supplier_revenue",
+    "tz_rollup", "union_except", "value_percentiles", "wow_growth",
+    # freshness tour: the r4 inline ANN trio (rows-only class)
+    "ann_ivf", "ann_lsh", "ann_pq",
+    # freshness tour: oldest r7 items — multimodal/codec family,
+    # sampling battery, and the reference's own inverted index (B3/B4)
+    "media_dedup", "media_features", "media_resize", "png_roundtrip",
+    "wav_roundtrip", "leakage_safe_split", "split_assign",
+    "stratified_sample", "weighted_sample", "inverted_index",
+    # past the 50-slot window (kept for stable ordering of the tail):
+    # the r9 cohort re-checked last round
     "events_sessionize", "events_tumbling", "events_hopping",
     "latest_events", "peak_concurrency", "time_rollup",
     "rolling_active_users", "gap_fill", "click_attribution",
-    # second tour: relational / TPC-H core (last driver-checked r1-r3);
-    # entries past the 50-slot window stay exact-oracle-checked by
-    # tools/check_oracle.py --all and pytest on every run.
     "pricing_summary", "region_revenue", "window_rank", "topk_orders",
-    "range_join", "asof_join", "hash_join", "broadcast_join", "semi_join",
-    "anti_join", "quarter_recon", "salted_join", "salted_window_rank",
-    "union_except", "rollup_agg", "cube_agg",
-    "grouping_sets", "distinct_agg",
+    "range_join", "asof_join",
 ]
 
 

@@ -286,6 +286,51 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("table_profile_approx", None, tags=("profiling",))
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for column profiling (round 10 — registering the
+    swap ``table_profile``'s docstring promised): ``approx_count_distinct``
+    (HyperLogLog++, constant ~kilobyte state per column, mergeable)
+    replaces the exact multi-column ``countDistinct``, which expands the
+    input once per profiled column and measured 228.5 s at the 150M-row
+    sweep.  The HLL plan is ONE map-side-combined pass at any width and
+    any scale — the profile a 100 TB ingest actually runs.
+
+    Same output shape as ``table_profile``; nulls/min/max stay EXACT
+    (identical aggregates), only n_distinct is an estimate — rows-only
+    evidence class with the HLL error contract (≤5% relative at rsd
+    0.02, exactness of the other columns) pinned in
+    tests/test_profiling_approx.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for col, _kind in _PROFILE_COLS:
+        v = F.col(col)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.approx_count_distinct(col, rsd=0.02).alias(f"{col}__distinct"),
+            F.min(v).cast("string").alias(f"{col}__min"),
+            F.max(v).cast("string").alias(f"{col}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
 EMBEDDING_STATS_ORACLE = f"""
 WITH v AS (
   SELECT label,
@@ -716,6 +761,49 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", F.ntile(EQUI_DEPTH_K).over(w).alias("bucket")
     )
     return b.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        rn(F.min("value"), 4).alias("lo"),
+        rn(F.max("value"), 4).alias("hi"),
+    )
+
+
+@register("histogram_equi_depth_approx", None, tags=("profiling",))
+def histogram_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for equi-depth histograms (round 10 — registering
+    the swap the exact twin's docstring promised): bucket boundaries come
+    from ``percentile_approx`` (Greenwald–Khanna sketch: map-side
+    combinable, mergeable, one ordinary group aggregate), so per-group
+    parallelism is never capped the way the exact twin's total ``ntile``
+    sort is — at the 100M-event sweep the exact op ran 130.7 s because
+    K buckets per group serialize through one ranking pass per group;
+    the sketch plan is two scans and one groups-sized broadcast at ANY
+    group count.
+
+    Same output shape as ``histogram_equi_depth`` (event_type, bucket,
+    n, lo, hi); rows-only evidence class (sketch boundaries are
+    approximate by nature) with the accuracy contract pinned in
+    tests/test_profiling_approx.py: bucket depths within tolerance of
+    the ideal n/K and exactly-conserved totals.  The boundary relation
+    broadcast is bounded by contract: |event_type enum| × (K−1) rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = [i / EQUI_DEPTH_K for i in range(1, EQUI_DEPTH_K)]
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs).alias("bounds")
+    )
+    b = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        (
+            F.lit(1)
+            + F.aggregate(
+                "bounds",
+                F.lit(0),
+                lambda acc, bd: acc + F.when(F.col("value") > bd, 1).otherwise(0),
+            )
+        ).cast("long").alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
         F.count("*").alias("n"),
         rn(F.min("value"), 4).alias("lo"),
         rn(F.max("value"), 4).alias("hi"),

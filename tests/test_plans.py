@@ -759,6 +759,12 @@ EXCHANGE_BUDGET = {
     "dedup_incremental_appended": 5,
     "bm25_search_appended": 1,
     "ann_ivf_appended": 1,
+    # round 10: approximate profiling scale paths — the sketch boundary
+    # agg adds one shuffle over the exact twin's reused one, but removes
+    # the per-group ntile serialization; HLL profile drops the exact
+    # countDistinct's expand exchange entirely (2 → 1)
+    "histogram_equi_depth_approx": 2,
+    "table_profile_approx": 1,
     "winnow_fingerprint": 0,
     "contamination_apply": 3,
     "dedup_weights": 4,
@@ -932,6 +938,9 @@ BROADCAST_BUDGET = {
     # (BM25's |QUERY_TERMS|-row term stats; IVF's k-row centroid model)
     "bm25_search_appended": 1,
     "ann_ivf_appended": 1,
+    # round 10: the equi-depth boundary relation is bounded by contract —
+    # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
+    "histogram_equi_depth_approx": 1,
     "hybrid_search": 3,
     "hybrid_search_indexed": 2,
     "broadcast_join": 1,
