@@ -69,6 +69,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = spark.readStream.format("parquet").schema(
         _events_raw_schema(ts_type)
     )
+    # Micro-batch sizing knob for scale runs (tools/stress_streaming.py):
+    # the parquet file source otherwise swallows ALL available files in
+    # one batch, which measures nothing about per-batch latency or
+    # watermark-driven state eviction.  Production (kafka) paces batches
+    # by trigger; the file-source equivalent is maxFilesPerTrigger.
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):
         raw = reader.load(path)

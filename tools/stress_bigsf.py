@@ -167,6 +167,136 @@ def _bm25_index_build(spark, sf_dir):
     return postings
 
 
+# --- round-10 append-vs-rebuild timing (VERDICT r9 item 2) ----------------
+# Each maintenance family gets TWO sweep rows: *_standing_build (ingest the
+# 90% standing corpus into the sibling -app artifact) and *_append_batch
+# (absorb the 10% batch).  Compare the append row against the family's
+# full *_index_build row: the append should cost ~|batch|/|corpus| of the
+# rebuild — THE production cost model for per-batch ingest at 100 TB.
+
+
+def _app_dir(spark, sf_dir, table):
+    import shutil
+
+    from simpletons_map_reduce_spark.operators.ann_index import index_location
+
+    base, n, fp = index_location(spark, sf_dir, None, table)
+    return base + "-app", n, fp, shutil
+
+
+def _docs_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.dedup_ops import NEW_BATCH_MOD
+    from simpletons_map_reduce_spark.sources.tables import load_table, spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)),
+        spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)),
+    )
+
+
+def _minhash_standing_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        load_minhash_index,
+        write_minhash_index,
+    )
+
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents")
+    shutil_.rmtree(d, ignore_errors=True)
+    standing, _batch = _docs_split(spark, sf_dir)
+    write_minhash_index(standing, d, corpus_fp=fp)
+    return load_minhash_index(spark, d)[1]
+
+
+def _minhash_append_batch(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        append_minhash_batch,
+        load_minhash_index,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "documents")
+    _standing, batch = _docs_split(spark, sf_dir)
+    append_minhash_batch(spark, d, batch, new_corpus_fp=fp)
+    return load_minhash_index(spark, d, expect_n=n, expect_fp=fp)[1]
+
+
+def _bm25_standing_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.bm25_index import (
+        load_bm25_index,
+        write_bm25_index,
+    )
+
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents")
+    shutil_.rmtree(d, ignore_errors=True)
+    standing, _batch = _docs_split(spark, sf_dir)
+    write_bm25_index(standing, d, corpus_fp=fp)
+    return load_bm25_index(spark, d)[0]
+
+
+def _bm25_append_batch(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.bm25_index import (
+        append_bm25_batch,
+        load_bm25_index,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "documents")
+    _standing, batch = _docs_split(spark, sf_dir)
+    append_bm25_batch(spark, d, batch, new_corpus_fp=fp)
+    return load_bm25_index(spark, d, expect_n=n, expect_fp=fp)[0]
+
+
+def _emb_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.operators.ann_index import _persisted_emb
+
+    emb = _persisted_emb(spark, sf_dir)
+    return (
+        emb.filter(F.col("vec_id") % 10 != 7),
+        emb.filter(F.col("vec_id") % 10 == 7),
+    )
+
+
+def _ivf_standing_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        load_ivf_index,
+        write_ivf_index,
+    )
+
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "embeddings")
+    shutil_.rmtree(d, ignore_errors=True)
+    standing, _batch = _emb_split(spark, sf_dir)
+    write_ivf_index(standing, d, corpus_fp=fp)
+    return load_ivf_index(spark, d)[1]
+
+
+def _ivf_append_batch(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        append_ivf_batch,
+        load_ivf_index,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings")
+    _standing, batch = _emb_split(spark, sf_dir)
+    append_ivf_batch(spark, d, batch, new_corpus_fp=fp)
+    return load_ivf_index(spark, d, expect_n=n, expect_fp=fp)[1]
+
+
+def _pipeline_funnel_fused_sum(spark, sf_dir):
+    # the capstone composition (VERDICT r9 item 8): the fused production
+    # pipeline end-to-end at sf100 — aggregate the histogram behind a
+    # value-dependent filter so the runner's count() cannot prune stages.
+    from pyspark.sql import functions as F
+
+    return (
+        REGISTRY["pipeline_funnel_fused"].fn(spark, sf_dir)
+        .agg(F.sum("docs").alias("s"), F.count("*").alias("n_stages"))
+        .filter(F.coalesce(F.col("s"), F.lit(0)) >= -1)
+    )
+
+
 #: sweep-only variants that are NOT registry entries (ADVICE r8: keep the
 #: runner table-driven — an op name in a SCALE/BENCH report either exists
 #: in REGISTRY or is defined here, never as a loop special case).
@@ -180,6 +310,13 @@ EXTRA_OPS = {
     "lsh_index_build": _lsh_index_build,
     "dsir_weights_sum": _dsir_weights_sum,
     "bm25_index_build": _bm25_index_build,
+    "minhash_standing_build": _minhash_standing_build,
+    "minhash_append_batch": _minhash_append_batch,
+    "bm25_standing_build": _bm25_standing_build,
+    "bm25_append_batch": _bm25_append_batch,
+    "ivf_standing_build": _ivf_standing_build,
+    "ivf_append_batch": _ivf_append_batch,
+    "pipeline_funnel_fused_sum": _pipeline_funnel_fused_sum,
 }
 
 

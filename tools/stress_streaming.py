@@ -1,0 +1,210 @@
+"""Scale stress for the STREAMING twins (VERDICT r9 item 4).
+
+The batch side has 100M-event sweep numbers (SCALE.md); the streaming
+twins only ever ran at fixture scale, yet the stateful family
+(`applyInPandasWithState` over 1.5M users, chained stateful DAU,
+session windows) is exactly where state-store growth and per-batch
+latency decide whether the operator survives production.  This tool
+drives the registered streaming pipelines over a big event fixture as a
+REAL multi-micro-batch replay and records, per op:
+
+- per-batch trigger latency (min/mean/max) and rows/s throughput,
+- state-store rows (final + peak) and state memory from Spark's own
+  StateOperatorProgress,
+- total wall and row counts,
+
+so unbounded state growth or a latency cliff shows up as a number.
+
+Replay realism: the fixture is restaged ONCE into ``--batches``
+chronologically ordered chunk files (event-time order is what advances
+the watermark and triggers evictions/window closes between batches —
+shuffled files would hold ALL state to the end and measure a different,
+easier problem).  The file source processes chunks oldest-mtime-first
+with SPARK_GRAFT_STREAM_MAX_FILES pacing one chunk per micro-batch —
+the file-source equivalent of kafka's trigger pacing.
+
+    python tools/stress_streaming.py \
+        --sf-dir /root/repo/.benchdata/sf100ev --batches 10 \
+        --ops tumbling dau sessionize totals totals_ttl funnel
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simpletons_map_reduce_spark.session import get_session  # noqa: E402
+
+
+def stage_chunks(spark, sf_dir: str, stage_dir: str, n_chunks: int) -> int:
+    """Rewrite {sf_dir}/events.parquet as n_chunks chronological chunk
+    files under {stage_dir}/events.parquet with strictly increasing
+    mtimes (the file source's processing order).  Returns files per
+    chunk.  Idempotent: reuses an existing staging of the same shape."""
+    out = Path(stage_dir) / "events.parquet"
+    marker = Path(stage_dir) / f".staged-{n_chunks}"
+    if marker.exists() and out.exists():
+        files = [p for p in out.iterdir() if p.suffix == ".parquet"]
+        return max(1, len(files) // n_chunks)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    out.mkdir(parents=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # chronological boundaries on the stored ts: raw bigint nanos stay as
+    # is; timestamp/timestamp_ntz go through unix_micros (ntz→tz is the
+    # identity instant under the pinned UTC session tz)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        tnum = F.col("ts")
+    else:
+        tnum = F.unix_micros(F.col("ts").cast("timestamp"))
+    tsl = ev.select(tnum.alias("t"))
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = tsl.approxQuantile("t", qs, 0.001)
+    edges = [None, *bounds, None]
+    files_per_chunk = 2
+    t0 = time.time()
+    for i in range(n_chunks):
+        c = ev
+        if edges[i] is not None:
+            c = c.filter(tnum >= edges[i])
+        if edges[i + 1] is not None:
+            c = c.filter(tnum < edges[i + 1])
+        tmp = tempfile.mkdtemp(dir=stage_dir)
+        # repartition, not coalesce: a chunk read from one source file has
+        # one partition, and coalesce cannot raise the file count — the
+        # trigger would then swallow several chunks per batch
+        c.repartition(files_per_chunk).write.mode("overwrite").parquet(tmp)
+        stamp = time.time()
+        for j, p in enumerate(sorted(Path(tmp).glob("*.parquet"))):
+            dst = out / f"c{i:03d}-{j}.parquet"
+            p.rename(dst)
+            os.utime(dst, (stamp + i, stamp + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+        print(f"staged chunk {i + 1}/{n_chunks}", file=sys.stderr, flush=True)
+    marker.write_text(str(time.time() - t0))
+    return files_per_chunk
+
+
+def _op_table():
+    from simpletons_map_reduce_spark.streaming.events_stream import (
+        dau_stream,
+        sessionize_stream,
+        tumbling_stream,
+    )
+    from simpletons_map_reduce_spark.streaming.funnel_stream import (
+        funnel_stream,
+    )
+    from simpletons_map_reduce_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_ttl,
+    )
+
+    # (builder, sink output mode) — append for watermarked aggregates
+    # (state EVICTS as the watermark passes: the production mode), update
+    # for the applyInPandasWithState operators (their declared mode).
+    return {
+        "tumbling": (tumbling_stream, "append"),
+        "sessionize": (sessionize_stream, "append"),
+        "dau": (dau_stream, "append"),
+        "totals": (running_user_totals, "update"),
+        "totals_ttl": (running_user_totals_ttl, "update"),
+        "funnel": (funnel_stream, "update"),
+    }
+
+
+def run_op(spark, staged_dir: str, name: str, builder, mode: str) -> dict:
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
+    df = builder(spark, staged_dir)
+    t0 = time.time()
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.time() - t0
+        prog = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    lat = [p["durationMs"]["triggerExecution"] / 1000 for p in batches]
+    rows_in = sum(p["numInputRows"] for p in batches)
+    state_rows = [
+        sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", []))
+        for p in batches
+    ]
+    state_mem = [
+        sum(s.get("memoryUsedBytes", 0) for s in p.get("stateOperators", []))
+        for p in batches
+    ]
+    out_rows = sum(
+        s.get("numRowsUpdated", 0)
+        for p in batches
+        for s in p.get("stateOperators", [])
+    )
+    return {
+        "wall_s": round(wall, 1),
+        "batches": len(batches),
+        "rows_in": rows_in,
+        "rows_per_s": int(rows_in / wall) if wall else None,
+        "batch_s_min": round(min(lat), 1) if lat else None,
+        "batch_s_mean": round(sum(lat) / len(lat), 1) if lat else None,
+        "batch_s_max": round(max(lat), 1) if lat else None,
+        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "state_rows_peak": max(state_rows) if state_rows else 0,
+        "state_mem_peak_mb": round(max(state_mem) / 2**20, 1) if state_mem else 0,
+        "state_rows_updated": out_rows,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/.benchdata/sf100ev")
+    ap.add_argument("--stage-dir", default=None)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--ops", nargs="*", default=list(_op_table()))
+    args = ap.parse_args()
+    stage_dir = args.stage_dir or str(
+        Path(args.sf_dir).parent / (Path(args.sf_dir).name + "-staged")
+    )
+
+    spark = get_session("stress-streaming")
+    files_per_chunk = stage_chunks(spark, args.sf_dir, stage_dir, args.batches)
+    os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = str(files_per_chunk)
+
+    table = _op_table()
+    out = {}
+    for name in args.ops:
+        builder, mode = table[name]
+        try:
+            out[name] = run_op(spark, stage_dir, name, builder, mode)
+        except Exception as exc:  # a blowup is a finding, not a crash
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        out[name]["load1"] = round(os.getloadavg()[0], 1)
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            out[name]["jvm_dead"] = True
+            print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+            break
+        print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+    print(json.dumps({"sf_dir": args.sf_dir, "batches": args.batches,
+                      "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
