@@ -305,12 +305,47 @@ def write_pq_index(
         f"{index_dir}/pq_codes.parquet"
     )
     n = emb.count()
-    meta = emb.sparkSession.createDataFrame(
-        [(n, PQ_M, PQ_K, corpus_fp)],
-        "n BIGINT, m BIGINT, k BIGINT, corpus_fp BIGINT",
+    _write_pq_meta(emb.sparkSession, index_dir, n, corpus_fp, 0)
+
+
+def _write_pq_meta(
+    spark: SparkSession, index_dir: str,
+    n: int, corpus_fp: int | None, segments: int,
+) -> None:
+    from ..queries.similarity_ops import PQ_K, PQ_M
+
+    meta = spark.createDataFrame(
+        [(n, PQ_M, PQ_K, corpus_fp, segments)],
+        "n BIGINT, m BIGINT, k BIGINT, corpus_fp BIGINT, segments BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/pq_meta.parquet"
+    )
+
+
+def append_pq_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_emb: DataFrame,
+    new_corpus_fp: int | None = None,
+) -> None:
+    """Absorb an ingest batch into a standing PQ artifact: encode ONLY
+    the batch under the FROZEN per-subspace codebooks (codebooks are the
+    trained model; codes are per-row and corpus-independent given the
+    model — the same train-once/add-many contract as the IVF append) and
+    land the 8-byte code rows as a new segment.  Meta commits last."""
+    from ..functions.vectorized import np_pq_encode
+
+    meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
+    seg = int(meta.segments) + 1
+    np_pq_encode(batch_emb, f"{index_dir}/pq_codebook.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/pq_codes_seg{seg}.parquet")
+    _write_pq_meta(
+        spark, index_dir,
+        int(meta.n) + batch_emb.count(),
+        new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+        seg,
     )
 
 
@@ -320,13 +355,16 @@ def load_pq_index(
     expect_n: int | None = None,
     expect_fp: int | None = None,
 ) -> tuple[str, DataFrame]:
-    """(codebook_path, codes relation) with the same staleness contract
-    as :func:`load_ivf_index`."""
+    """(codebook_path, codes relation — the union of the base segment and
+    every appended batch) with the same staleness contract as
+    :func:`load_ivf_index`."""
     meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
     _check_fresh(meta, index_dir, "PQ", expect_n, expect_fp)
     return (
         f"{index_dir}/pq_codebook.parquet",
-        spark.read.parquet(f"{index_dir}/pq_codes.parquet"),
+        spark.read.parquet(
+            *_segment_paths(index_dir, "pq_codes", int(meta.segments))
+        ),
     )
 
 
@@ -393,14 +431,62 @@ def write_lsh_index(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/lsh_bands.parquet")
     )
-    n = emb.count()
-    meta = emb.sparkSession.createDataFrame(
-        [(n, LSH_NBITS, LSH_BAND_BITS, _hyperplane_checksum(planes), corpus_fp)],
+    _write_lsh_meta(emb.sparkSession, index_dir, emb.count(), corpus_fp, 0)
+
+
+def _write_lsh_meta(
+    spark: SparkSession, index_dir: str,
+    n: int, corpus_fp: int | None, segments: int,
+) -> None:
+    from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
+
+    meta = spark.createDataFrame(
+        [(
+            n, LSH_NBITS, LSH_BAND_BITS,
+            _hyperplane_checksum(_hyperplanes()), corpus_fp, segments,
+        )],
         "n BIGINT, nbits BIGINT, band_bits BIGINT, plane_sum BIGINT, "
-        "corpus_fp BIGINT",
+        "corpus_fp BIGINT, segments BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/lsh_meta.parquet"
+    )
+
+
+def append_lsh_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_emb: DataFrame,
+    new_corpus_fp: int | None = None,
+) -> None:
+    """Absorb an ingest batch into a standing LSH artifact: sign ONLY the
+    batch under the FIXED hyperplanes (the plane matrix is deterministic
+    engine geometry, fingerprinted in the meta — per-row signatures are
+    corpus-independent, so segment union ≡ full rebuild EXACTLY, same
+    argument as the MinHash append) and land the band rows as a new
+    segment.  Meta commits last (write-new-then-swap)."""
+    from ..functions.vectorized import np_sign_bands
+    from ..queries.similarity_ops import LSH_BAND_BITS, _hyperplanes
+
+    meta = spark.read.parquet(f"{index_dir}/lsh_meta.parquet").collect()[0]
+    planes = _hyperplanes()
+    if meta.plane_sum != _hyperplane_checksum(planes):
+        raise ValueError(
+            f"LSH index at {index_dir} was built under different "
+            f"hyperplanes — rebuild, do not append"
+        )
+    seg = int(meta.segments) + 1
+    (
+        np_sign_bands(batch_emb, planes, LSH_BAND_BITS)
+        .repartition("band", "bkey")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/lsh_bands_seg{seg}.parquet")
+    )
+    _write_lsh_meta(
+        spark, index_dir,
+        int(meta.n) + batch_emb.count(),
+        new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+        seg,
     )
 
 
@@ -423,7 +509,9 @@ def load_lsh_index(
             f"hyperplanes/geometry (nbits={meta.nbits}, "
             f"band_bits={meta.band_bits}) — rebuild"
         )
-    return spark.read.parquet(f"{index_dir}/lsh_bands.parquet")
+    return spark.read.parquet(
+        *_segment_paths(index_dir, "lsh_bands", int(meta.segments))
+    )
 
 
 def lsh_index_for(

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from simpletons_map_reduce_spark.operators.ann_index import (
     append_ivf_batch,
+    append_lsh_batch,
+    append_pq_batch,
     corpus_fingerprint,
     load_ivf_index,
     load_lsh_index,
@@ -151,6 +153,40 @@ def test_ivf_append_assigns_under_frozen_centroids(spark, tmp_path):
     assert _rows(got, ["vec_id", "cluster"]) == _rows(
         want, ["vec_id", "cluster"]
     )
+
+
+def test_lsh_append_equals_full_build(spark, tmp_path):
+    emb = _emb(spark)
+    n = emb.count()
+    standing = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_lsh_index(standing, inc, corpus_fp=1)
+    append_lsh_batch(spark, inc, batch, new_corpus_fp=2)
+    write_lsh_index(emb, full, corpus_fp=2)
+    cols = ["vec_id", "band", "bkey"]
+    assert _rows(
+        load_lsh_index(spark, inc, expect_n=n, expect_fp=2), cols
+    ) == _rows(load_lsh_index(spark, full, expect_n=n, expect_fp=2), cols)
+
+
+def test_pq_append_encodes_under_frozen_codebooks(spark, tmp_path):
+    from simpletons_map_reduce_spark.functions.vectorized import np_pq_encode
+
+    emb = _emb(spark)
+    n = emb.count()
+    standing = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "pq")
+    write_pq_index(standing, idx, corpus_fp=1)
+    append_pq_batch(spark, idx, batch, new_corpus_fp=2)
+    cb_path, codes = load_pq_index(spark, idx, expect_n=n, expect_fp=2)
+    assert codes.select("vec_id").distinct().count() == n
+    got = codes.join(batch.select("vec_id"), "vec_id", "left_semi")
+    want = np_pq_encode(batch, cb_path)
+    cols = [c for c in want.columns]
+    assert _rows(got.select(*cols), cols) == _rows(want, cols)
 
 
 # ---------------------------------------------------------------------------
