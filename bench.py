@@ -76,6 +76,11 @@ HEADLINE = [
     # the hashed-gram relation + a broadcast lookup join; trend-tracked
     # from the round it shipped.
     "dsir_weights",
+    # round 10: index-maintenance family seat — the ingest-loop probe over
+    # the appended (build-then-absorb-a-batch) MinHash artifact; first run
+    # per corpus pays the build+append into .annindex, later runs (and
+    # rounds — the artifact dir persists) time the pure probe.
+    "dedup_incremental_appended",
 ]
 
 

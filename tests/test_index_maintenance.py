@@ -216,6 +216,30 @@ def test_killed_append_is_invisible_and_retry_overwrites(spark, tmp_path):
     assert shs2.filter(F.col("shset") == fake).count() == 0
 
 
+def test_appended_index_for_resumes_after_killed_append(spark, tmp_path):
+    """The refuse-and-redo contract of the appended_*_index_for exercise
+    paths: a run killed BETWEEN the standing build and the append leaves
+    meta.n short of the full corpus; the next call must refuse that
+    partial artifact (with the logged-warning recovery path) and redo the
+    build+append sequence, ending in the correct full artifact."""
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        index_location,
+    )
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        appended_minhash_index_for,
+    )
+
+    root = str(tmp_path)
+    docs = _docs(spark)
+    base, n, fp = index_location(spark, SF0001, root, "documents")
+    # simulate the kill: standing half built, append never ran
+    standing, _batch = _split(docs)
+    write_minhash_index(standing, base + "-app", corpus_fp=fp)
+    with pytest.warns(UserWarning, match="rebuilding once"):
+        shs, _bands = appended_minhash_index_for(spark, SF0001, root=root)
+    assert shs.count() == n
+
+
 # ---------------------------------------------------------------------------
 # content-fingerprint staleness (same-size corpus mutation)
 # ---------------------------------------------------------------------------
