@@ -49,6 +49,11 @@ def docs_raw_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_confs(spark)
     reader = spark.readStream.format("parquet").schema(DOCS_RAW_SCHEMA)
+    # micro-batch pacing knob for scale replays — same contract as
+    # events_stream (tools/stress_streaming.py)
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
     path = f"{sf_dir}/documents.parquet"
     if os.path.isdir(path):
         return reader.load(path)

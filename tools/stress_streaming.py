@@ -47,23 +47,29 @@ from pyspark.sql import functions as F  # noqa: E402
 from simpletons_map_reduce_spark.session import get_session  # noqa: E402
 
 
-def stage_chunks(spark, sf_dir: str, stage_dir: str, n_chunks: int) -> int:
-    """Rewrite {sf_dir}/events.parquet as n_chunks chronological chunk
-    files under {stage_dir}/events.parquet with strictly increasing
-    mtimes (the file source's processing order).  Returns files per
-    chunk.  Idempotent: reuses an existing staging of the same shape."""
-    out = Path(stage_dir) / "events.parquet"
+def stage_chunks(
+    spark, sf_dir: str, stage_dir: str, n_chunks: int, table: str = "events"
+) -> int:
+    """Rewrite {sf_dir}/{table}.parquet as n_chunks chronological chunk
+    files under {stage_dir}/{table}.parquet with strictly increasing
+    mtimes (the file source's processing order).  Chronology column:
+    ``ts`` for events, ``doc_id`` for documents (the dedup streams derive
+    their synthetic ingest_ts from doc_id).  Returns files per chunk.
+    Idempotent: reuses an existing staging of the same shape."""
+    out = Path(stage_dir) / f"{table}.parquet"
     marker = Path(stage_dir) / f".staged-{n_chunks}"
     if marker.exists() and out.exists():
         files = [p for p in out.iterdir() if p.suffix == ".parquet"]
         return max(1, len(files) // n_chunks)
     shutil.rmtree(stage_dir, ignore_errors=True)
     out.mkdir(parents=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # chronological boundaries on the stored ts: raw bigint nanos stay as
     # is; timestamp/timestamp_ntz go through unix_micros (ntz→tz is the
     # identity instant under the pinned UTC session tz)
-    if dict(ev.dtypes)["ts"] == "bigint":
+    if table == "documents":
+        tnum = F.col("doc_id")
+    elif dict(ev.dtypes)["ts"] == "bigint":
         tnum = F.col("ts")
     else:
         tnum = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -119,7 +125,56 @@ def _op_table():
         "totals": (running_user_totals, "update"),
         "totals_ttl": (running_user_totals_ttl, "update"),
         "funnel": (funnel_stream, "update"),
+        # documents-table streams (--table documents)
+        "near_dedup_base": (_near_dedup_base, "append"),
+        "near_dedup_ttl": (_near_dedup_ttl, "append"),
     }
+
+
+def _docs_text_stream(spark, sf_dir):
+    """(doc_id, text, ingest_ts) stream with the dedup family's synthetic
+    deterministic ingest time (ingest_ts ≙ doc_id seconds — replayable,
+    same convention as dedup_stream.docs_stream)."""
+    from simpletons_map_reduce_spark.streaming.dedup_stream import (
+        docs_raw_stream,
+    )
+
+    raw = docs_raw_stream(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "text",
+        F.timestamp_micros((F.col("doc_id") + 1000) * 1_000_000).alias(
+            "ingest_ts"
+        ),
+    )
+
+
+def _near_dedup_base(spark, sf_dir):
+    # the batch-exact twin: state holds every bucket's capped member sets
+    # FOREVER (NoTimeout, mirrors corpus-at-once semantics) — state is
+    # O(corpus) BY CONTRACT, so this runs at the smaller doc SF; the TTL
+    # variant below is the bounded-state production shape for big SF.
+    from simpletons_map_reduce_spark.streaming.near_dedup_stream import (
+        near_dedup_stream,
+    )
+
+    return near_dedup_stream(spark, sf_dir)
+
+
+def _near_dedup_ttl(spark, sf_dir):
+    # TTL sized to the sf100 fixture's dup-block geometry: replicas of an
+    # original sit 5001 synthetic-seconds apart (the coprime doc stride),
+    # a 10-replica block spans ~45,009 s, so a 14 h (50,400 s) member TTL
+    # keeps within-block pairs findable while buckets idle past the TTL
+    # are dropped whole by the event-time timeout — bounded state AND
+    # non-vacuous pair emission.
+    from simpletons_map_reduce_spark.streaming.near_dedup_stream import (
+        near_dedup_stream_ttl_from,
+    )
+
+    return near_dedup_stream_ttl_from(
+        _docs_text_stream(spark, sf_dir), ttl="14 hours", watermark="1 minute"
+    )
 
 
 def run_op(spark, staged_dir: str, name: str, builder, mode: str) -> dict:
@@ -139,21 +194,34 @@ def run_op(spark, staged_dir: str, name: str, builder, mode: str) -> dict:
     finally:
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
+    # latency/throughput over DATA batches only; state metrics over ALL
+    # progress entries — the trailing zero-input DRAIN batch is where the
+    # watermark-driven eviction of the last data batch lands (missing it
+    # misreads "state evicts correctly" as "state never evicts")
     batches = [p for p in prog if p.get("numInputRows", 0) > 0]
     lat = [p["durationMs"]["triggerExecution"] / 1000 for p in batches]
     rows_in = sum(p["numInputRows"] for p in batches)
+    stateful = [p for p in prog if p.get("stateOperators")]
     state_rows = [
-        sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", []))
-        for p in batches
+        sum(s.get("numRowsTotal", 0) for s in p["stateOperators"])
+        for p in stateful
     ]
     state_mem = [
-        sum(s.get("memoryUsedBytes", 0) for s in p.get("stateOperators", []))
-        for p in batches
+        sum(s.get("memoryUsedBytes", 0) for s in p["stateOperators"])
+        for p in stateful
     ]
-    out_rows = sum(
+    removed = sum(
+        s.get("numRowsRemoved", 0)
+        for p in stateful
+        for s in p["stateOperators"]
+    )
+    updated = sum(
         s.get("numRowsUpdated", 0)
-        for p in batches
-        for s in p.get("stateOperators", [])
+        for p in stateful
+        for s in p["stateOperators"]
+    )
+    sink_rows = sum(
+        p.get("sink", {}).get("numOutputRows", 0) or 0 for p in prog
     )
     return {
         "wall_s": round(wall, 1),
@@ -166,7 +234,9 @@ def run_op(spark, staged_dir: str, name: str, builder, mode: str) -> dict:
         "state_rows_final": state_rows[-1] if state_rows else 0,
         "state_rows_peak": max(state_rows) if state_rows else 0,
         "state_mem_peak_mb": round(max(state_mem) / 2**20, 1) if state_mem else 0,
-        "state_rows_updated": out_rows,
+        "state_rows_updated": updated,
+        "state_rows_removed": removed,
+        "sink_rows": sink_rows,
     }
 
 
@@ -175,14 +245,23 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/repo/.benchdata/sf100ev")
     ap.add_argument("--stage-dir", default=None)
     ap.add_argument("--batches", type=int, default=10)
-    ap.add_argument("--ops", nargs="*", default=list(_op_table()))
+    ap.add_argument("--table", default="events", choices=["events", "documents"])
+    ap.add_argument("--ops", nargs="*", default=None)
     args = ap.parse_args()
+    if args.ops is None:
+        args.ops = [
+            n for n in _op_table()
+            if n.startswith("near_dedup") == (args.table == "documents")
+        ]
     stage_dir = args.stage_dir or str(
-        Path(args.sf_dir).parent / (Path(args.sf_dir).name + "-staged")
+        Path(args.sf_dir).parent
+        / (Path(args.sf_dir).name + f"-staged-{args.table}")
     )
 
     spark = get_session("stress-streaming")
-    files_per_chunk = stage_chunks(spark, args.sf_dir, stage_dir, args.batches)
+    files_per_chunk = stage_chunks(
+        spark, args.sf_dir, stage_dir, args.batches, table=args.table
+    )
     os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = str(files_per_chunk)
 
     table = _op_table()
