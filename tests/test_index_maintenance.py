@@ -245,6 +245,23 @@ def test_appended_index_for_resumes_after_killed_append(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_appended_probe_plans_keep_pushdown_and_stay_python_free(spark):
+    """The segmented read must not cost the probes their plan properties:
+    bm25_search_appended still pushes ``tok IN (...)`` into the postings
+    scan (the multi-path parquet read is ONE FileScan relation, so zone
+    maps prune per row group exactly as in the single-segment artifact)
+    and neither appended probe grows a Python stage."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+
+    bm = REGISTRY["bm25_search_appended"].fn(spark, SF0001)
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    assert "In(tok, [" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    inc = REGISTRY["dedup_incremental_appended"].fn(spark, SF0001)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan  # signatures never recompute
+
+
 def test_fingerprint_changes_on_touch(tmp_path):
     import os
     import shutil
