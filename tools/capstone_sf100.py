@@ -1,0 +1,197 @@
+"""Round-10 capstone: the COMPOSED training-data pipeline at sf100
+(VERDICT r9 item 8), run the way production runs it — as STAGES with
+materialized intermediates — with a per-stage cost/funnel breakdown.
+
+Why staged and not the fused single query: `pipeline_funnel_fused` holds
+every stage's shuffle files simultaneously (Spark reclaims a shuffle
+only when its dependency is GC-unreachable, which inside one job it
+never is), and at 5M docs that footprint exceeded this box's disk TWICE
+(ENOSPC at 45 GB and at 70 GB free — both runs recorded in
+.sweeps/sf100_capstone*.json).  A real 100 TB pipeline materializes
+stage outputs to storage anyway (each stage is restartable, auditable,
+and independently scalable); this tool IS that shape, and each stage's
+wall/row numbers are the per-stage breakdown the composed run owes.
+
+Stage semantics mirror the funnel gates exactly (same expressions,
+imported from the query modules):
+  1. gates        — lang-ID + quality >= 0.5 + token-count bounds
+                    (one scan projection, zero shuffles)
+  2. exact_dedup  — keep min doc_id per sha256(text)
+  3. near_dedup   — MinHash-LSH pairs -> connected components -> drop
+                    non-representatives
+  4. decontam     — drop docs sharing a 13-gram with the benchmark suite
+  5. pack         — assign survivors to fixed-capacity training packs
+
+    python tools/capstone_sf100.py --sf-dir /root/repo/.benchdata/sf100
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from simpletons_map_reduce_spark.caching import release_persisted  # noqa: E402
+from simpletons_map_reduce_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/.benchdata/sf100")
+    ap.add_argument("--work-dir", default=None)
+    args = ap.parse_args()
+    work = Path(args.work_dir) if args.work_dir else (
+        Path(args.sf_dir).parent / "capstone-work"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    spark = get_session("capstone-sf100")
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        clusters_from_pairs,
+        near_dedup_pairs,
+    )
+    from simpletons_map_reduce_spark.queries.pipeline import (
+        MAX_TOKENS,
+        MIN_QUALITY,
+        MIN_TOKENS,
+        contaminated_pairs,
+    )
+    from simpletons_map_reduce_spark.queries.packing_ops import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+    )
+    from simpletons_map_reduce_spark.queries.text_ops import (
+        BPE_TOKEN_RE,
+        lang_hit_expr,
+        quality_exprs,
+        token_count_expr,
+    )
+    from simpletons_map_reduce_spark.functions.rounding import rn
+    from simpletons_map_reduce_spark.sources.tables import load_table
+
+    report: list[dict] = []
+
+    def stage(name: str, fn, in_path: str | None, out_name: str) -> str:
+        """Run one materialized stage: read prev output, write parquet,
+        record wall + row counts; drop the JVM's dead shuffles after."""
+        t0 = time.time()
+        src = (
+            spark.read.parquet(in_path)
+            if in_path
+            else load_table(spark, args.sf_dir, "documents").select(
+                "doc_id", "lang", "text"
+            )
+        )
+        out_path = str(work / out_name)
+        fn(src).write.mode("overwrite").parquet(out_path)
+        n_in = src.count()
+        n_out = spark.read.parquet(out_path).count()
+        release_persisted()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        row = {
+            "stage": name,
+            "wall_s": round(time.time() - t0, 1),
+            "rows_in": n_in,
+            "rows_out": n_out,
+            "free_gb": round(shutil.disk_usage("/tmp").free / 2**30, 1),
+        }
+        report.append(row)
+        print(json.dumps(row), file=sys.stderr, flush=True)
+        return out_path
+
+    # 1. gates: one scan projection, no shuffle
+    _, _, _, quality = quality_exprs()
+
+    def gates(src):
+        return src.filter(
+            lang_hit_expr()
+            & (rn(quality, 4) >= MIN_QUALITY)
+            & token_count_expr().cast("long").between(MIN_TOKENS, MAX_TOKENS)
+        ).select("doc_id", "lang", "text")
+
+    p1 = stage("gates", gates, None, "s1_gated.parquet")
+
+    # 2. exact dedup: min doc_id per content hash
+    def exact(src):
+        w = Window.partitionBy(F.sha2("text", 256))
+        return (
+            src.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+            .filter("keep")
+            .select("doc_id", "lang", "text")
+        )
+
+    p2 = stage("exact_dedup", exact, p1, "s2_exact.parquet")
+
+    # 3. near dedup: LSH pairs -> connected components -> drop losers
+    def near(src):
+        pairs = near_dedup_pairs(src.select("doc_id", "text")).select(
+            "doc_a", "doc_b"
+        )
+        losers = clusters_from_pairs(pairs).filter(
+            F.col("cluster_id") != F.col("doc_id")
+        ).select("doc_id")
+        return src.join(losers, "doc_id", "left_anti")
+
+    p3 = stage("near_dedup", near, p2, "s3_neardup.parquet")
+
+    # 4. decontamination: 13-gram overlap with the benchmark suite
+    def decontam(src):
+        hits = (
+            contaminated_pairs(src.select("doc_id", "text"))
+            .select("doc_id")
+            .distinct()
+        )
+        return src.join(hits, "doc_id", "left_anti")
+
+    p4 = stage("decontam", decontam, p3, "s4_clean.parquet")
+
+    # 5. packing: fixed-capacity training packs over the survivors
+    def pack(src):
+        n_tokens = F.size(
+            F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).cast("bigint")
+        toks = src.select(
+            "doc_id", "lang",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("lang", "shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return toks.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / float(PACK_CAPACITY)
+            ).cast("bigint"),
+        )
+
+    stage("pack", pack, p4, "s5_packed.parquet")
+
+    total = round(sum(r["wall_s"] for r in report), 1)
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "total_wall_s": total,
+        "load1": round(os.getloadavg()[0], 1),
+        "stages": report,
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
