@@ -478,6 +478,18 @@ def pipeline_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near_dedup_pairs → clusters_from_pairs) and contamination run off
     the SAME persisted (doc_id, text) frame, so the parquet scan happens
     once and every consumer reads the cached relation.
+
+    Scale bound (round-10 sf100 sweep): as ONE query, every stage's
+    shuffle files coexist until the job ends (Spark reclaims a shuffle
+    only when its dependency is GC-unreachable — never inside the job),
+    and at 5M docs the summed footprint exceeded a single box's disk
+    twice (ENOSPC at 45 GB and 70 GB free).  The composed pipeline's
+    production shape is STAGED with materialized intermediates —
+    `tools/capstone_sf100.py` runs exactly that and carries the
+    per-stage cost table in SCALE.md; this fused entry remains the
+    single-pass reporting shape for corpus slices that fit a node's
+    scratch (it is hash-gated at sf0.01/sf0.1/sf1 and ran sf0.1 in
+    7.1 s in the round-9 bench).
     """
     from ..caching import tracked_persist
     from ..sources.tables import spread
