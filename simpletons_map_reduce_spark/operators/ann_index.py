@@ -574,9 +574,13 @@ def appended_ivf_index_for(
     tests/test_index_maintenance.py: the appended segment equals a direct
     frozen-centroid assignment of the batch), so probes serve the grown
     corpus without a re-train — FAISS's train-once/add-many, as parquet.
-    Sibling ``…-app`` directory; refuse-and-redo resumability."""
+    Family-scoped sibling ``…-app-ivf`` directory (the resumable build's
+    rmtree must never touch another family's artifact — a shared -app dir
+    made the minhash and bm25 appended builds wipe each other on every
+    cache miss, caught as a consistent 12-14 s rebuild in the round-10
+    bench); refuse-and-redo resumability."""
     base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
-    index_dir = base_dir + "-app"
+    index_dir = base_dir + "-app-ivf"
     emb = _persisted_emb(spark, sf_dir)
 
     def _build():

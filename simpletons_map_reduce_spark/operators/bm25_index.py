@@ -280,11 +280,15 @@ def appended_bm25_index_for(
     ``bm25_search_indexed``'s and shares its oracle — the driver hash
     gate therefore checks the APPEND arithmetic end-to-end.
 
-    Lives under a sibling ``…-app`` directory so it never fights the
-    full-build artifact (same corpus, same n — same index_location key).
-    Resumable: a run killed between build and append leaves meta.n_corpus
-    short of the full count, the next load refuses, and cache_or_build
-    redoes the sequence from scratch.
+    Lives under a FAMILY-SCOPED sibling ``…-app-bm25`` directory so it
+    never fights the full-build artifact (same corpus, same n — same
+    index_location key) NOR the other appended families: the resumable
+    build starts with an rmtree of its directory, and a shared -app dir
+    made the minhash and bm25 appended builds wipe each other on every
+    cache miss (caught as consistent 12-14 s rebuild rows in the
+    round-10 bench).  Resumable: a run killed between build and append
+    leaves meta.n_corpus short of the full count, the next load refuses,
+    and cache_or_build redoes the sequence from scratch.
     """
     import shutil
 
@@ -292,7 +296,7 @@ def appended_bm25_index_for(
     from .ann_index import cache_or_build, index_location
 
     base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
-    index_dir = base_dir + "-app"
+    index_dir = base_dir + "-app-bm25"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _build():

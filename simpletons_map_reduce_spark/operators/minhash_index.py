@@ -233,8 +233,10 @@ def appended_minhash_index_for(
     Per-doc signatures are corpus-independent, so the appended artifact
     is EXACTLY the full build (pytest-pinned) and the probe shares
     ``dedup_incremental``'s oracle — the driver hash gate checks the
-    append path end-to-end.  Sibling ``…-app`` directory; resumable via
-    the same refuse-and-redo contract as ``appended_bm25_index_for``.
+    append path end-to-end.  Family-scoped sibling ``…-app-mh``
+    directory (the resumable build's rmtree must never touch another
+    family's artifact); resumable via the same refuse-and-redo contract
+    as ``appended_bm25_index_for``.
     """
     import shutil
 
@@ -244,7 +246,7 @@ def appended_minhash_index_for(
     from .ann_index import cache_or_build, index_location
 
     base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
-    index_dir = base_dir + "-app"
+    index_dir = base_dir + "-app-mh"
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _build():

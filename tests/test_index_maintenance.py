@@ -234,7 +234,7 @@ def test_appended_index_for_resumes_after_killed_append(spark, tmp_path):
     base, n, fp = index_location(spark, SF0001, root, "documents")
     # simulate the kill: standing half built, append never ran
     standing, _batch = _split(docs)
-    write_minhash_index(standing, base + "-app", corpus_fp=fp)
+    write_minhash_index(standing, base + "-app-mh", corpus_fp=fp)
     with pytest.warns(UserWarning, match="rebuilding once"):
         shs, _bands = appended_minhash_index_for(spark, SF0001, root=root)
     assert shs.count() == n

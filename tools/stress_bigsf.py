@@ -175,13 +175,15 @@ def _bm25_index_build(spark, sf_dir):
 # rebuild — THE production cost model for per-batch ingest at 100 TB.
 
 
-def _app_dir(spark, sf_dir, table):
+def _app_dir(spark, sf_dir, table, family):
     import shutil
 
     from simpletons_map_reduce_spark.operators.ann_index import index_location
 
     base, n, fp = index_location(spark, sf_dir, None, table)
-    return base + "-app", n, fp, shutil
+    # family-scoped: the standing build rmtrees its dir — a shared -app
+    # dir would wipe the sibling family's artifact (round-10 bench bug)
+    return f"{base}-app-{family}", n, fp, shutil
 
 
 def _docs_split(spark, sf_dir):
@@ -203,7 +205,7 @@ def _minhash_standing_build(spark, sf_dir):
         write_minhash_index,
     )
 
-    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents")
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents", "mh")
     shutil_.rmtree(d, ignore_errors=True)
     standing, _batch = _docs_split(spark, sf_dir)
     write_minhash_index(standing, d, corpus_fp=fp)
@@ -216,7 +218,7 @@ def _minhash_append_batch(spark, sf_dir):
         load_minhash_index,
     )
 
-    d, n, fp, _ = _app_dir(spark, sf_dir, "documents")
+    d, n, fp, _ = _app_dir(spark, sf_dir, "documents", "mh")
     _standing, batch = _docs_split(spark, sf_dir)
     append_minhash_batch(spark, d, batch, new_corpus_fp=fp)
     return load_minhash_index(spark, d, expect_n=n, expect_fp=fp)[1]
@@ -228,7 +230,7 @@ def _bm25_standing_build(spark, sf_dir):
         write_bm25_index,
     )
 
-    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents")
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "documents", "bm25")
     shutil_.rmtree(d, ignore_errors=True)
     standing, _batch = _docs_split(spark, sf_dir)
     write_bm25_index(standing, d, corpus_fp=fp)
@@ -241,7 +243,7 @@ def _bm25_append_batch(spark, sf_dir):
         load_bm25_index,
     )
 
-    d, n, fp, _ = _app_dir(spark, sf_dir, "documents")
+    d, n, fp, _ = _app_dir(spark, sf_dir, "documents", "bm25")
     _standing, batch = _docs_split(spark, sf_dir)
     append_bm25_batch(spark, d, batch, new_corpus_fp=fp)
     return load_bm25_index(spark, d, expect_n=n, expect_fp=fp)[0]
@@ -265,7 +267,7 @@ def _ivf_standing_build(spark, sf_dir):
         write_ivf_index,
     )
 
-    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "embeddings")
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "embeddings", "ivf")
     shutil_.rmtree(d, ignore_errors=True)
     standing, _batch = _emb_split(spark, sf_dir)
     write_ivf_index(standing, d, corpus_fp=fp)
@@ -278,7 +280,7 @@ def _ivf_append_batch(spark, sf_dir):
         load_ivf_index,
     )
 
-    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings")
+    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "ivf")
     _standing, batch = _emb_split(spark, sf_dir)
     append_ivf_batch(spark, d, batch, new_corpus_fp=fp)
     return load_ivf_index(spark, d, expect_n=n, expect_fp=fp)[1]
