@@ -216,6 +216,126 @@ def test_killed_append_is_invisible_and_retry_overwrites(spark, tmp_path):
     assert shs2.filter(F.col("shset") == fake).count() == 0
 
 
+def test_multi_batch_ingest_loop(spark, tmp_path):
+    """THE production ingest loop, end to end over multiple batches: the
+    corpus arrives as three waves; each wave PROBES the standing MinHash
+    artifact (which new docs near-duplicate anything already ingested?)
+    and is then ABSORBED via append.  Pins:
+    - after all waves, the artifact ≡ a from-scratch build over the full
+      corpus (segments=2 exercises the multi-segment read + the second
+      append's meta chain);
+    - the BM25 termstats version chain survives two appends (v1 → v2
+      full-rewrite pointer swap) with exactly the full build's stats;
+    - the union of per-wave probe hits equals the full-corpus pair set
+      restricted to cross-wave-or-earlier pairs — every near-dup pair is
+      found exactly when its LATER member arrives, none twice."""
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        MAX_BAND_BUCKET,
+        _assign_to_bucket,
+        _bucket_verified,
+        kept_from_bands,
+        near_dedup_pairs,
+    )
+
+    docs = _docs(spark)
+    waves = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    mh = str(tmp_path / "mh")
+    bm = str(tmp_path / "bm")
+    write_minhash_index(waves[0], mh, corpus_fp=0)
+    write_bm25_index(waves[0], bm, corpus_fp=0)
+    found = []
+    for i, wave in enumerate(waves[1:], start=1):
+        # probe: new wave vs EVERYTHING ingested so far.  The wave signs
+        # fresh (production: the batch is new), the standing side reads
+        # the artifact; reuse the bucket machinery over the combined
+        # band relation, split by membership in the arriving wave.
+        shs_i, bands_i = _minhash_probe_relations(spark, mh, wave)
+        wave_ids = wave.select(F.col("doc_id").alias("new_doc"))
+        kept = kept_from_bands(bands_i, MAX_BAND_BUCKET)
+        new_side = kept.join(
+            wave_ids.withColumnRenamed("new_doc", "doc_id"), "doc_id",
+            "left_semi",
+        ).alias("x")
+        old_side = kept.join(
+            wave_ids.withColumnRenamed("new_doc", "doc_id"), "doc_id",
+            "left_anti",
+        ).alias("y")
+        colls = new_side.join(
+            old_side,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        ).select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("corpus_doc"),
+            F.col("x.band").alias("band"),
+        )
+        assigned = _assign_to_bucket(colls, kept, "new_doc", "corpus_doc")
+        hits = _bucket_verified(assigned, shs_i, "new_doc", "corpus_doc")
+        found += [
+            tuple(sorted((r.new_doc, r.corpus_doc)))
+            for r in hits.collect()
+        ]
+        append_minhash_batch(spark, mh, wave, new_corpus_fp=i)
+        append_bm25_batch(spark, bm, wave, new_corpus_fp=i)
+    n = docs.count()
+    # artifact ≡ full build after two appends (segments=2)
+    full_mh = str(tmp_path / "mh_full")
+    write_minhash_index(docs, full_mh, corpus_fp=2)
+    shs_a, bands_a = load_minhash_index(spark, mh, expect_n=n, expect_fp=2)
+    shs_f, bands_f = load_minhash_index(spark, full_mh, expect_n=n, expect_fp=2)
+    assert _rows(shs_a, ["doc_id", "shset"]) == _rows(shs_f, ["doc_id", "shset"])
+    assert _rows(bands_a, ["doc_id", "band", "band_key"]) == _rows(
+        bands_f, ["doc_id", "band", "band_key"]
+    )
+    full_bm = str(tmp_path / "bm_full")
+    write_bm25_index(docs, full_bm, n_corpus=n, corpus_fp=2)
+    p_a, dl_a, ts_a, nd_a, avg_a = load_bm25_index(spark, bm, expect_n=n, expect_fp=2)
+    p_f, dl_f, ts_f, nd_f, avg_f = load_bm25_index(
+        spark, full_bm, expect_n=n, expect_fp=2
+    )
+    assert _rows(ts_a, ["tok", "df"]) == _rows(ts_f, ["tok", "df"])
+    assert (nd_a, avg_a) == (nd_f, avg_f)
+    # probe-union completeness: every full-corpus pair is cross-wave or
+    # within wave 0; the loop finds exactly the cross-wave ones, each once
+    all_pairs = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in near_dedup_pairs(docs).collect()
+    }
+    wave_of = {}
+    for r_i in range(3):
+        for row in waves[r_i].select("doc_id").collect():
+            wave_of[row.doc_id] = r_i
+    # same-wave pairs are the batch's internal dedup (near_dedup_pairs on
+    # the wave itself in production — both members arrive together and
+    # the probe is new-vs-STANDING); the loop owes exactly the pairs
+    # whose members arrived in DIFFERENT waves.
+    expected = {
+        p for p in all_pairs if wave_of[p[0]] != wave_of[p[1]]
+    }
+    assert sorted(found) == sorted(expected)
+    assert len(found) == len(set(found)), "a pair was emitted twice"
+
+
+def _minhash_probe_relations(spark, index_dir, wave):
+    """(shingles, bands) over standing-artifact ∪ freshly-signed wave —
+    the probe-side relations an ingest loop builds per batch."""
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        _minhash_relations,
+        load_minhash_index,
+    )
+
+    shs_st, bands_st = load_minhash_index(spark, index_dir)
+    shs_w, bands_w = _minhash_relations(wave)
+    return (
+        shs_st.select("doc_id", "shset").unionByName(
+            shs_w.select("doc_id", "shset")
+        ),
+        bands_st.unionByName(bands_w.select(*bands_st.columns)),
+    )
+
+
 def test_appended_index_for_resumes_after_killed_append(spark, tmp_path):
     """The refuse-and-redo contract of the appended_*_index_for exercise
     paths: a run killed BETWEEN the standing build and the append leaves
