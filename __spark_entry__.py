@@ -46,10 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # and by pytest on every run.
 _PRIORITY = [
     # round-10 new ops: incremental index maintenance (append ≡ rebuild,
-    # hash-gated via the shared oracles) + the approx profiling scale
-    # paths (rows-only; accuracy pinned in tests/test_profiling_approx)
+    # hash-gated via the shared oracles; ALL FIVE artifact families get a
+    # registered post-append probe) + the approx profiling scale paths
+    # (rows-only; accuracy pinned in tests/test_profiling_approx)
     "dedup_incremental_appended", "bm25_search_appended",
-    "ann_ivf_appended", "table_profile_approx", "histogram_equi_depth_approx",
+    "ann_ivf_appended", "ann_lsh_appended", "ann_pq_appended",
+    "table_profile_approx", "histogram_equi_depth_approx",
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
     # freshness tour: last driver evidence round 1
@@ -66,9 +68,12 @@ _PRIORITY = [
     "ann_ivf", "ann_lsh", "ann_pq",
     # freshness tour: oldest r7 items — multimodal/codec family,
     # sampling battery, and the reference's own inverted index (B3/B4)
+    # (two r7 fill slots ceded to the round-10 LSH/PQ appended probes —
+    # first-time driver evidence outranks a re-check; stratified/weighted
+    # sample stay covered by check_oracle + their r7 driver rows)
     "media_dedup", "media_features", "media_resize", "png_roundtrip",
     "wav_roundtrip", "leakage_safe_split", "split_assign",
-    "stratified_sample", "weighted_sample", "inverted_index",
+    "inverted_index",
     # past the 50-slot window (kept for stable ordering of the tail):
     # the r9 cohort re-checked last round
     "events_sessionize", "events_tumbling", "events_hopping",

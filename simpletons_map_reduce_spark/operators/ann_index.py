@@ -404,6 +404,73 @@ def pq_index_for(
     )
 
 
+def appended_pq_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[str, DataFrame]:
+    """Ingest-loop exercise path behind ``ann_pq_appended``: train the
+    codebooks over the standing 90%, then ``append_pq_batch`` the rest
+    under the FROZEN codebooks (codes are per-row given the model, so
+    segment union covers the full corpus).  Family-scoped ``…-app-pq``
+    dir; refuse-and-redo resumability."""
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-app-pq"
+    emb = _persisted_emb(spark, sf_dir)
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_pq_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
+                       corpus_fp=fp)
+        append_pq_batch(
+            spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
+            new_corpus_fp=fp,
+        )
+
+    return cache_or_build(
+        index_dir,
+        "pq_meta.parquet",
+        force,
+        _build,
+        lambda: load_pq_index(spark, index_dir, expect_n=n, expect_fp=fp),
+    )
+
+
+def appended_lsh_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Ingest-loop exercise path behind ``ann_lsh_appended``: sign the
+    standing 90% at build, ``append_lsh_batch`` the rest under the same
+    fingerprinted hyperplanes — segment union ≡ full rebuild EXACTLY
+    (per-row signatures; pinned in tests/test_index_maintenance.py), so
+    the probe output is identical to ``ann_lsh_indexed``'s.  Family-
+    scoped ``…-app-lsh`` dir; refuse-and-redo resumability."""
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-app-lsh"
+    emb = _persisted_emb(spark, sf_dir)
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_lsh_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
+                        corpus_fp=fp)
+        append_lsh_batch(
+            spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
+            new_corpus_fp=fp,
+        )
+
+    return cache_or_build(
+        index_dir,
+        "lsh_meta.parquet",
+        force,
+        _build,
+        lambda: load_lsh_index(spark, index_dir, expect_n=n, expect_fp=fp),
+    )
+
+
 def _hyperplane_checksum(planes: list[list[int]]) -> int:
     """Order-sensitive integer fingerprint of the ±1 hyperplane matrix —
     cheap, deterministic, and any seed/geometry change flips it."""

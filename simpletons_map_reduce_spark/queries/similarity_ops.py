@@ -909,6 +909,33 @@ def ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_rank(emb, queries, cand)
 
 
+@register("ann_pq_appended", None, tags=("similarity",))
+def ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq`` probing a PQ artifact that ABSORBED the last ~10% of
+    the corpus via ``append_pq_batch``: codebooks train once on the
+    standing corpus and FREEZE; the batch encodes under them and lands
+    as a code segment.  With the LSH/IVF twins this completes the
+    round-10 maintenance story — ALL FIVE artifact families are served
+    through registered probes after an append.  Rows-only class; the
+    appended-codes ≡ frozen-codebook-encode equality is pytest-pinned
+    (tests/test_index_maintenance.py)."""
+    from ..functions.vectorized import np_pq_scan, write_pq_queries
+    from ..operators.ann_index import appended_pq_index_for
+
+    cb_path, codes = appended_pq_index_for(spark, sf_dir)
+    emb = tracked_persist(
+        _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    queries_path = write_pq_queries(queries)
+    cand = np_pq_scan(codes, cb_path, queries_path, PQ_TOP_C)
+    return _pq_rank(emb, queries, cand)
+
+
 BINARY_META_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -996,6 +1023,21 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     bands = lsh_index_for(spark, sf_dir)
+    return _lsh_search(emb, bands)
+
+
+@register("ann_lsh_appended", None, tags=("similarity",))
+def ann_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh`` probing a band artifact that ABSORBED the last ~10%
+    of the corpus via ``append_lsh_batch`` — per-row signatures under
+    the fingerprinted hyperplanes make append ≡ rebuild EXACTLY, so the
+    output is identical to ``ann_lsh_indexed``'s (segment-union equality
+    pytest-pinned in tests/test_index_maintenance.py).  Rows-only class
+    like every ANN entry."""
+    from ..operators.ann_index import appended_lsh_index_for
+
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    bands = appended_lsh_index_for(spark, sf_dir)
     return _lsh_search(emb, bands)
 
 

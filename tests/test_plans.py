@@ -759,6 +759,8 @@ EXCHANGE_BUDGET = {
     "dedup_incremental_appended": 5,
     "bm25_search_appended": 1,
     "ann_ivf_appended": 1,
+    "ann_lsh_appended": 2,
+    "ann_pq_appended": 2,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -938,6 +940,8 @@ BROADCAST_BUDGET = {
     # (BM25's |QUERY_TERMS|-row term stats; IVF's k-row centroid model)
     "bm25_search_appended": 1,
     "ann_ivf_appended": 1,
+    "ann_lsh_appended": 1,
+    "ann_pq_appended": 2,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,
