@@ -65,19 +65,29 @@ DEFAULT_INDEX_ROOT = str(Path(__file__).resolve().parents[2] / ".annindex")
 def corpus_fingerprint(sf_dir: str, table: str) -> int:
     """Metadata-cheap content fingerprint of a corpus parquet directory:
     an md5 over the sorted (relative path, size, mtime_ns) triples of its
-    data files, folded to a signed-BIGINT-safe int.  Catches the one hole
+    data files, folded to a signed-BIGINT-safe int.  Narrows the hole
     row-count keying leaves open — an in-place rewrite that preserves n —
-    without ever scanning data (any rewrite changes mtime_ns; a byte-
-    identical rewrite triggers a rebuild, which is safe, merely unneeded).
-    Directories and _SUCCESS/.crc sidecars are skipped so a re-commit of
-    identical part files with identical stats fingerprints identically.
+    without ever scanning data.  This is a size+mtime HEURISTIC, not a
+    content hash: a normal rewrite changes mtime_ns (and a byte-identical
+    rewrite merely triggers a safe, unneeded rebuild), but mtime-
+    preserving tooling (``cp -p``, ``rsync -t``, tar restores) can
+    replace a same-size file without tripping it — the residual corner a
+    true content hash would cost a full scan to close.  Sidecars
+    (_SUCCESS/.crc) and anything under a leftover staging directory
+    (``_temporary/…``) are skipped — every path COMPONENT starting with
+    ``_`` or ``.`` is ignored, not just the basename — so a re-commit of
+    identical part files with identical stats fingerprints identically
+    even when a crashed writer left staging debris behind.
     Handles both layouts: a Spark-written parquet DIRECTORY of part files
     and a single parquet FILE (the driver's testdata fixtures)."""
     p = Path(sf_dir) / f"{table}.parquet"
     acc = hashlib.md5()
     files = [p] if p.is_file() else sorted(p.rglob("*"))
     for f in files:
-        if not f.is_file() or f.name.startswith(("_", ".")):
+        if not f.is_file():
+            continue
+        rel_parts = f.relative_to(p.parent).parts if f != p else (f.name,)
+        if any(part.startswith(("_", ".")) for part in rel_parts):
             continue
         st = f.stat()
         acc.update(
@@ -417,9 +427,11 @@ def appended_pq_index_for(
     dir; refuse-and-redo resumability."""
     base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     index_dir = base_dir + "-app-pq"
-    emb = _persisted_emb(spark, sf_dir)
 
     def _build():
+        # persist inside the build closure: a cache-hit load must not
+        # register a tracked persist it never uses (ADVICE r10).
+        emb = _persisted_emb(spark, sf_dir)
         shutil.rmtree(index_dir, ignore_errors=True)
         write_pq_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
                        corpus_fp=fp)
@@ -451,9 +463,9 @@ def appended_lsh_index_for(
     scoped ``…-app-lsh`` dir; refuse-and-redo resumability."""
     base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     index_dir = base_dir + "-app-lsh"
-    emb = _persisted_emb(spark, sf_dir)
 
     def _build():
+        emb = _persisted_emb(spark, sf_dir)
         shutil.rmtree(index_dir, ignore_errors=True)
         write_lsh_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
                         corpus_fp=fp)
@@ -634,8 +646,10 @@ def appended_ivf_index_for(
     force: bool = False,
 ) -> tuple[DataFrame, DataFrame, int]:
     """The ingest-loop exercise path behind ``ann_ivf_appended``: train
-    the IVF index over the STANDING corpus (vec_id % 10 != 0 — the same
-    ~10% batch split the document-side maintenance ops use), then
+    the IVF index over the STANDING corpus (``vec_id % 10 != 7`` — the
+    same ~10% batch FRACTION as the document-side maintenance ops, but
+    deliberately a DIFFERENT residue than their NEW_BATCH_MOD residue-0
+    split; see the residue-7 comment in ``_build``), then
     ``append_ivf_batch`` the new vectors under the frozen centroids.
     The loaded assignment relation covers the FULL corpus (pinned in
     tests/test_index_maintenance.py: the appended segment equals a direct
@@ -648,9 +662,9 @@ def appended_ivf_index_for(
     bench); refuse-and-redo resumability."""
     base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     index_dir = base_dir + "-app-ivf"
-    emb = _persisted_emb(spark, sf_dir)
 
     def _build():
+        emb = _persisted_emb(spark, sf_dir)
         shutil.rmtree(index_dir, ignore_errors=True)
         # batch residue 7, not 0: Lloyd seeds centroids at vec_id %
         # cent_mod == 0 — residue-0 batches would remove EVERY seed from

@@ -404,7 +404,16 @@ def test_fingerprint_changes_on_touch(tmp_path):
     (d2 / ".part-00000.parquet.crc").write_text("x")
     assert corpus_fingerprint(str(tmp_path / "dir"), "documents") == fpd
     shutil.copy(src, d2 / "part-00001.parquet")
-    assert corpus_fingerprint(str(tmp_path / "dir"), "documents") != fpd
+    fpd2 = corpus_fingerprint(str(tmp_path / "dir"), "documents")
+    assert fpd2 != fpd
+    # files NESTED under leftover staging dirs (_temporary/…) are skipped
+    # too — any path component starting with _ or . disqualifies, not just
+    # the basename (ADVICE r10): crashed-writer debris must not move the
+    # fingerprint of an otherwise identical commit.
+    tdir = d2 / "_temporary" / "0" / "task_001"
+    tdir.mkdir(parents=True)
+    shutil.copy(src, tdir / "part-00099.parquet")
+    assert corpus_fingerprint(str(tmp_path / "dir"), "documents") == fpd2
 
 
 @pytest.mark.parametrize("family", ["minhash", "bm25", "ivf", "pq", "lsh"])
