@@ -103,14 +103,98 @@ def _clear_meta(index_dir: str, meta_name: str) -> None:
     shutil.rmtree(f"{index_dir}/{meta_name}", ignore_errors=True)
 
 
-def _segment_paths(index_dir: str, base: str, segments: int) -> list[str]:
-    """Parquet paths for a segmented relation: ``{base}.parquet`` is
-    segment 0, appended batches live in ``{base}_seg{i}.parquet``."""
-    paths = [f"{index_dir}/{base}.parquet"]
-    paths += [
-        f"{index_dir}/{base}_seg{i}.parquet" for i in range(1, segments + 1)
-    ]
+def _gen_base_path(index_dir: str, base: str, gen: int) -> str:
+    """Generation-versioned base path for a segmented relation.  Gen 0
+    keeps the historical name (``{base}.parquet``) so pre-compaction-era
+    artifacts load unchanged; each compaction rewrites the relation into
+    ``{base}_g{gen}.parquet`` and swaps the meta pointer LAST — the old
+    generation's files are never touched until the new meta commits."""
+    if gen == 0:
+        return f"{index_dir}/{base}.parquet"
+    return f"{index_dir}/{base}_g{gen}.parquet"
+
+
+def _seg_path(index_dir: str, base: str, gen: int, i: int) -> str:
+    """Path of appended segment ``i`` within generation ``gen`` — segment
+    names are generation-scoped so a post-compaction append can never
+    overwrite an orphan segment a concurrent old-generation reader might
+    still be streaming."""
+    if gen == 0:
+        return f"{index_dir}/{base}_seg{i}.parquet"
+    return f"{index_dir}/{base}_g{gen}_seg{i}.parquet"
+
+
+def _segment_paths(
+    index_dir: str, base: str, segments: int, gen: int = 0
+) -> list[str]:
+    """Parquet paths for a segmented relation: the generation's base file
+    plus every appended batch segment of that generation."""
+    paths = [_gen_base_path(index_dir, base, gen)]
+    paths += [_seg_path(index_dir, base, gen, i) for i in range(1, segments + 1)]
     return paths
+
+
+def _meta_maint(meta) -> tuple[int, int, int]:
+    """(gen, tombs, n_deleted) from a meta row, defaulting to the
+    pre-maintenance era (0, 0, 0) for artifacts written before the
+    compaction/tombstone columns existed — old artifacts stay loadable."""
+    d = meta.asDict()
+    return (
+        int(d.get("gen") or 0),
+        int(d.get("tombs") or 0),
+        int(d.get("n_deleted") or 0),
+    )
+
+
+def _tombstone_path(index_dir: str, family: str, version: int) -> str:
+    """Tombstone relation for a family within the (shared) artifact dir.
+    Full rewrite per delete (the tombstone set is tiny next to the
+    corpus), versioned so the meta pointer swap is atomic-in-effect —
+    the same discipline as the BM25 termstats versions."""
+    return f"{index_dir}/{family}_tombs_v{version}.parquet"
+
+
+def _load_tombstones(
+    spark: SparkSession, index_dir: str, family: str, tombs: int
+) -> DataFrame | None:
+    """The family's current tombstone relation (one key column), or None
+    when no deletes are outstanding."""
+    if tombs == 0:
+        return None
+    return spark.read.parquet(_tombstone_path(index_dir, family, tombs))
+
+
+def _minus_tombstones(df: DataFrame, tomb_df: DataFrame | None, key: str):
+    """Drop logically-deleted rows from a loaded index relation.  The
+    tombstone set is broadcast (deletes are rare and tiny relative to the
+    corpus), so the anti-join adds no shuffle to any probe plan."""
+    if tomb_df is None:
+        return df
+    return df.join(F.broadcast(tomb_df.select(key)), key, "left_anti")
+
+
+def _guard_not_tombstoned(
+    batch_df: DataFrame, key: str, tomb_df: DataFrame | None,
+    index_dir: str, family: str,
+) -> None:
+    """Append-path guard: an ingest batch must not reuse a tombstoned
+    key — the load-time anti-join would silently erase the re-added rows.
+    Re-adding a deleted id is legal only after a compaction has folded
+    the tombstone away (delete → compact → append = an update).  Cost is
+    O(|batch|): the tombstone side broadcasts."""
+    if tomb_df is None:
+        return
+    n = (
+        batch_df.select(key).distinct()
+        .join(F.broadcast(tomb_df.select(key)), key, "left_semi")
+        .count()
+    )
+    if n:
+        raise ValueError(
+            f"append to {family} index at {index_dir}: {n} batch {key}s "
+            f"are tombstoned — compact_index first (delete → compact → "
+            f"append is the update path), or use fresh ids"
+        )
 
 
 def _check_fresh(
@@ -192,10 +276,12 @@ def cache_or_build(index_dir: str, meta_name: str, force: bool, build, load):
 def _write_ivf_meta(
     spark: SparkSession, index_dir: str,
     n: int, k: int, dim: int, corpus_fp: int | None, segments: int,
+    gen: int = 0, tombs: int = 0, n_deleted: int = 0,
 ) -> None:
     meta = spark.createDataFrame(
-        [(n, k, dim, corpus_fp, segments)],
-        "n BIGINT, k BIGINT, dim BIGINT, corpus_fp BIGINT, segments BIGINT",
+        [(n, k, dim, corpus_fp, segments, gen, tombs, n_deleted)],
+        "n BIGINT, k BIGINT, dim BIGINT, corpus_fp BIGINT, "
+        "segments BIGINT, gen BIGINT, tombs BIGINT, n_deleted BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/meta.parquet"
@@ -254,20 +340,25 @@ def append_ivf_batch(
     from ..functions.vectorized import np_assign_clusters
 
     meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+    gen, tombs, n_deleted = _meta_maint(meta)
+    _guard_not_tombstoned(
+        batch_emb, "vec_id",
+        _load_tombstones(spark, index_dir, "ivf", tombs), index_dir, "ivf",
+    )
     seg = int(meta.segments) + 1
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     assigned = np_assign_clusters(batch_emb, cents, top=2, carry_vectors=True)
     (
         assigned.select("cluster", "vec_id", "v", "nv")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/assignments_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "assignments", gen, seg))
     )
     batch_n = batch_emb.count()
     _write_ivf_meta(
         spark, index_dir,
         int(meta.n) + batch_n, int(meta.k), int(meta.dim),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
-        seg,
+        seg, gen=gen, tombs=tombs, n_deleted=n_deleted,
     )
 
 
@@ -281,12 +372,18 @@ def load_ivf_index(
     paths take.  ``expect_n`` (the current corpus row count) and
     ``expect_fp`` (its file fingerprint) make the load refuse a stale
     artifact instead of silently probing it.  The assignment relation is
-    the UNION of segment 0 and every appended batch segment."""
+    the UNION of the current generation's base and every appended batch
+    segment, minus any tombstoned vec_ids (broadcast anti-join)."""
     meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
     _check_fresh(meta, index_dir, "IVF", expect_n, expect_fp)
+    gen, tombs, _ = _meta_maint(meta)
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
-    assigned = spark.read.parquet(
-        *_segment_paths(index_dir, "assignments", int(meta.segments))
+    assigned = _minus_tombstones(
+        spark.read.parquet(
+            *_segment_paths(index_dir, "assignments", int(meta.segments), gen)
+        ),
+        _load_tombstones(spark, index_dir, "ivf", tombs),
+        "vec_id",
     )
     return cents, assigned, int(meta.k)
 
@@ -321,12 +418,14 @@ def write_pq_index(
 def _write_pq_meta(
     spark: SparkSession, index_dir: str,
     n: int, corpus_fp: int | None, segments: int,
+    gen: int = 0, tombs: int = 0, n_deleted: int = 0,
 ) -> None:
     from ..queries.similarity_ops import PQ_K, PQ_M
 
     meta = spark.createDataFrame(
-        [(n, PQ_M, PQ_K, corpus_fp, segments)],
-        "n BIGINT, m BIGINT, k BIGINT, corpus_fp BIGINT, segments BIGINT",
+        [(n, PQ_M, PQ_K, corpus_fp, segments, gen, tombs, n_deleted)],
+        "n BIGINT, m BIGINT, k BIGINT, corpus_fp BIGINT, segments BIGINT, "
+        "gen BIGINT, tombs BIGINT, n_deleted BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/pq_meta.parquet"
@@ -347,15 +446,20 @@ def append_pq_batch(
     from ..functions.vectorized import np_pq_encode
 
     meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
+    gen, tombs, n_deleted = _meta_maint(meta)
+    _guard_not_tombstoned(
+        batch_emb, "vec_id",
+        _load_tombstones(spark, index_dir, "pq", tombs), index_dir, "pq",
+    )
     seg = int(meta.segments) + 1
     np_pq_encode(batch_emb, f"{index_dir}/pq_codebook.parquet").write.mode(
         "overwrite"
-    ).parquet(f"{index_dir}/pq_codes_seg{seg}.parquet")
+    ).parquet(_seg_path(index_dir, "pq_codes", gen, seg))
     _write_pq_meta(
         spark, index_dir,
         int(meta.n) + batch_emb.count(),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
-        seg,
+        seg, gen=gen, tombs=tombs, n_deleted=n_deleted,
     )
 
 
@@ -365,15 +469,20 @@ def load_pq_index(
     expect_n: int | None = None,
     expect_fp: int | None = None,
 ) -> tuple[str, DataFrame]:
-    """(codebook_path, codes relation — the union of the base segment and
-    every appended batch) with the same staleness contract as
-    :func:`load_ivf_index`."""
+    """(codebook_path, codes relation — the union of the current
+    generation's base and every appended batch, minus tombstoned vec_ids)
+    with the same staleness contract as :func:`load_ivf_index`."""
     meta = spark.read.parquet(f"{index_dir}/pq_meta.parquet").collect()[0]
     _check_fresh(meta, index_dir, "PQ", expect_n, expect_fp)
+    gen, tombs, _ = _meta_maint(meta)
     return (
         f"{index_dir}/pq_codebook.parquet",
-        spark.read.parquet(
-            *_segment_paths(index_dir, "pq_codes", int(meta.segments))
+        _minus_tombstones(
+            spark.read.parquet(
+                *_segment_paths(index_dir, "pq_codes", int(meta.segments), gen)
+            ),
+            _load_tombstones(spark, index_dir, "pq", tombs),
+            "vec_id",
         ),
     )
 
@@ -516,6 +625,7 @@ def write_lsh_index(
 def _write_lsh_meta(
     spark: SparkSession, index_dir: str,
     n: int, corpus_fp: int | None, segments: int,
+    gen: int = 0, tombs: int = 0, n_deleted: int = 0,
 ) -> None:
     from ..queries.similarity_ops import LSH_BAND_BITS, LSH_NBITS, _hyperplanes
 
@@ -523,9 +633,11 @@ def _write_lsh_meta(
         [(
             n, LSH_NBITS, LSH_BAND_BITS,
             _hyperplane_checksum(_hyperplanes()), corpus_fp, segments,
+            gen, tombs, n_deleted,
         )],
         "n BIGINT, nbits BIGINT, band_bits BIGINT, plane_sum BIGINT, "
-        "corpus_fp BIGINT, segments BIGINT",
+        "corpus_fp BIGINT, segments BIGINT, gen BIGINT, tombs BIGINT, "
+        "n_deleted BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/lsh_meta.parquet"
@@ -554,18 +666,23 @@ def append_lsh_batch(
             f"LSH index at {index_dir} was built under different "
             f"hyperplanes — rebuild, do not append"
         )
+    gen, tombs, n_deleted = _meta_maint(meta)
+    _guard_not_tombstoned(
+        batch_emb, "vec_id",
+        _load_tombstones(spark, index_dir, "lsh", tombs), index_dir, "lsh",
+    )
     seg = int(meta.segments) + 1
     (
         np_sign_bands(batch_emb, planes, LSH_BAND_BITS)
         .repartition("band", "bkey")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/lsh_bands_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "lsh_bands", gen, seg))
     )
     _write_lsh_meta(
         spark, index_dir,
         int(meta.n) + batch_emb.count(),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
-        seg,
+        seg, gen=gen, tombs=tombs, n_deleted=n_deleted,
     )
 
 
@@ -588,8 +705,13 @@ def load_lsh_index(
             f"hyperplanes/geometry (nbits={meta.nbits}, "
             f"band_bits={meta.band_bits}) — rebuild"
         )
-    return spark.read.parquet(
-        *_segment_paths(index_dir, "lsh_bands", int(meta.segments))
+    gen, tombs, _ = _meta_maint(meta)
+    return _minus_tombstones(
+        spark.read.parquet(
+            *_segment_paths(index_dir, "lsh_bands", int(meta.segments), gen)
+        ),
+        _load_tombstones(spark, index_dir, "lsh", tombs),
+        "vec_id",
     )
 
 
@@ -683,3 +805,62 @@ def appended_ivf_index_for(
         _build,
         lambda: load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )
+
+
+def maintained_ivf_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The FULL maintenance lifecycle behind ``ann_ivf_maintained``:
+    train over the standing corpus (``vec_id % 10 != 7``, the appended
+    exercise's split), ``append_ivf_batch`` the rest under the FROZEN
+    centroids, ``delete_from_index`` the ``vec_id % DELETE_MOD ==
+    DELETE_RESIDUE`` slice, then ``compact_index`` — the FAISS
+    train/add/remove_ids cycle, as parquet relations.  The loaded
+    assignment relation is pytest-pinned EXACTLY equal to a direct
+    frozen-centroid assignment of the surviving vectors
+    (tests/test_index_compaction.py), so probes serve the edited corpus
+    with no re-train.  Family-scoped ``…-mnt-ivf`` dir; the load refuses
+    a mid-lifecycle artifact (refuse-and-redo resumability)."""
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        compact_index,
+        delete_from_index,
+    )
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-mnt-ivf"
+
+    def _build():
+        emb = _persisted_emb(spark, sf_dir)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        # same residue-7 batch split as appended_ivf_index_for (residue 0
+        # would annihilate the Lloyd seed set — see that function).
+        write_ivf_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
+                        corpus_fp=fp)
+        append_ivf_batch(
+            spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
+            new_corpus_fp=fp,
+        )
+        delete_from_index(
+            spark, index_dir, "ivf",
+            emb.filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
+            .select("vec_id"),
+        )
+        compact_index(spark, index_dir, "ivf")
+
+    def _load():
+        out = load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp)
+        meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
+        gen, tombs, n_deleted = _meta_maint(meta)
+        if gen < 1 or tombs != 0 or n_deleted == 0:
+            raise ValueError(
+                f"maintained IVF artifact at {index_dir} is mid-lifecycle "
+                f"(gen={gen}, tombs={tombs}, n_deleted={n_deleted}) — redo"
+            )
+        return out
+
+    return cache_or_build(index_dir, "meta.parquet", force, _build, _load)

@@ -44,7 +44,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann_index import _check_fresh, _clear_meta, _segment_paths
+from .ann_index import (
+    _check_fresh,
+    _clear_meta,
+    _guard_not_tombstoned,
+    _load_tombstones,
+    _meta_maint,
+    _minus_tombstones,
+    _seg_path,
+    _segment_paths,
+)
 
 
 def _batch_postings(docs: DataFrame) -> DataFrame:
@@ -68,23 +77,45 @@ def _batch_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def _termstats_path(index_dir: str, segments: int) -> str:
+def _termstats_path(index_dir: str, ver: int, gen: int = 0) -> str:
     """Versioned termstats location: the initial build's relation keeps
-    the historical name; each append commits a full rewrite under a new
-    version so the meta pointer swap is atomic-in-effect."""
-    if segments == 0:
-        return f"{index_dir}/termstats.parquet"
-    return f"{index_dir}/termstats_v{segments}.parquet"
+    the historical name; each append OR delete commits a full rewrite
+    under a new version (``ts_ver`` in the meta) so the meta pointer swap
+    is atomic-in-effect.  Compaction starts a new generation at v0."""
+    if gen == 0:
+        if ver == 0:
+            return f"{index_dir}/termstats.parquet"
+        return f"{index_dir}/termstats_v{ver}.parquet"
+    return f"{index_dir}/termstats_g{gen}_v{ver}.parquet"
+
+
+def _live_doclen(
+    spark: SparkSession, index_dir: str, gen: int, segments: int, tombs: int
+) -> DataFrame:
+    """The LIVE (doc_id, dl) relation: current generation's segment union
+    minus tombstoned documents — the population every scoring constant is
+    defined over."""
+    return _minus_tombstones(
+        spark.read.parquet(*_segment_paths(index_dir, "doclen", segments, gen)),
+        _load_tombstones(spark, index_dir, "bm25", tombs),
+        "doc_id",
+    )
 
 
 def _write_bm25_meta(
     spark: SparkSession, index_dir: str,
     segments: int, n_corpus: int, corpus_fp: int | None,
+    gen: int = 0, tombs: int = 0, n_deleted: int = 0, ts_ver: int | None = None,
 ) -> None:
-    """Derive the scoring constants from the (segmented) doclen relation
-    and commit the meta row — the write that publishes a build/append."""
+    """Derive the scoring constants from the LIVE doclen relation (the
+    segmented union minus tombstones) and commit the meta row — the write
+    that publishes a build/append/delete.  ``ts_ver`` defaults to
+    ``segments`` (the historical scheme where appends were the only
+    termstats writers); deletes pass an explicit bumped version."""
+    if ts_ver is None:
+        ts_ver = segments
     stats = (
-        spark.read.parquet(*_segment_paths(index_dir, "doclen", segments))
+        _live_doclen(spark, index_dir, gen, segments, tombs)
         .agg(
             F.count("*").alias("n"),
             F.avg("dl").alias("avgdl"),
@@ -92,18 +123,19 @@ def _write_bm25_meta(
         )
         .collect()[0]
     )
-    # n (scoring) counts docs with >= 1 token — the population BM25's
+    # n (scoring) counts LIVE docs with >= 1 token — the population BM25's
     # N/avgdl are defined over (a letterless doc can never be a hit);
-    # n_corpus (staleness) counts ALL documents, the same unit callers'
-    # expect_n uses — conflating the two bricks the index on any corpus
-    # containing an empty/letterless doc.
+    # n_corpus (staleness) counts ALL documents the index was derived
+    # from, the same unit callers' expect_n uses — logical deletes change
+    # the scoring population but NOT the corpus-coverage count.
     meta = spark.createDataFrame(
         [(
             stats.n, float(stats.avgdl), stats.n_tokens, n_corpus,
-            corpus_fp, segments,
+            corpus_fp, segments, gen, tombs, n_deleted, ts_ver,
         )],
         "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT, "
-        "corpus_fp BIGINT, segments BIGINT",
+        "corpus_fp BIGINT, segments BIGINT, gen BIGINT, tombs BIGINT, "
+        "n_deleted BIGINT, ts_ver BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/bm25_meta.parquet"
@@ -169,11 +201,17 @@ def append_bm25_batch(
     would double-count its terms); disable for trusted ingest paths.
     """
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
+    gen, tombs, n_deleted = _meta_maint(meta)
+    ts_ver = int(meta.asDict().get("ts_ver") or meta.segments)
+    _guard_not_tombstoned(
+        batch_docs, "doc_id",
+        _load_tombstones(spark, index_dir, "bm25", tombs), index_dir, "bm25",
+    )
     segs = int(meta.segments)
     seg = segs + 1
     postings = _batch_postings(batch_docs)
     if check_disjoint:
-        old_dl = spark.read.parquet(*_segment_paths(index_dir, "doclen", segs))
+        old_dl = _live_doclen(spark, index_dir, gen, segs, tombs)
         n_overlap = (
             postings.select("doc_id").distinct()
             .join(old_dl, "doc_id", "left_semi")
@@ -183,24 +221,25 @@ def append_bm25_batch(
             raise ValueError(
                 f"append_bm25_batch: {n_overlap} batch doc_ids already "
                 f"indexed at {index_dir} — appends must be NEW documents "
-                f"(an update needs a rebuild)"
+                f"(an update needs delete_from_index + compact_index, "
+                f"or a rebuild)"
             )
     (
         postings.repartition("tok")
         .sortWithinPartitions("tok")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/postings_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "postings", gen, seg))
     )
     (
         postings.groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("dl"))
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/doclen_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "doclen", gen, seg))
     )
     batch_df = postings.groupBy("tok").agg(
         F.count("*").cast("long").alias("df")
     )
-    old_ts = spark.read.parquet(_termstats_path(index_dir, segs))
+    old_ts = spark.read.parquet(_termstats_path(index_dir, ts_ver, gen))
     (
         old_ts.unionByName(batch_df)
         .groupBy("tok")
@@ -208,12 +247,13 @@ def append_bm25_batch(
         .repartition("tok")
         .sortWithinPartitions("tok")
         .write.mode("overwrite")
-        .parquet(_termstats_path(index_dir, seg))
+        .parquet(_termstats_path(index_dir, ts_ver + 1, gen))
     )
     _write_bm25_meta(
         spark, index_dir, seg,
         int(meta.n_corpus) + batch_docs.count(),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
+        gen=gen, tombs=tombs, n_deleted=n_deleted, ts_ver=ts_ver + 1,
     )
 
 
@@ -224,15 +264,29 @@ def load_bm25_index(
     expect_fp: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
     """(postings, doclen, termstats, n_docs, avgdl) — postings/doclen as
-    segment unions, termstats at the meta's version pointer — refusing a
-    stale artifact on corpus-size or content-fingerprint mismatch."""
+    the current generation's segment unions minus tombstoned documents,
+    termstats at the meta's version pointer (kept EXACT under deletes by
+    ``delete_from_index``'s df decrement, so probes never rescan) —
+    refusing a stale artifact on corpus-size or content-fingerprint
+    mismatch."""
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
     _check_fresh(meta, index_dir, "BM25", expect_n, expect_fp, n_attr="n_corpus")
     segs = int(meta.segments)
+    gen, tombs, _ = _meta_maint(meta)
+    ts_ver = int(meta.asDict().get("ts_ver") or meta.segments)
+    tomb_df = _load_tombstones(spark, index_dir, "bm25", tombs)
     return (
-        spark.read.parquet(*_segment_paths(index_dir, "postings", segs)),
-        spark.read.parquet(*_segment_paths(index_dir, "doclen", segs)),
-        spark.read.parquet(_termstats_path(index_dir, segs)),
+        _minus_tombstones(
+            spark.read.parquet(
+                *_segment_paths(index_dir, "postings", segs, gen)
+            ),
+            tomb_df, "doc_id",
+        ),
+        _minus_tombstones(
+            spark.read.parquet(*_segment_paths(index_dir, "doclen", segs, gen)),
+            tomb_df, "doc_id",
+        ),
+        spark.read.parquet(_termstats_path(index_dir, ts_ver, gen)),
         float(meta.n),
         float(meta.avgdl),
     )
@@ -263,6 +317,67 @@ def bm25_index_for(
         _build,
         lambda: load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )
+
+
+def deleted_bm25_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
+    """The tombstone-delete exercise behind ``bm25_search_deleted``:
+    build the postings artifact over the FULL corpus, then
+    ``delete_from_index`` the ``doc_id % DELETE_MOD == DELETE_RESIDUE``
+    slice — NO compaction, so the probe exercises the live tombstone
+    path: postings/doclen anti-joined against the tombstone relation at
+    load, per-term dfs decremented exactly from the dying docs' own
+    postings, N/avgdl re-derived over the survivors.  The probe shares
+    bm25_search's oracle FILTERED to the surviving documents, so the
+    driver hash gate verifies the delete arithmetic end-to-end: one
+    wrong df decrement or a stale avgdl moves a BM25 score and breaks
+    the hash.
+
+    Family-scoped ``…-del-bm25`` dir; refuse-and-redo resumability (the
+    load refuses an artifact with no recorded deletions — a kill between
+    build and delete redoes the sequence).
+    """
+    import shutil
+
+    from ..sources.tables import load_table
+    from .ann_index import cache_or_build, index_location
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        delete_from_index,
+    )
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-del-bm25"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_bm25_index(docs, index_dir, n_corpus=n, corpus_fp=fp)
+        delete_from_index(
+            spark, index_dir, "bm25",
+            docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
+            .select("doc_id"),
+        )
+
+    def _load():
+        out = load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp)
+        meta = spark.read.parquet(
+            f"{index_dir}/bm25_meta.parquet"
+        ).collect()[0]
+        _, tombs, n_deleted = _meta_maint(meta)
+        if tombs < 1 or n_deleted == 0:
+            raise ValueError(
+                f"deleted-BM25 artifact at {index_dir} has no recorded "
+                f"deletions (tombs={tombs}) — lifecycle incomplete, redo"
+            )
+        return out
+
+    return cache_or_build(index_dir, "bm25_meta.parquet", force, _build, _load)
 
 
 def appended_bm25_index_for(

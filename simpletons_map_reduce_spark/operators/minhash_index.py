@@ -50,7 +50,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .ann_index import _check_fresh, _clear_meta, _segment_paths
+from .ann_index import (
+    _check_fresh,
+    _clear_meta,
+    _guard_not_tombstoned,
+    _load_tombstones,
+    _meta_maint,
+    _minus_tombstones,
+    _seg_path,
+    _segment_paths,
+)
 
 
 def _minhash_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -78,13 +87,14 @@ def _minhash_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _write_mh_meta(
     spark: SparkSession, index_dir: str,
     n: int, corpus_fp: int | None, segments: int,
+    gen: int = 0, tombs: int = 0, n_deleted: int = 0,
 ) -> None:
     from ..queries.dedup_ops import BAND_ROWS, NUM_PERM
 
     meta = spark.createDataFrame(
-        [(n, NUM_PERM, BAND_ROWS, corpus_fp, segments)],
+        [(n, NUM_PERM, BAND_ROWS, corpus_fp, segments, gen, tombs, n_deleted)],
         "n BIGINT, num_perm BIGINT, band_rows BIGINT, corpus_fp BIGINT, "
-        "segments BIGINT",
+        "segments BIGINT, gen BIGINT, tombs BIGINT, n_deleted BIGINT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/mh_meta.parquet"
@@ -144,23 +154,28 @@ def append_minhash_batch(
             f"band_rows={meta.band_rows}; the engine now uses "
             f"({NUM_PERM}, {BAND_ROWS}) — rebuild, do not append"
         )
+    gen, tombs, n_deleted = _meta_maint(meta)
+    _guard_not_tombstoned(
+        batch_docs, "doc_id",
+        _load_tombstones(spark, index_dir, "mh", tombs), index_dir, "mh",
+    )
     seg = int(meta.segments) + 1
     shs, bands = _minhash_relations(batch_docs)
     (
         shs.select("doc_id", "shset")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/mh_shingles_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "mh_shingles", gen, seg))
     )
     (
         bands.repartition("band")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/mh_bands_seg{seg}.parquet")
+        .parquet(_seg_path(index_dir, "mh_bands", gen, seg))
     )
     _write_mh_meta(
         spark, index_dir,
         int(meta.n) + batch_docs.count(),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
-        seg,
+        seg, gen=gen, tombs=tombs, n_deleted=n_deleted,
     )
 
 
@@ -185,9 +200,21 @@ def load_minhash_index(
             f"engine now uses ({NUM_PERM}, {BAND_ROWS}) — rebuild"
         )
     segs = int(meta.segments)
+    gen, tombs, _ = _meta_maint(meta)
+    tomb_df = _load_tombstones(spark, index_dir, "mh", tombs)
     return (
-        spark.read.parquet(*_segment_paths(index_dir, "mh_shingles", segs)),
-        spark.read.parquet(*_segment_paths(index_dir, "mh_bands", segs)),
+        _minus_tombstones(
+            spark.read.parquet(
+                *_segment_paths(index_dir, "mh_shingles", segs, gen)
+            ),
+            tomb_df, "doc_id",
+        ),
+        _minus_tombstones(
+            spark.read.parquet(
+                *_segment_paths(index_dir, "mh_bands", segs, gen)
+            ),
+            tomb_df, "doc_id",
+        ),
     )
 
 
@@ -219,6 +246,75 @@ def minhash_index_for(
         _build,
         lambda: load_minhash_index(spark, index_dir, expect_n=n, expect_fp=fp),
     )
+
+
+def maintained_minhash_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The FULL maintenance lifecycle behind ``dedup_incremental_maintained``:
+    build over the standing corpus (``doc_id % NEW_BATCH_MOD != 0``),
+    ``append_minhash_batch`` the new ~10%, ``delete_from_index`` the
+    ``doc_id % DELETE_MOD == DELETE_RESIDUE`` slice (which straddles both
+    standing corpus and appended batch — the split moduli are coprime),
+    then ``compact_index`` — segments merged, tombstones folded, one new
+    generation.  The probe shares dedup_incremental's oracle FILTERED to
+    the surviving docs, so the driver hash gate verifies append + delete
+    + compaction arithmetic end-to-end.
+
+    Family-scoped ``…-mnt-mh`` dir.  Resumable: the load refuses any
+    artifact whose meta does not show the COMPLETED lifecycle (gen ≥ 1,
+    tombstones folded, deletions recorded), so a kill between any two
+    steps redoes the sequence from scratch (refuse-and-redo, same
+    contract as the appended exercises).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table, spread
+    from .ann_index import cache_or_build, index_location
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        compact_index,
+        delete_from_index,
+    )
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-mnt-mh"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        from ..queries.dedup_ops import NEW_BATCH_MOD
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        standing = spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0))
+        batch = spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0))
+        write_minhash_index(standing, index_dir, corpus_fp=fp)
+        append_minhash_batch(spark, index_dir, batch, new_corpus_fp=fp)
+        delete_from_index(
+            spark, index_dir, "mh",
+            docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
+            .select("doc_id"),
+        )
+        compact_index(spark, index_dir, "mh")
+
+    def _load():
+        out = load_minhash_index(spark, index_dir, expect_n=n, expect_fp=fp)
+        meta = spark.read.parquet(f"{index_dir}/mh_meta.parquet").collect()[0]
+        gen, tombs, n_deleted = _meta_maint(meta)
+        if gen < 1 or tombs != 0 or n_deleted == 0:
+            raise ValueError(
+                f"maintained MinHash artifact at {index_dir} is mid-"
+                f"lifecycle (gen={gen}, tombs={tombs}, "
+                f"n_deleted={n_deleted}) — redo"
+            )
+        return out
+
+    return cache_or_build(index_dir, "mh_meta.parquet", force, _build, _load)
 
 
 def appended_minhash_index_for(

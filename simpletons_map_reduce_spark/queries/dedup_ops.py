@@ -157,12 +157,19 @@ def _perms_values_sql() -> str:
     return f"(VALUES {rows}) AS perms(i, a, b)"
 
 
-def _sql_lsh_kept_ctes(bucket_cap: int = MAX_BAND_BUCKET) -> str:
+def _sql_lsh_kept_ctes(
+    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = ""
+) -> str:
     """Shared SQL front half (shingle sets → MinHash bands → capped
     buckets); the symmetric (near_dedup) and asymmetric
-    (dedup_incremental) oracles append their own cand/verify CTEs."""
+    (dedup_incremental) oracles append their own cand/verify CTEs.
+    ``doc_where`` restricts the corpus (the maintained-lifecycle oracle
+    models deleted documents by filtering them out BEFORE banding, so
+    bucket caps are computed over the survivors — exactly what the
+    tombstone/compaction path serves)."""
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents {where}),
 tk AS (SELECT doc_id,
               list_transform(toks, s -> {sql_md5_mod_prime('s')}) AS th
        FROM t),
@@ -360,13 +367,14 @@ def _bucket_verified(
 NEW_BATCH_MOD = 10
 
 def build_dedup_incremental_oracle(
-    bucket_cap: int = MAX_BAND_BUCKET,
+    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = ""
 ) -> str:
     """DuckDB oracle for the asymmetric new-batch-vs-corpus LSH probe
     with an explicit bucket cap (registry uses the default; fuzzed in
-    tests/test_fuzz_dedup.py)."""
+    tests/test_fuzz_dedup.py) and an optional corpus filter (the
+    maintained-lifecycle entry's deleted slice)."""
     return f"""
-{_sql_lsh_kept_ctes(bucket_cap)},
+{_sql_lsh_kept_ctes(bucket_cap, doc_where)},
 cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
          FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
@@ -448,6 +456,42 @@ def dedup_incremental_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.minhash_index import appended_minhash_index_for
 
     shs, bands = appended_minhash_index_for(spark, sf_dir)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+    )
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
+def _maintained_oracle() -> str:
+    from ..operators.index_maintenance import DELETE_MOD, DELETE_RESIDUE
+
+    return build_dedup_incremental_oracle(
+        doc_where=f"doc_id % {DELETE_MOD} <> {DELETE_RESIDUE}"
+    )
+
+
+@register(
+    "dedup_incremental_maintained", _maintained_oracle(), tags=("dedup",)
+)
+def dedup_incremental_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental served off an artifact that lived the FULL
+    maintenance lifecycle (round 11): built over the standing corpus,
+    ``append_minhash_batch``-ed the new ~10%, ``delete_from_index``-ed
+    the ``doc_id % 17 == 3`` slice, then ``compact_index``-ed — segments
+    merged into a new generation, tombstones folded into the physical
+    rewrite.  The oracle is dedup_incremental's SQL with the deleted
+    slice filtered from the corpus BEFORE banding, so the driver hash
+    gate verifies append arithmetic, tombstone semantics (bucket caps
+    over survivors only), and the compaction rewrite end-to-end: one
+    resurrected row or one band lost in the generation swap breaks the
+    hash.
+    """
+    from ..operators.minhash_index import maintained_minhash_index_for
+
+    shs, bands = maintained_minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
         _incremental_collisions(kept), kept, "new_doc", "corpus_doc"

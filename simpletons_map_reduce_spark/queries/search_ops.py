@@ -74,9 +74,15 @@ _CONTRIB_SQL = (
     f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
 )
 
-BM25_SEARCH_ORACLE = f"""
+def build_bm25_search_oracle(doc_where: str = "") -> str:
+    """The BM25 top-k oracle, optionally over a filtered corpus
+    (``bm25_search_deleted`` models tombstoned documents by excluding
+    them BEFORE every statistic — dl, avgdl, N, df — exactly the
+    population the delete-maintained artifact serves)."""
+    where = f"WHERE {doc_where}" if doc_where else ""
+    return f"""
 WITH e AS (SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok
-           FROM documents),
+           FROM documents {where}),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM e GROUP BY doc_id),
 stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
 hits AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
@@ -90,6 +96,9 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {SEARCH_K}
 """
+
+
+BM25_SEARCH_ORACLE = build_bm25_search_oracle()
 
 
 @register("bm25_search", BM25_SEARCH_ORACLE, tags=("search", "text"))
@@ -323,6 +332,33 @@ def bm25_search_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bm25_index import appended_bm25_index_for
 
     return _bm25_index_probe(*appended_bm25_index_for(spark, sf_dir))
+
+
+def _deleted_oracle() -> str:
+    from ..operators.index_maintenance import DELETE_MOD, DELETE_RESIDUE
+
+    return build_bm25_search_oracle(
+        doc_where=f"doc_id % {DELETE_MOD} <> {DELETE_RESIDUE}"
+    )
+
+
+@register("bm25_search_deleted", _deleted_oracle(), tags=("search", "text"))
+def bm25_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served off an index with OUTSTANDING tombstones
+    (round-11 delete maintenance): the artifact was built over the full
+    corpus, then ``delete_from_index`` tombstoned the ``doc_id % 17 ==
+    3`` slice — no compaction, so this probes the live tombstone path:
+    postings/doclen broadcast-anti-joined against the tombstone relation
+    at load, per-term dfs decremented exactly from the dying docs' own
+    postings rows, N/avgdl re-derived over the survivors.  The oracle is
+    bm25_search's SQL over the filtered corpus, so the driver hash gate
+    verifies the delete arithmetic end-to-end — one wrong df decrement
+    or a stale avgdl moves a score and breaks the hash.  This is the
+    GDPR-shaped operation a 100 TB corpus cannot answer with a rebuild.
+    """
+    from ..operators.bm25_index import deleted_bm25_index_for
+
+    return _bm25_index_probe(*deleted_bm25_index_for(spark, sf_dir))
 
 
 @register(

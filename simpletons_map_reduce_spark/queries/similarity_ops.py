@@ -370,6 +370,29 @@ def ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ivf_search(spark, sf_dir, index)
 
 
+@register("ann_ivf_maintained", None, tags=("similarity",))
+def ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf`` probing an index that lived the FULL maintenance
+    lifecycle (round 11): trained over the standing corpus, batch
+    APPENDED under the frozen centroids, the ``vec_id % 17 == 3`` slice
+    DELETED via tombstones, then COMPACTED into a new generation — the
+    FAISS train/add/remove_ids cycle as parquet relations.  Rows-only
+    evidence class like every ANN entry; the maintenance arithmetic is
+    pytest-pinned exact in tests/test_index_compaction.py (the loaded
+    assignment relation ≡ a direct frozen-centroid assignment of the
+    surviving vectors, before AND after compaction), and the probe plan
+    is the same pure-JVM ``_ivf_search`` the indexed entry pins.  Query
+    vectors in the deleted slice still exist in the corpus (deletion is
+    an index-side operation), so the probe returns top-k among the
+    SURVIVORS — the semantics a serving system needs the moment a
+    vector is retracted.
+    """
+    from ..operators.ann_index import maintained_ivf_index_for
+
+    index = maintained_ivf_index_for(spark, sf_dir)
+    return _indexed_ivf_search(spark, sf_dir, index)
+
+
 def _ivf_build(
     emb: DataFrame, k: int | None = None
 ) -> tuple[DataFrame, DataFrame, int]:

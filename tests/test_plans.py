@@ -761,6 +761,13 @@ EXCHANGE_BUDGET = {
     "ann_ivf_appended": 1,
     "ann_lsh_appended": 2,
     "ann_pq_appended": 2,
+    # round 11: maintenance-lifecycle probes — compaction restores the
+    # indexed twins' plans exactly (the tombstone anti-join is broadcast,
+    # never an exchange), and the outstanding-tombstone BM25 probe keeps
+    # its twin's single top-k exchange
+    "dedup_incremental_maintained": 5,
+    "bm25_search_deleted": 1,
+    "ann_ivf_maintained": 1,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -942,6 +949,11 @@ BROADCAST_BUDGET = {
     "ann_ivf_appended": 1,
     "ann_lsh_appended": 1,
     "ann_pq_appended": 2,
+    # round 11: bm25_search_deleted = the indexed twin's term-stats hint
+    # + 2 broadcast tombstone anti-joins (postings, doclen); the
+    # compacted lifecycles match their indexed twins
+    "bm25_search_deleted": 3,
+    "ann_ivf_maintained": 1,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,
