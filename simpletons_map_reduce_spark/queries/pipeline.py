@@ -84,12 +84,20 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Contamination scan parameters: word n-gram size, benchmark selector
-#: (deterministic id stripe standing in for an external eval set), and the
-#: minimum shared-distinct-gram count that flags a pair.
+#: Contamination scan parameters: word n-gram size, the BOUNDED benchmark
+#: suite (the CONTAM_SUITE_DOCS lowest doc_ids stand in for an external
+#: MMLU/GSM8K-style eval set — CONSTANT size at any corpus scale, unlike
+#: the id-stripe stand-in rounds 1-10 used, which grew as corpus/97 and
+#: made the trigram screen flag 99.998% of 5M-doc survivors; VERDICT r10
+#: item 4 / SCALE.md:1230-1236), and the minimum shared-distinct-gram
+#: count that flags a (train doc, suite doc) pair.  The threshold is
+#: calibrated on the fixtures: ≥8 distinct shared trigrams with a single
+#: suite doc keeps replica/heavy-overlap pairs and rejects common-English
+#: coincidence (threshold 2 flagged ~50% of docs at every SF — a screen
+#: that screens nothing).
 CONTAM_N = 3
-CONTAM_BENCH_MOD = 97
-CONTAM_MIN_SHARED = 2
+CONTAM_SUITE_DOCS = 100
+CONTAM_MIN_SHARED = 8
 
 _TOKS = sql_tokens("text", lower=True)
 
@@ -104,10 +112,10 @@ g AS (
   FROM t
 ),
 bench AS (SELECT doc_id AS bench_id, gram FROM g
-          WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+          WHERE doc_id < {CONTAM_SUITE_DOCS})
 SELECT g.doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM g JOIN bench USING (gram)
-WHERE g.doc_id <> bench_id
+WHERE g.doc_id >= {CONTAM_SUITE_DOCS}
 GROUP BY g.doc_id, bench_id
 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
@@ -118,23 +126,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥K distinct word
     n-grams with a held-out benchmark doc.
 
-    Scaling contract: the build side must be a genuinely BOUNDED external
-    eval set (MMLU/GSM8K-style: thousands of docs, millions of grams —
-    comfortably broadcastable).  The id-stripe used here is a STAND-IN for
-    that eval-set table so the oracle can check the join on driver data;
-    it is ~1/CONTAM_BENCH_MOD of the corpus, which at 100 TB would NOT
-    fit a broadcast — so the join carries NO broadcast hint and the
-    strategy is AQE's runtime call: broadcast whenever the build side is
-    actually small (every tested SF, and any real eval set), shuffle join
-    if it ever isn't — the query is correct either way; only the
-    no-corpus-shuffle guarantee is broadcast-dependent.  With a bounded
-    build side the 100 TB corpus
-    never shuffles raw text: each doc is tokenized and reduced to distinct
-    grams map-side, probed against the broadcast, and only the surviving
-    (doc, bench, gram-hit) counts enter the aggregate exchange.
-    The trigram grain + ≥2 threshold mirrors n-gram-overlap decontamination
-    as practiced for LLM eval sets (substring-level contamination needs the
-    finer char-gram pass that near_dedup's shingles already provide).
+    Scaling contract (round 11, VERDICT r10 item 4): the build side is a
+    genuinely BOUNDED eval suite — the CONTAM_SUITE_DOCS lowest doc_ids,
+    CONSTANT size at any corpus scale, exactly the shape
+    tools/capstone_sf100.py validated after the id-stripe stand-in
+    degenerated at 5M docs (the stripe grew as corpus/97 and its gram
+    set was de-facto "all common English": 99.998% of survivors flagged,
+    a semantically vacuous row).  A real MMLU/GSM8K-style suite is
+    thousands of docs / millions of grams — comfortably broadcastable —
+    so the suite-gram side carries an EXPLICIT broadcast hint and the
+    100 TB corpus never shuffles raw text: each doc is tokenized and
+    reduced to distinct grams map-side, probed against the broadcast,
+    and only the surviving (doc, bench, gram-hit) counts enter the
+    aggregate exchange.  The trigram grain + ≥CONTAM_MIN_SHARED
+    threshold is the cheap high-overlap SCREEN (replica-grade overlap
+    with a specific suite doc); the published one-shared-13-gram rule is
+    ``contamination_13gram``.
     """
     docs = load_table(spark, sf_dir, "documents")
     return contaminated_pairs(docs)
@@ -143,7 +150,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contaminated_pairs(docs: DataFrame) -> DataFrame:
     """The contamination pair relation over any (doc_id, text) relation —
     exposed so pipeline_funnel_fused can run it on an already-persisted
-    corpus frame."""
+    corpus frame.  The suite is derived from the SAME relation (its
+    CONTAM_SUITE_DOCS lowest doc_ids), so a filtered corpus keeps a
+    consistent suite definition."""
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
     grams_expr = F.when(
         F.size("toks") >= CONTAM_N,
@@ -155,12 +164,12 @@ def contaminated_pairs(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     grams = t.select("doc_id", F.explode(grams_expr).alias("gram"))
-    bench = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+    bench = grams.filter(F.col("doc_id") < CONTAM_SUITE_DOCS).select(
         F.col("doc_id").alias("bench_id"), "gram"
     )
     return (
-        grams.join(bench, "gram")
-        .filter(F.col("doc_id") != F.col("bench_id"))
+        grams.filter(F.col("doc_id") >= CONTAM_SUITE_DOCS)
+        .join(F.broadcast(bench), "gram")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
@@ -175,10 +184,14 @@ def contaminated_pairs(docs: DataFrame) -> DataFrame:
 #: 13-token collision as the contamination trigger; one shared 13-gram
 #: flags the pair — no minimum-count threshold).
 CONTAM13_N = 13
-#: benchmark stripe moduli — stand-ins for SEPARATE external eval sets
-#: (MMLU-style, GSM8K-style, ...) so the report is per-benchmark, the way
-#: production decontamination sweeps multiple suites in one corpus pass.
-CONTAM13_STRIPES = (97, 89)
+#: BOUNDED benchmark suites — (suite_id, lo, hi) doc_id windows standing
+#: in for SEPARATE external eval sets (MMLU-style, GSM8K-style, ...) so
+#: the report is per-benchmark, the way production decontamination sweeps
+#: multiple suites in one corpus pass.  Round 11 (VERDICT r10 item 4):
+#: windows of CONSTANT size replace the %97/%89 id stripes, whose member
+#: count grew with the corpus and made the sf100 rows vacuous — a real
+#: eval suite does not grow when the crawl does.
+CONTAM13_SUITES = ((1, 0, 100), (2, 100, 200))
 
 _G13 = SQL_MD5_INT60.format(
     e=f"list_aggregate(toks[i:i + {CONTAM13_N - 1}], 'string_agg', ' ')"
@@ -195,42 +208,49 @@ g AS (
   FROM t
 ),
 bench AS (
-  SELECT DISTINCT stripe, gh FROM (
+  SELECT DISTINCT suite, lo, hi, gh FROM (
 {" UNION ALL ".join(
-    f'''    SELECT {m} AS stripe, gh FROM g WHERE doc_id % {m} = 0'''
-    for m in CONTAM13_STRIPES
+    f'''    SELECT {sid} AS suite, {lo} AS lo, {hi} AS hi, gh FROM g
+           WHERE doc_id >= {lo} AND doc_id < {hi}'''
+    for sid, lo, hi in CONTAM13_SUITES
 )}
   )
 )
-SELECT g.doc_id, CAST(stripe AS BIGINT) AS stripe,
+SELECT g.doc_id, CAST(suite AS BIGINT) AS suite,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM g JOIN bench USING (gh)
-WHERE g.doc_id % stripe <> 0
-GROUP BY g.doc_id, stripe
+WHERE g.doc_id < lo OR g.doc_id >= hi
+GROUP BY g.doc_id, suite
 """
 
 
 @register("contamination_13gram", CONTAMINATION_13GRAM_ORACLE, tags=("pipeline",))
 def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination at the PUBLISHED grain: 13-token-gram collision
-    against multiple benchmark suites (VERDICT r6 item 7 / r7 item 7).
+    against multiple benchmark suites (VERDICT r6 item 7 / r7 item 7;
+    re-parameterized on BOUNDED suites in round 11 — VERDICT r10 item 4).
 
-    ``contamination_check``'s trigram-×-≥2 grain is the cheap screen;
-    the standard practice (GPT-3 appendix C, and PaLM/Llama after it)
-    flags a training doc when it shares even ONE 13-token n-gram with an
-    eval SUITE.  This op runs that exact rule against every benchmark
-    stripe in one corpus pass and reports (doc_id, stripe, n_shared):
-    per-suite, so a doc hitting two suites yields two rows and the drop
-    list can be per-suite.  Suite members themselves are exempt for
-    their own suite (doc_id % stripe <> 0 — eval examples are not
-    training docs), matching what production decontamination drops.
+    ``contamination_check``'s trigram screen is the cheap high-overlap
+    filter; the standard practice (GPT-3 appendix C, and PaLM/Llama
+    after it) flags a training doc when it shares even ONE 13-token
+    n-gram with an eval SUITE.  This op runs that exact rule against
+    every benchmark suite in one corpus pass and reports (doc_id, suite,
+    n_shared): per-suite, so a doc hitting two suites yields two rows
+    and the drop list can be per-suite.  Suite members themselves are
+    exempt for their OWN suite only (eval examples are not training
+    docs; a suite-1 example CAN be flagged as contaminated training
+    data w.r.t. suite 2), matching what production decontamination
+    drops.  The suites are CONSTANT-size doc_id windows
+    (CONTAM13_SUITES), so the suite gram set is bounded at any corpus
+    scale and broadcasts — the id-stripe stand-in this replaces grew
+    with the corpus and made the sf100 rows semantically vacuous.
 
     Scale shape, reusing the repo's gram-hash machinery: each 13-gram is
     reduced MAP-SIDE to a distinct int64 MD5 hash (SPARK/SQL_MD5_INT60 —
     the same cross-engine macro substring_dedup joins on), so ~75-byte
     gram strings never ride the shuffle; 24-byte (doc, hash) pairs do.
-    The corpus joins the suite's DISTINCT (stripe, gh) gram SET — not
-    per-example postings — so join output is <= corpus-grams × stripes,
+    The corpus joins the suite's DISTINCT (suite, gh) gram SET — not
+    per-example postings — so join output is <= corpus-grams × suites,
     linear in the corpus.  The round-8 sf100 sweep killed the earlier
     per-example grain on ENOSPC: with a mirror-heavy corpus (1000
     replicas/doc) every suite example collides with every replica, ~10^10
@@ -241,14 +261,19 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 2^-60 collision flags one extra gram identically on both engines).
 
     .. versionchanged:: round 8
-       Output grain changed from (doc_id, stripe, bench_id, n_shared) to
-       (doc_id, stripe, n_shared): ``n_shared`` now counts the doc's
-       distinct grams shared with the SUITE's distinct gram set, not
-       per-example postings (the per-example grain is quadratic on
-       mirror-heavy corpora — see the ENOSPC note above).  Consumers that
-       need per-example attribution should join the flagged (doc, suite)
-       rows back to the suite's examples as a second, flagged-docs-only
-       pass — never corpus-wide.
+       Output grain changed from per-example pairs to (doc_id, suite,
+       n_shared): ``n_shared`` counts the doc's distinct grams shared
+       with the SUITE's distinct gram set, not per-example postings (the
+       per-example grain is quadratic on mirror-heavy corpora — see the
+       ENOSPC note above).  Consumers that need per-example attribution
+       should join the flagged (doc, suite) rows back to the suite's
+       examples as a second, flagged-docs-only pass — never corpus-wide.
+    .. versionchanged:: round 11
+       Benchmark selector changed from id STRIPES (doc_id % 97/89 —
+       membership grew with the corpus) to constant-size doc_id WINDOWS;
+       the report column is now ``suite`` (window id), and the suite
+       gram relation carries an explicit broadcast hint because it is
+       bounded by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
@@ -266,15 +291,20 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     grams = t.select("doc_id", F.explode(grams_expr).alias("gh"))
     bench = None
-    for m in CONTAM13_STRIPES:
-        stripe = grams.filter(F.col("doc_id") % m == 0).select(
-            F.lit(m).cast("long").alias("stripe"), "gh"
+    for sid, lo, hi in CONTAM13_SUITES:
+        s = grams.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            F.lit(sid).cast("long").alias("suite"),
+            F.lit(lo).cast("long").alias("lo"),
+            F.lit(hi).cast("long").alias("hi"),
+            "gh",
         )
-        bench = stripe if bench is None else bench.unionAll(stripe)
+        bench = s if bench is None else bench.unionAll(s)
     return (
-        grams.join(bench.distinct(), "gh")
-        .filter(F.col("doc_id") % F.col("stripe") != 0)
-        .groupBy("doc_id", "stripe")
+        grams.join(F.broadcast(bench.distinct()), "gh")
+        .filter((F.col("doc_id") < F.col("lo")) | (F.col("doc_id") >= F.col("hi")))
+        .groupBy("doc_id", "suite")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
 

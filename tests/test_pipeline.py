@@ -48,17 +48,17 @@ def test_funnel_fused_equals_composed(spark):
 
 
 def test_contamination_13gram_planted_collisions(spark, tmp_path):
-    """Planted pins for the published decontamination grain: a single
-    shared 13-token run flags the (doc, stripe) combination; a 12-token
-    run does NOT; a doc hitting benchmarks in BOTH stripes yields one row
-    per stripe; suite members are exempt for their OWN suite; the
+    """Planted pins for the published decontamination grain under the
+    round-11 BOUNDED suites: a single shared 13-token run flags the
+    (doc, suite) combination; a 12-token run does NOT; suite members are
+    exempt for their OWN suite but flaggable against the other; the
     shared-gram count is exact."""
     import random
 
     from simpletons_map_reduce_spark.queries import REGISTRY
     from simpletons_map_reduce_spark.queries.pipeline import (
         CONTAM13_N,
-        CONTAM13_STRIPES,
+        CONTAM13_SUITES,
     )
 
     rng = random.Random(13)
@@ -67,18 +67,20 @@ def test_contamination_13gram_planted_collisions(spark, tmp_path):
         return [f"{prefix}{rng.randrange(10**9)}" for _ in range(n)]
 
     run13 = [f"hit{i}" for i in range(CONTAM13_N)]
+    run13b = [f"hot{i}" for i in range(CONTAM13_N)]
     run12 = [f"miss{i}" for i in range(CONTAM13_N - 1)]
-    m1, m2 = CONTAM13_STRIPES  # 97, 89
-    both = m1 * m2  # bench doc in BOTH stripes
+    (s1, lo1, hi1), (s2, lo2, hi2) = CONTAM13_SUITES
     docs = {
-        # benchmark docs (multiples of the stripe moduli)
-        m1: words("b", 5) + run13 + words("b", 5),
-        m2: words("c", 5) + run12 + words("c", 5),
-        both: words("d", 4) + run13 + words("d", 4),
-        # corpus docs
-        5: words("x", 3) + run13 + words("x", 7),   # hits m1 AND both
-        7: words("y", 6) + run12 + words("y", 6),   # 12-run: never flagged
-        11: words("z", 20),                          # clean
+        # suite-1 members (doc_id in [lo1, hi1))
+        lo1 + 50: words("b", 5) + run13 + words("b", 5),
+        lo1 + 55: words("e", 5) + run13b + words("e", 5),
+        # suite-2 members (doc_id in [lo2, hi2))
+        lo2 + 50: words("c", 5) + run12 + words("c", 5),
+        lo2 + 60: words("d", 4) + run13b + words("d", 4),
+        # train docs (outside both windows)
+        hi2 + 5: words("x", 3) + run13 + words("x", 7),   # hits suite 1
+        hi2 + 7: words("y", 6) + run12 + words("y", 6),   # 12-run: never
+        hi2 + 11: words("z", 20),                          # clean
     }
     t = spark.createDataFrame(
         [(d, " ".join(toks)) for d, toks in docs.items()],
@@ -86,20 +88,20 @@ def test_contamination_13gram_planted_collisions(spark, tmp_path):
     )
     t.write.parquet(str(tmp_path / "documents.parquet"))
     got = {
-        (r.doc_id, r.stripe): r.n_shared
+        (r.doc_id, r.suite): r.n_shared
         for r in REGISTRY["contamination_13gram"]
         .fn(spark, str(tmp_path))
         .collect()
     }
-    # doc 5 shares exactly one 13-gram with each suite (run13 is in m1's
-    # set via doc m1 and in m2's set via doc `both`); doc m1 is itself a
-    # train doc RELATIVE TO stripe m2 and hits m2's set the same way;
-    # suite members are exempt for their own suite (m1 @ m1, both @ both),
-    # so `both` — a member of both suites — never appears.
+    # hi2+5 shares exactly one 13-gram (run13) with suite 1's set; the
+    # run13b run lives in BOTH suites' sets via one member each, so each
+    # member is flagged against the OTHER suite (cross-suite members are
+    # train docs) while staying exempt from its own; the 12-token run
+    # never produces a 13-gram collision.
     want = {
-        (5, m1): 1,
-        (5, m2): 1,
-        (m1, m2): 1,
+        (hi2 + 5, s1): 1,
+        (lo1 + 55, s2): 1,
+        (lo2 + 60, s1): 1,
     }
     assert got == want
 

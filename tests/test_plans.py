@@ -981,8 +981,14 @@ BROADCAST_BUDGET = {
     "nation_pagerank": 4,
     "overstocked_suppliers": 1,
     "perplexity_buckets": 1,
-    "pipeline_funnel": 1,
-    "pipeline_funnel_fused": 1,
+    # round 11: the contamination suites are bounded by construction
+    # (constant-size doc_id windows), so the suite gram set is hinted —
+    # the funnels inherit the hint through their contamination stage
+    "contamination_check": 1,
+    "contamination_13gram": 1,
+    "contamination_apply": 1,
+    "pipeline_funnel": 2,
+    "pipeline_funnel_fused": 2,
     "product_profit": 3,
     "promo_revenue": 1,
     "region_revenue": 2,
