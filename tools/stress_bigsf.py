@@ -286,6 +286,238 @@ def _ivf_append_batch(spark, sf_dir):
     return load_ivf_index(spark, d, expect_n=n, expect_fp=fp)[1]
 
 
+def _ivf_append_pure(spark, sf_dir):
+    # round 11 (VERDICT r10 item 6): the r10 ivf_append_batch row was
+    # dominated by the runner's full-union read-back; this row isolates
+    # the APPEND itself — the returned frame reads ONLY the new segment,
+    # so the count is |batch|-proportional.
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        append_ivf_batch,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "ivf")
+    _standing, batch = _emb_split(spark, sf_dir)
+    append_ivf_batch(spark, d, batch, new_corpus_fp=fp)
+    return spark.read.parquet(f"{d}/assignments_seg1.parquet")
+
+
+def _pq_standing_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        write_pq_index,
+    )
+
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "embeddings", "pq")
+    shutil_.rmtree(d, ignore_errors=True)
+    standing, _batch = _emb_split(spark, sf_dir)
+    write_pq_index(standing, d, corpus_fp=fp)
+    return spark.read.parquet(f"{d}/pq_codes.parquet")
+
+
+def _pq_append_pure(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        append_pq_batch,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "pq")
+    _standing, batch = _emb_split(spark, sf_dir)
+    append_pq_batch(spark, d, batch, new_corpus_fp=fp)
+    return spark.read.parquet(f"{d}/pq_codes_seg1.parquet")
+
+
+def _lsh_standing_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        write_lsh_index,
+    )
+
+    d, n, fp, shutil_ = _app_dir(spark, sf_dir, "embeddings", "lsh")
+    shutil_.rmtree(d, ignore_errors=True)
+    standing, _batch = _emb_split(spark, sf_dir)
+    write_lsh_index(standing, d, corpus_fp=fp)
+    return spark.read.parquet(f"{d}/lsh_bands.parquet")
+
+
+def _lsh_append_pure(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        append_lsh_batch,
+    )
+
+    d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "lsh")
+    _standing, batch = _emb_split(spark, sf_dir)
+    append_lsh_batch(spark, d, batch, new_corpus_fp=fp)
+    return spark.read.parquet(f"{d}/lsh_bands_seg1.parquet")
+
+
+# --- round-11 delete + compaction timing (VERDICT r10 items 2-3) -----------
+# Per family, against a SWEEP-OWNED ``-msw-`` artifact (NOT the -app dir
+# the registered appended probes share: a delete+compact there would
+# leave a loadable artifact — same n, same fingerprint — whose content
+# silently differs from what the registered query's oracle expects):
+# *_m_setup builds standing+append into the sweep dir, *_delete_batch
+# tombstones the key % 17 == 3 slice (returned frame reads the tombstone
+# relation — rows = tombstone count), *_probe_tombstoned times the probe
+# against the segmented+tombstoned artifact, *_compact folds segments and
+# tombstones into a new generation (returned frame is the 1-row meta —
+# compaction cost is the wall, not a read-back), and *_probe_compacted
+# re-times the same probe.  probe_tombstoned vs probe_compacted is the
+# small-file/anti-join tax compaction removes.
+
+
+def _msw_dir(spark, sf_dir, table, family):
+    import shutil
+
+    from simpletons_map_reduce_spark.operators.ann_index import index_location
+
+    base, n, fp = index_location(spark, sf_dir, None, table)
+    return f"{base}-msw-{family}", n, fp, shutil
+
+
+def _msw_setup(spark, sf_dir, table, family):
+    """Standing build + one appended batch into the sweep-owned dir —
+    the artifact state every delete/compact row starts from."""
+    d, n, fp, shutil_ = _msw_dir(spark, sf_dir, table, family)
+    shutil_.rmtree(d, ignore_errors=True)
+    if table == "documents":
+        standing, batch = _docs_split(spark, sf_dir)
+    else:
+        standing, batch = _emb_split(spark, sf_dir)
+    if family == "mh":
+        from simpletons_map_reduce_spark.operators.minhash_index import (
+            append_minhash_batch,
+            write_minhash_index,
+        )
+
+        write_minhash_index(standing, d, corpus_fp=fp)
+        append_minhash_batch(spark, d, batch, new_corpus_fp=fp)
+        return spark.read.parquet(f"{d}/mh_bands_seg1.parquet")
+    if family == "bm25":
+        from simpletons_map_reduce_spark.operators.bm25_index import (
+            append_bm25_batch,
+            write_bm25_index,
+        )
+
+        write_bm25_index(standing, d, corpus_fp=fp)
+        append_bm25_batch(spark, d, batch, new_corpus_fp=fp)
+        return spark.read.parquet(f"{d}/postings_seg1.parquet")
+    if family == "ivf":
+        from simpletons_map_reduce_spark.operators.ann_index import (
+            append_ivf_batch,
+            write_ivf_index,
+        )
+
+        write_ivf_index(standing, d, corpus_fp=fp)
+        append_ivf_batch(spark, d, batch, new_corpus_fp=fp)
+        return spark.read.parquet(f"{d}/assignments_seg1.parquet")
+    if family == "pq":
+        from simpletons_map_reduce_spark.operators.ann_index import (
+            append_pq_batch,
+            write_pq_index,
+        )
+
+        write_pq_index(standing, d, corpus_fp=fp)
+        append_pq_batch(spark, d, batch, new_corpus_fp=fp)
+        return spark.read.parquet(f"{d}/pq_codes_seg1.parquet")
+    if family == "lsh":
+        from simpletons_map_reduce_spark.operators.ann_index import (
+            append_lsh_batch,
+            write_lsh_index,
+        )
+
+        write_lsh_index(standing, d, corpus_fp=fp)
+        append_lsh_batch(spark, d, batch, new_corpus_fp=fp)
+        return spark.read.parquet(f"{d}/lsh_bands_seg1.parquet")
+    raise ValueError(family)
+
+
+def _delete_table(spark, sf_dir, table, family, key):
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        _tombstone_path,
+    )
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        delete_from_index,
+    )
+
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        FAMILIES,
+    )
+
+    d, n, fp, _ = _msw_dir(spark, sf_dir, table, family)
+    keys = (
+        spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        .select(key)
+        .filter(F.col(key) % DELETE_MOD == DELETE_RESIDUE)
+    )
+    delete_from_index(spark, d, family, keys)
+    meta_df = spark.read.parquet(f"{d}/{FAMILIES[family]['meta_file']}")
+    tombs = int(meta_df.collect()[0].tombs)
+    if tombs == 0:
+        # idempotent re-run against an already-compacted sweep artifact:
+        # nothing left to tombstone — report the meta row instead
+        return meta_df
+    return spark.read.parquet(_tombstone_path(d, family, tombs))
+
+
+def _compact(spark, sf_dir, table, family):
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        FAMILIES,
+        compact_index,
+    )
+
+    d, n, fp, _ = _msw_dir(spark, sf_dir, table, family)
+    compact_index(spark, d, family)
+    return spark.read.parquet(f"{d}/{FAMILIES[family]['meta_file']}")
+
+
+def _mh_probe(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.minhash_index import (
+        load_minhash_index,
+    )
+    from simpletons_map_reduce_spark.queries.dedup_ops import (
+        MAX_BAND_BUCKET,
+        _assign_to_bucket,
+        _bucket_verified,
+        _incremental_collisions,
+        kept_from_bands,
+    )
+
+    d, n, fp, _ = _msw_dir(spark, sf_dir, "documents", "mh")
+    shs, bands = load_minhash_index(spark, d, expect_n=n, expect_fp=fp)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+    )
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
+def _bm25_probe(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.bm25_index import (
+        load_bm25_index,
+    )
+    from simpletons_map_reduce_spark.queries.search_ops import (
+        _bm25_index_probe,
+    )
+
+    d, n, fp, _ = _msw_dir(spark, sf_dir, "documents", "bm25")
+    return _bm25_index_probe(*load_bm25_index(spark, d, expect_n=n, expect_fp=fp))
+
+
+def _ivf_probe(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        load_ivf_index,
+    )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _indexed_ivf_search,
+    )
+
+    d, n, fp, _ = _msw_dir(spark, sf_dir, "embeddings", "ivf")
+    return _indexed_ivf_search(
+        spark, sf_dir, load_ivf_index(spark, d, expect_n=n, expect_fp=fp)
+    )
+
+
 def _pipeline_funnel_fused_sum(spark, sf_dir):
     # the capstone composition (VERDICT r9 item 8): the fused production
     # pipeline end-to-end at sf100 — aggregate the histogram behind a
@@ -319,6 +551,35 @@ EXTRA_OPS = {
     "ivf_standing_build": _ivf_standing_build,
     "ivf_append_batch": _ivf_append_batch,
     "pipeline_funnel_fused_sum": _pipeline_funnel_fused_sum,
+    # round 11: read-back-free append rows (the wall is the append, the
+    # count reads only the new segment) for the three vector families
+    "ivf_append_pure": _ivf_append_pure,
+    "pq_standing_build": _pq_standing_build,
+    "pq_append_pure": _pq_append_pure,
+    "lsh_standing_build": _lsh_standing_build,
+    "lsh_append_pure": _lsh_append_pure,
+    # round 11: delete + compaction timing against sweep-owned -msw dirs
+    "mh_m_setup": lambda s, d: _msw_setup(s, d, "documents", "mh"),
+    "mh_delete_batch": lambda s, d: _delete_table(s, d, "documents", "mh", "doc_id"),
+    "mh_probe_tombstoned": _mh_probe,
+    "mh_compact": lambda s, d: _compact(s, d, "documents", "mh"),
+    "mh_probe_compacted": _mh_probe,
+    "bm25_m_setup": lambda s, d: _msw_setup(s, d, "documents", "bm25"),
+    "bm25_delete_batch": lambda s, d: _delete_table(s, d, "documents", "bm25", "doc_id"),
+    "bm25_probe_tombstoned": _bm25_probe,
+    "bm25_compact": lambda s, d: _compact(s, d, "documents", "bm25"),
+    "bm25_probe_compacted": _bm25_probe,
+    "ivf_m_setup": lambda s, d: _msw_setup(s, d, "embeddings", "ivf"),
+    "ivf_delete_batch": lambda s, d: _delete_table(s, d, "embeddings", "ivf", "vec_id"),
+    "ivf_probe_tombstoned": _ivf_probe,
+    "ivf_compact": lambda s, d: _compact(s, d, "embeddings", "ivf"),
+    "ivf_probe_compacted": _ivf_probe,
+    "pq_m_setup": lambda s, d: _msw_setup(s, d, "embeddings", "pq"),
+    "pq_delete_batch": lambda s, d: _delete_table(s, d, "embeddings", "pq", "vec_id"),
+    "pq_compact": lambda s, d: _compact(s, d, "embeddings", "pq"),
+    "lsh_m_setup": lambda s, d: _msw_setup(s, d, "embeddings", "lsh"),
+    "lsh_delete_batch": lambda s, d: _delete_table(s, d, "embeddings", "lsh", "vec_id"),
+    "lsh_compact": lambda s, d: _compact(s, d, "embeddings", "lsh"),
 }
 
 
