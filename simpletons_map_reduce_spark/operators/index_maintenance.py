@@ -103,7 +103,12 @@ FAMILIES: dict[str, dict] = {
             "postings": lambda df, meta: (
                 df.repartition("tok").sortWithinPartitions("tok")
             ),
-            "doclen": lambda df, meta: df,
+            # range-clustered on doc_id like every doclen write, so the
+            # append guard's batch-bounds pruning survives compaction
+            "doclen": lambda df, meta: (
+                df.repartitionByRange(8, "doc_id")
+                .sortWithinPartitions("doc_id")
+            ),
         },
     ),
     "ivf": dict(
