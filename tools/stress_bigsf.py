@@ -158,6 +158,13 @@ def _lsh_index_build(spark, sf_dir):
     return lsh_index_for(spark, sf_dir, force=True)
 
 
+def _pq_index_build(spark, sf_dir):
+    from simpletons_map_reduce_spark.operators.ann_index import pq_index_for
+
+    _cb_path, codes = pq_index_for(spark, sf_dir, force=True)
+    return codes
+
+
 def _bm25_index_build(spark, sf_dir):
     from simpletons_map_reduce_spark.operators.bm25_index import bm25_index_for
 
@@ -542,6 +549,7 @@ EXTRA_OPS = {
     "repetition_signals_sum": _repetition_signals_sum,
     "minhash_index_build": _minhash_index_build,
     "lsh_index_build": _lsh_index_build,
+    "pq_index_build": _pq_index_build,
     "dsir_weights_sum": _dsir_weights_sum,
     "bm25_index_build": _bm25_index_build,
     "minhash_standing_build": _minhash_standing_build,
