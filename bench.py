@@ -192,6 +192,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "full_total": full_total,
+        # the driver record is self-describing about machine contention
+        # (VERDICT r10 item 8): a loadavg_start > ~3 means the timings
+        # carry environmental inflation, not plan regressions
+        "loadavg_start": round(load_start[0], 2),
     }
 
     # sf1 extra: headline set at sf1, only after a default sf0.1 primary

@@ -372,3 +372,45 @@ def compact_index(spark: SparkSession, index_dir: str, family: str) -> bool:
     for p in old_paths:
         shutil.rmtree(p, ignore_errors=True)
     return True
+
+
+#: default compaction policy: compact once probe plans union more than
+#: this many appended segments, or once any tombstones are outstanding
+#: beyond this fraction of the corpus.  Chosen where the small-file /
+#: anti-join tax starts to show in probe timings (SCALE.md round 11);
+#: ingest loops with different batch grain tune per call.
+MAX_SEGMENTS = 8
+MAX_DELETED_FRACTION = 0.02
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    family: str,
+    max_segments: int = MAX_SEGMENTS,
+    max_deleted_fraction: float = MAX_DELETED_FRACTION,
+) -> bool:
+    """The ingest loop's compaction POLICY hook: compact when the
+    artifact has accumulated more than ``max_segments`` appended
+    segments, or when outstanding tombstones exceed
+    ``max_deleted_fraction`` of the covered corpus (every probe pays the
+    anti-join until they fold).  Cheap when it declines: one 1-row meta
+    read, plus a count of the tiny tombstone relation only when any
+    deletions are outstanding.  Call it after every ``append_*_batch`` /
+    ``delete_from_index`` — the LSM background-merge trigger, made
+    explicit."""
+    meta = _read_meta(spark, index_dir, family)
+    gen, tombs, _n_deleted = _meta_maint(meta)
+    segs = int(meta.segments)
+    n_attr = "n_corpus" if family == "bm25" else "n"
+    n = int(getattr(meta, n_attr)) or 1
+    # OUTSTANDING tombstones are the current tombstone relation's rows
+    # (n_deleted is cumulative across folds and would trigger forever
+    # after the first big fold); the relation is a single tiny coalesced
+    # file, read only when any tombstones exist at all.
+    outstanding = 0
+    if tombs > 0:
+        outstanding = _load_tombstones(spark, index_dir, family, tombs).count()
+    if segs <= max_segments and outstanding <= max_deleted_fraction * n:
+        return False
+    return compact_index(spark, index_dir, family)

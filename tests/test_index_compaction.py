@@ -323,6 +323,36 @@ def test_compact_noop_on_fresh_build(spark, tmp_path):
     assert compact_index(spark, idx, "pq") is False
 
 
+def test_maybe_compact_policy(spark, tmp_path):
+    """The ingest loop's trigger: declines under the thresholds, fires
+    past them, and cumulative (already-folded) deletions never re-fire
+    it."""
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        maybe_compact,
+    )
+
+    emb = _emb(spark)
+    n = emb.count()
+    standing = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "lsh")
+    write_lsh_index(standing, idx, corpus_fp=1)
+    append_lsh_batch(spark, idx, batch, new_corpus_fp=2)
+    # one segment, no tombstones: under both thresholds → declines
+    assert maybe_compact(spark, idx, "lsh") is False
+    # segment budget of zero: fires
+    assert maybe_compact(spark, idx, "lsh", max_segments=0) is True
+    meta = spark.read.parquet(f"{idx}/lsh_meta.parquet").collect()[0]
+    assert (int(meta.segments), _meta_maint(meta)[0]) == (0, 1)
+    # outstanding tombstones past the deleted-fraction threshold: fires
+    delete_from_index(spark, idx, "lsh", DEL)
+    assert maybe_compact(spark, idx, "lsh", max_deleted_fraction=0.0) is True
+    # cumulative n_deleted is non-zero, but nothing is OUTSTANDING and
+    # segments are folded — the policy must decline, not loop forever
+    assert maybe_compact(spark, idx, "lsh", max_segments=0,
+                         max_deleted_fraction=0.0) is False
+
+
 def test_family_registry_covers_all_five(spark):
     assert set(FAMILIES) == {"mh", "bm25", "ivf", "pq", "lsh"}
     for fam, spec in FAMILIES.items():
