@@ -353,6 +353,62 @@ def test_maybe_compact_policy(spark, tmp_path):
                          max_deleted_fraction=0.0) is False
 
 
+def test_interleaved_lsm_lifecycle(spark, tmp_path):
+    """The full LSM lifecycle interleaved, as a long-running ingest loop
+    drives it: ingest → delete → ingest → compact → RE-ADD updated
+    versions of the deleted docs (the update path) → delete → ingest →
+    compact.  Pins: the end state ≡ a from-scratch build over exactly
+    the live corpus (updated text included — proving the update took
+    effect); the tombstone guard fires mid-loop; generation/segment/
+    deletion counters are exact after two compactions."""
+    docs = _docs(spark)
+    w = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    d1 = [int(r.doc_id) for r in
+          w[0].filter(F.col("doc_id") % 7 == 1).select("doc_id").collect()]
+    d2 = [int(r.doc_id) for r in
+          w[1].filter(F.col("doc_id") % 11 == 2).select("doc_id").collect()]
+    assert d1 and d2
+    upd = (
+        docs.filter(F.col("doc_id").isin(d1))
+        .select("doc_id", F.concat(F.col("text"), F.lit(" updated marker"))
+                .alias("text"))
+    )
+
+    idx = str(tmp_path / "mh")
+    write_minhash_index(w[0], idx, corpus_fp=1)
+    assert delete_from_index(spark, idx, "mh", d1) == len(d1)
+    append_minhash_batch(spark, idx, w[1], new_corpus_fp=2)
+    # re-adding a tombstoned id before compaction: refused loudly
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_minhash_batch(spark, idx, upd)
+    assert compact_index(spark, idx, "mh") is True  # folds d1 → gen 1
+    append_minhash_batch(spark, idx, upd, new_corpus_fp=3)  # the update
+    assert delete_from_index(spark, idx, "mh", d2) == len(d2)
+    append_minhash_batch(spark, idx, w[2], new_corpus_fp=4)
+    assert compact_index(spark, idx, "mh") is True  # folds d2 → gen 2
+
+    meta = spark.read.parquet(f"{idx}/mh_meta.parquet").collect()[0]
+    gen, tombs, n_deleted = _meta_maint(meta)
+    assert (gen, int(meta.segments), tombs) == (2, 0, 0)
+    assert n_deleted == len(d1) + len(d2)
+    n_ingested = w[0].count() + w[1].count() + len(d1) + w[2].count()
+    assert int(meta.n) == n_ingested  # coverage counts every ingest
+    # end state ≡ from-scratch build over exactly the live corpus
+    live = (
+        w[0].filter(~F.col("doc_id").isin(d1))
+        .unionByName(w[1].filter(~F.col("doc_id").isin(d2)))
+        .unionByName(upd)
+        .unionByName(w[2])
+    )
+    ref = str(tmp_path / "ref")
+    write_minhash_index(live, ref, corpus_fp=9)
+    cols_s, cols_b = ["doc_id", "shset"], ["doc_id", "band", "band_key"]
+    shs_g, bands_g = load_minhash_index(spark, idx)
+    shs_r, bands_r = load_minhash_index(spark, ref)
+    assert _rows(shs_g, cols_s) == _rows(shs_r, cols_s)
+    assert _rows(bands_g, cols_b) == _rows(bands_r, cols_b)
+
+
 def test_family_registry_covers_all_five(spark):
     assert set(FAMILIES) == {"mh", "bm25", "ivf", "pq", "lsh"}
     for fam, spec in FAMILIES.items():
