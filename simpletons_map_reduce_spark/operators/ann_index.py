@@ -116,9 +116,14 @@ def _gen_base_path(index_dir: str, base: str, gen: int) -> str:
 
 def _seg_path(index_dir: str, base: str, gen: int, i: int) -> str:
     """Path of appended segment ``i`` within generation ``gen`` — segment
-    names are generation-scoped so a post-compaction append can never
-    overwrite an orphan segment a concurrent old-generation reader might
-    still be streaming."""
+    names are generation-scoped so no write ever REUSES a path an older
+    generation referenced (a post-compaction append cannot overwrite an
+    orphan of the previous generation).  Note this protects against path
+    reuse only: compact_index deletes the old generation's files shortly
+    AFTER its meta commit, so readers that began streaming the old
+    generation before the swap are not protected — single-writer
+    maintenance with probes between operations is the supported
+    discipline."""
     if gen == 0:
         return f"{index_dir}/{base}_seg{i}.parquet"
     return f"{index_dir}/{base}_g{gen}_seg{i}.parquet"
@@ -845,11 +850,19 @@ def maintained_ivf_index_for(
             spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
             new_corpus_fp=fp,
         )
-        delete_from_index(
+        deleted = delete_from_index(
             spark, index_dir, "ivf",
             emb.filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
             .select("vec_id"),
         )
+        if deleted == 0:
+            # loud refusal beats the _load gate's build→refuse→rebuild
+            # loop on a corpus with no slice members in the index
+            raise ValueError(
+                f"maintained-IVF exercise needs a non-empty vec_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+                f"this corpus has none in the index"
+            )
         compact_index(spark, index_dir, "ivf")
 
     def _load():

@@ -127,10 +127,16 @@ def _write_bm25_meta(
     # N/avgdl are defined over (a letterless doc can never be a hit);
     # n_corpus (staleness) counts ALL documents the index was derived
     # from, the same unit callers' expect_n uses — logical deletes change
-    # the scoring population but NOT the corpus-coverage count.
+    # the scoring population but NOT the corpus-coverage count.  A delete
+    # that empties the live population (legal: retract everything) leaves
+    # NULL aggregates — commit zeros so the delete completes and probes
+    # return no hits, instead of crashing after the tombstone write.
     meta = spark.createDataFrame(
         [(
-            stats.n, float(stats.avgdl), stats.n_tokens, n_corpus,
+            stats.n,
+            float(stats.avgdl) if stats.avgdl is not None else 0.0,
+            stats.n_tokens if stats.n_tokens is not None else 0,
+            n_corpus,
             corpus_fp, segments, gen, tombs, n_deleted, ts_ver,
         )],
         "n BIGINT, avgdl DOUBLE, n_tokens BIGINT, n_corpus BIGINT, "
@@ -381,11 +387,19 @@ def deleted_bm25_index_for(
     def _build():
         shutil.rmtree(index_dir, ignore_errors=True)
         write_bm25_index(docs, index_dir, n_corpus=n, corpus_fp=fp)
-        delete_from_index(
+        deleted = delete_from_index(
             spark, index_dir, "bm25",
             docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
             .select("doc_id"),
         )
+        if deleted == 0:
+            # loud refusal beats the _load gate's build→refuse→rebuild
+            # loop on a corpus with no (token-bearing) slice members
+            raise ValueError(
+                f"deleted-BM25 exercise needs a non-empty doc_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+                f"this corpus has none in the index"
+            )
 
     def _load():
         out = load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp)

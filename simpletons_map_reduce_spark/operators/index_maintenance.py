@@ -235,8 +235,13 @@ def delete_from_index(
         old_tombs, key,
     )
     # idempotence + exact bookkeeping: only keys the index actually holds
-    # (and hasn't already tombstoned) count toward n_deleted.
-    delta = kdf.join(live_keys, key, "left_semi")
+    # (and hasn't already tombstoned) count toward n_deleted.  delta is
+    # persisted (house rule: a relation whose plan scans corpus-scale
+    # segments and feeds multiple consumers — the count, the tombstone
+    # write, and BM25's df-decrement semi-join — computes once).
+    from ..caching import tracked_persist
+
+    delta = tracked_persist(kdf.join(live_keys, key, "left_semi"))
     delta_n = delta.count()
     if delta_n == 0:
         return 0

@@ -295,11 +295,20 @@ def maintained_minhash_index_for(
         batch = spread(docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0))
         write_minhash_index(standing, index_dir, corpus_fp=fp)
         append_minhash_batch(spark, index_dir, batch, new_corpus_fp=fp)
-        delete_from_index(
+        deleted = delete_from_index(
             spark, index_dir, "mh",
             docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
             .select("doc_id"),
         )
+        if deleted == 0:
+            # refuse a vacuous exercise LOUDLY: the _load gate pins that
+            # deletions happened, and silently passing an empty slice
+            # would loop build→refuse→rebuild forever on this corpus
+            raise ValueError(
+                f"maintained-MinHash exercise needs a non-empty doc_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+                f"this corpus has none in the index"
+            )
         compact_index(spark, index_dir, "mh")
 
     def _load():

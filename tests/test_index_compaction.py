@@ -316,6 +316,24 @@ def test_append_refuses_tombstoned_keys_until_compaction(spark, tmp_path):
     assert (nd, avg) == (nd_r, avg_r)
 
 
+def test_bm25_delete_everything_completes(spark, tmp_path):
+    """The legal retract-everything call: deleting every document must
+    COMMIT (zeros in the scoring meta, not a crash after the tombstone
+    write) and probes must see an empty live index."""
+    docs = _docs(spark).limit(50)
+    ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
+    idx = str(tmp_path / "bm")
+    write_bm25_index(docs, idx, corpus_fp=1)
+    assert delete_from_index(spark, idx, "bm25", ids) == len(ids)
+    p, dl, ts, nd, avg = load_bm25_index(spark, idx)
+    assert (p.count(), dl.count()) == (0, 0)
+    assert (nd, avg) == (0.0, 0.0)
+    # and compaction folds the now-empty relations without error
+    assert compact_index(spark, idx, "bm25") is True
+    p2, dl2, _, nd2, avg2 = load_bm25_index(spark, idx)
+    assert (p2.count(), dl2.count(), nd2, avg2) == (0, 0, 0.0, 0.0)
+
+
 def test_compact_noop_on_fresh_build(spark, tmp_path):
     emb = _emb(spark)
     idx = str(tmp_path / "pq")

@@ -293,6 +293,37 @@ def _ivf_append_batch(spark, sf_dir):
     return load_ivf_index(spark, d, expect_n=n, expect_fp=fp)[1]
 
 
+def _require_fresh_standing(spark, d, meta_file, family):
+    """The *_append_pure rows measure THE FIRST append after a standing
+    build; appending the same batch onto an already-appended artifact
+    would silently duplicate its rows (the vector appends have no
+    disjointness guard) and corrupt the shared -app artifact the
+    registered probes load.  Refuse loudly instead — the sweep records
+    the error as a finding and the fix is to run the family's
+    standing_build row immediately before."""
+    meta = spark.read.parquet(f"{d}/{meta_file}").collect()[0]
+    if int(meta.segments) != 0:
+        raise RuntimeError(
+            f"{family}_append_pure needs a FRESH standing artifact "
+            f"(segments=0) at {d}; found segments={int(meta.segments)} — "
+            f"run {family}_standing_build first"
+        )
+    return meta
+
+
+def _new_seg_path(spark, d, meta_file, base):
+    """The segment the append just landed, read from the committed meta
+    (never a hardcoded seg1 — robust to whatever state preceded)."""
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        _meta_maint,
+        _seg_path,
+    )
+
+    meta = spark.read.parquet(f"{d}/{meta_file}").collect()[0]
+    gen, _, _ = _meta_maint(meta)
+    return _seg_path(d, base, gen, int(meta.segments))
+
+
 def _ivf_append_pure(spark, sf_dir):
     # round 11 (VERDICT r10 item 6): the r10 ivf_append_batch row was
     # dominated by the runner's full-union read-back; this row isolates
@@ -303,9 +334,12 @@ def _ivf_append_pure(spark, sf_dir):
     )
 
     d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "ivf")
+    _require_fresh_standing(spark, d, "meta.parquet", "ivf")
     _standing, batch = _emb_split(spark, sf_dir)
     append_ivf_batch(spark, d, batch, new_corpus_fp=fp)
-    return spark.read.parquet(f"{d}/assignments_seg1.parquet")
+    return spark.read.parquet(
+        _new_seg_path(spark, d, "meta.parquet", "assignments")
+    )
 
 
 def _pq_standing_build(spark, sf_dir):
@@ -326,9 +360,12 @@ def _pq_append_pure(spark, sf_dir):
     )
 
     d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "pq")
+    _require_fresh_standing(spark, d, "pq_meta.parquet", "pq")
     _standing, batch = _emb_split(spark, sf_dir)
     append_pq_batch(spark, d, batch, new_corpus_fp=fp)
-    return spark.read.parquet(f"{d}/pq_codes_seg1.parquet")
+    return spark.read.parquet(
+        _new_seg_path(spark, d, "pq_meta.parquet", "pq_codes")
+    )
 
 
 def _lsh_standing_build(spark, sf_dir):
@@ -349,9 +386,12 @@ def _lsh_append_pure(spark, sf_dir):
     )
 
     d, n, fp, _ = _app_dir(spark, sf_dir, "embeddings", "lsh")
+    _require_fresh_standing(spark, d, "lsh_meta.parquet", "lsh")
     _standing, batch = _emb_split(spark, sf_dir)
     append_lsh_batch(spark, d, batch, new_corpus_fp=fp)
-    return spark.read.parquet(f"{d}/lsh_bands_seg1.parquet")
+    return spark.read.parquet(
+        _new_seg_path(spark, d, "lsh_meta.parquet", "lsh_bands")
+    )
 
 
 # --- round-11 delete + compaction timing (VERDICT r10 items 2-3) -----------
@@ -444,11 +484,8 @@ def _delete_table(spark, sf_dir, table, family, key):
     from simpletons_map_reduce_spark.operators.index_maintenance import (
         DELETE_MOD,
         DELETE_RESIDUE,
-        delete_from_index,
-    )
-
-    from simpletons_map_reduce_spark.operators.index_maintenance import (
         FAMILIES,
+        delete_from_index,
     )
 
     d, n, fp, _ = _msw_dir(spark, sf_dir, table, family)
