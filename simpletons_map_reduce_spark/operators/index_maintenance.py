@@ -200,7 +200,11 @@ def delete_from_index(
 ) -> int:
     """Logically delete keys from a standing index artifact; returns the
     number of keys actually tombstoned (keys absent from the index, or
-    already deleted, are ignored — deletes are idempotent).
+    already deleted, are ignored — deletes are idempotent).  "Present"
+    means present in the family's presence relation: for BM25 that is
+    doclen, so a letterless document — for which nothing was ever
+    indexed — is a no-op delete (there is nothing to remove and no
+    statistic to adjust).
 
     Cost model: O(|index keys| + |tombstones|) column-pruned scans (the
     presence check and, for BM25, the dying docs' postings lookup), never
