@@ -262,6 +262,37 @@ def test_killed_compaction_serves_old_generation(spark, tmp_path, monkeypatch):
     ) == before
 
 
+def test_killed_delete_is_invisible_and_retry_commits(
+    spark, tmp_path, monkeypatch
+):
+    """A delete killed between the tombstone write and the meta commit
+    serves the PRE-delete state (the orphan tombstone version is never
+    read) and the retry overwrites the orphan and commits exactly."""
+    emb = _emb(spark)
+    n = emb.count()
+    idx = str(tmp_path / "lsh")
+    write_lsh_index(emb, idx, corpus_fp=1)
+
+    import simpletons_map_reduce_spark.operators.index_maintenance as im
+
+    def _boom(*a, **kw):
+        raise RuntimeError("killed before meta commit")
+
+    monkeypatch.setattr(im, "_rewrite_meta", _boom)
+    with pytest.raises(RuntimeError, match="killed"):
+        delete_from_index(spark, idx, "lsh", DEL)
+    monkeypatch.undo()
+
+    # orphan tombstone v1 exists on disk, but the meta says tombs=0 —
+    # the load serves every row
+    live = load_lsh_index(spark, idx, expect_n=n, expect_fp=1)
+    assert live.select("vec_id").distinct().count() == n
+    # the retry overwrites the orphan and commits
+    assert delete_from_index(spark, idx, "lsh", DEL) == len(DEL)
+    live2 = load_lsh_index(spark, idx, expect_n=n, expect_fp=1)
+    assert live2.select("vec_id").distinct().count() == n - len(DEL)
+
+
 def test_delete_is_idempotent_and_exactly_accounted(spark, tmp_path):
     emb = _emb(spark)
     n = emb.count()
