@@ -458,6 +458,21 @@ def test_interleaved_lsm_lifecycle(spark, tmp_path):
     assert _rows(bands_g, cols_b) == _rows(bands_r, cols_b)
 
 
+def test_deleted_probe_plan_keeps_pushdown_and_broadcast_anti(spark):
+    """The tombstone path must not cost the probe its scan pruning: the
+    term predicate stays PUSHED into the postings scan THROUGH the
+    broadcast anti-join, both tombstone anti-joins broadcast (no new
+    exchange), and no Python stage appears."""
+    from simpletons_map_reduce_spark.queries import REGISTRY
+    from tests.conftest import SF0001
+
+    df = REGISTRY["bm25_search_deleted"].fn(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tok" in plan, plan
+    assert plan.count("LeftAnti, BuildRight") == 2, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
 def test_family_registry_covers_all_five(spark):
     assert set(FAMILIES) == {"mh", "bm25", "ivf", "pq", "lsh"}
     for fam, spec in FAMILIES.items():
