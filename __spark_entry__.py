@@ -47,9 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py --all and by pytest on every run.
 _PRIORITY = [
     # round-11 new ops: index delete + compaction (tombstone arithmetic
-    # and the generation swap hash-gated via filtered shared oracles)
+    # and the generation swap hash-gated via filtered shared oracles;
+    # the LSH/PQ lifecycles rows-only with the arithmetic pytest-pinned)
     "dedup_incremental_maintained", "bm25_search_deleted",
-    "ann_ivf_maintained",
+    "ann_ivf_maintained", "ann_lsh_maintained", "ann_pq_maintained",
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
     # freshness tour: the full r7 cohort (oldest remaining evidence)
@@ -66,11 +67,14 @@ _PRIORITY = [
     "unigram_logprob", "vocab_coverage", "zipf_fit", "token_fertility",
     "bm25_search", "zorder_layout",
     # re-parameterized contamination twins (outputs changed this round)
-    # + oldest r8 items
-    "contamination_13gram", "contamination_apply",
-    "substring_dedup", "substring_dedup_apply", "stream_parity_report",
+    # + the oldest r8 item (two r8 fill slots ceded to the LSH/PQ
+    # maintained lifecycles — first-time driver evidence outranks a
+    # re-check; substring_dedup[_apply] stay covered by check_oracle
+    # and their r8 driver rows)
+    "contamination_13gram", "contamination_apply", "stream_parity_report",
     # past the 50-slot window (kept for stable ordering of the tail):
-    # the round-10 cohort re-checked last round
+    # the round-10 cohort re-checked last round + the next r8 items
+    "substring_dedup", "substring_dedup_apply",
     "dedup_incremental_appended", "bm25_search_appended",
     "ann_ivf_appended", "ann_lsh_appended", "ann_pq_appended",
     "table_profile_approx", "histogram_equi_depth_approx",

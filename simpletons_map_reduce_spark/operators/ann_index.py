@@ -812,6 +812,122 @@ def appended_ivf_index_for(
     )
 
 
+def _maintained_vector_lifecycle(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    family: str,
+    fp: int,
+    write_fn,
+    append_fn,
+) -> None:
+    """Shared build half of the maintained vector-family exercises:
+    standing build (vec_id % 10 != 7) → append the rest under the frozen
+    model → delete the vec_id % DELETE_MOD == DELETE_RESIDUE slice →
+    compact.  Raises loudly on a corpus with no delete-slice members
+    (a silent empty delete would loop the refuse-and-redo load gate)."""
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        compact_index,
+        delete_from_index,
+    )
+
+    emb = _persisted_emb(spark, sf_dir)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    write_fn(emb.filter(F.col("vec_id") % 10 != 7), index_dir, corpus_fp=fp)
+    append_fn(
+        spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
+        new_corpus_fp=fp,
+    )
+    deleted = delete_from_index(
+        spark, index_dir, family,
+        emb.filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
+        .select("vec_id"),
+    )
+    if deleted == 0:
+        raise ValueError(
+            f"maintained-{family} exercise needs a non-empty vec_id % "
+            f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+            f"this corpus has none in the index"
+        )
+    compact_index(spark, index_dir, family)
+
+
+def _maintained_load_gate(spark, index_dir: str, meta_file: str, out):
+    """Refuse a mid-lifecycle maintained artifact: the completed
+    exercise always ends compacted (gen ≥ 1), tombstones folded, with
+    deletions recorded."""
+    meta = spark.read.parquet(f"{index_dir}/{meta_file}").collect()[0]
+    gen, tombs, n_deleted = _meta_maint(meta)
+    if gen < 1 or tombs != 0 or n_deleted == 0:
+        raise ValueError(
+            f"maintained artifact at {index_dir} is mid-lifecycle "
+            f"(gen={gen}, tombs={tombs}, n_deleted={n_deleted}) — redo"
+        )
+    return out
+
+
+def maintained_lsh_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """The full maintenance lifecycle behind ``ann_lsh_maintained``:
+    build → append (fixed fingerprinted hyperplanes) → tombstone the
+    ``vec_id % 17 == 3`` slice → compact.  Per-row signatures make every
+    step ≡ a rebuild over the live vectors EXACTLY (pinned in
+    tests/test_index_compaction.py).  Family-scoped ``…-mnt-lsh`` dir;
+    refuse-and-redo resumability."""
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-mnt-lsh"
+
+    def _build():
+        _maintained_vector_lifecycle(
+            spark, sf_dir, index_dir, "lsh", fp,
+            write_lsh_index, append_lsh_batch,
+        )
+
+    def _load():
+        return _maintained_load_gate(
+            spark, index_dir, "lsh_meta.parquet",
+            load_lsh_index(spark, index_dir, expect_n=n, expect_fp=fp),
+        )
+
+    return cache_or_build(index_dir, "lsh_meta.parquet", force, _build, _load)
+
+
+def maintained_pq_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[str, DataFrame]:
+    """The full maintenance lifecycle behind ``ann_pq_maintained``:
+    codebooks train on the standing 90% and FREEZE; the batch encodes
+    under them; the delete slice tombstones; compaction folds — the
+    surviving code relation ≡ a frozen-codebook encode of the live
+    vectors (pinned in tests/test_index_compaction.py).  Family-scoped
+    ``…-mnt-pq`` dir; refuse-and-redo resumability."""
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = base_dir + "-mnt-pq"
+
+    def _build():
+        _maintained_vector_lifecycle(
+            spark, sf_dir, index_dir, "pq", fp,
+            write_pq_index, append_pq_batch,
+        )
+
+    def _load():
+        return _maintained_load_gate(
+            spark, index_dir, "pq_meta.parquet",
+            load_pq_index(spark, index_dir, expect_n=n, expect_fp=fp),
+        )
+
+    return cache_or_build(index_dir, "pq_meta.parquet", force, _build, _load)
+
+
 def maintained_ivf_index_for(
     spark: SparkSession,
     sf_dir: str,
@@ -829,51 +945,21 @@ def maintained_ivf_index_for(
     (tests/test_index_compaction.py), so probes serve the edited corpus
     with no re-train.  Family-scoped ``…-mnt-ivf`` dir; the load refuses
     a mid-lifecycle artifact (refuse-and-redo resumability)."""
-    from .index_maintenance import (
-        DELETE_MOD,
-        DELETE_RESIDUE,
-        compact_index,
-        delete_from_index,
-    )
-
     base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
     index_dir = base_dir + "-mnt-ivf"
 
     def _build():
-        emb = _persisted_emb(spark, sf_dir)
-        shutil.rmtree(index_dir, ignore_errors=True)
         # same residue-7 batch split as appended_ivf_index_for (residue 0
         # would annihilate the Lloyd seed set — see that function).
-        write_ivf_index(emb.filter(F.col("vec_id") % 10 != 7), index_dir,
-                        corpus_fp=fp)
-        append_ivf_batch(
-            spark, index_dir, emb.filter(F.col("vec_id") % 10 == 7),
-            new_corpus_fp=fp,
+        _maintained_vector_lifecycle(
+            spark, sf_dir, index_dir, "ivf", fp,
+            write_ivf_index, append_ivf_batch,
         )
-        deleted = delete_from_index(
-            spark, index_dir, "ivf",
-            emb.filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
-            .select("vec_id"),
-        )
-        if deleted == 0:
-            # loud refusal beats the _load gate's build→refuse→rebuild
-            # loop on a corpus with no slice members in the index
-            raise ValueError(
-                f"maintained-IVF exercise needs a non-empty vec_id % "
-                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
-                f"this corpus has none in the index"
-            )
-        compact_index(spark, index_dir, "ivf")
 
     def _load():
-        out = load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp)
-        meta = spark.read.parquet(f"{index_dir}/meta.parquet").collect()[0]
-        gen, tombs, n_deleted = _meta_maint(meta)
-        if gen < 1 or tombs != 0 or n_deleted == 0:
-            raise ValueError(
-                f"maintained IVF artifact at {index_dir} is mid-lifecycle "
-                f"(gen={gen}, tombs={tombs}, n_deleted={n_deleted}) — redo"
-            )
-        return out
+        return _maintained_load_gate(
+            spark, index_dir, "meta.parquet",
+            load_ivf_index(spark, index_dir, expect_n=n, expect_fp=fp),
+        )
 
     return cache_or_build(index_dir, "meta.parquet", force, _build, _load)

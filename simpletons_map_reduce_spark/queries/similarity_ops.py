@@ -942,10 +942,20 @@ def ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     through registered probes after an append.  Rows-only class; the
     appended-codes ≡ frozen-codebook-encode equality is pytest-pinned
     (tests/test_index_maintenance.py)."""
-    from ..functions.vectorized import np_pq_scan, write_pq_queries
     from ..operators.ann_index import appended_pq_index_for
 
     cb_path, codes = appended_pq_index_for(spark, sf_dir)
+    return _pq_artifact_search(spark, sf_dir, cb_path, codes)
+
+
+def _pq_artifact_search(
+    spark: SparkSession, sf_dir: str, cb_path: str, codes: DataFrame
+) -> DataFrame:
+    """Shared probe half of the appended/maintained PQ entries: scan the
+    artifact's code relation under its codebooks for the reserved query
+    vectors and exact-rescore the candidates."""
+    from ..functions.vectorized import np_pq_scan, write_pq_queries
+
     emb = tracked_persist(
         _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     )
@@ -957,6 +967,22 @@ def ann_pq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_path = write_pq_queries(queries)
     cand = np_pq_scan(codes, cb_path, queries_path, PQ_TOP_C)
     return _pq_rank(emb, queries, cand)
+
+
+@register("ann_pq_maintained", None, tags=("similarity",))
+def ann_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq`` probing a PQ artifact that lived the FULL round-11
+    maintenance lifecycle: codebooks trained on the standing corpus and
+    FROZEN, the batch encoded under them, the ``vec_id % 17 == 3``
+    slice tombstoned, then compacted — FAISS's train/add/remove_ids
+    cycle for the compressed-codes family.  The surviving code relation
+    ≡ a frozen-codebook encode of the live vectors (pinned in
+    tests/test_index_compaction.py).  Rows-only class; probe shared
+    with ``ann_pq_appended``."""
+    from ..operators.ann_index import maintained_pq_index_for
+
+    cb_path, codes = maintained_pq_index_for(spark, sf_dir)
+    return _pq_artifact_search(spark, sf_dir, cb_path, codes)
 
 
 BINARY_META_ORACLE = """
@@ -1061,6 +1087,27 @@ def ann_lsh_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
     bands = appended_lsh_index_for(spark, sf_dir)
+    return _lsh_search(emb, bands)
+
+
+@register("ann_lsh_maintained", None, tags=("similarity",))
+def ann_lsh_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_lsh`` probing a band artifact that lived the FULL round-11
+    maintenance lifecycle: built on the standing corpus, batch APPENDED
+    under the fixed fingerprinted hyperplanes, the ``vec_id % 17 == 3``
+    slice DELETED via tombstones, then COMPACTED into a new generation.
+    Per-row signatures make every step ≡ a rebuild over the live
+    vectors EXACTLY (pinned in tests/test_index_compaction.py), so the
+    probe returns top-k among the SURVIVORS — the retraction semantics
+    a serving system needs.  Because the query bands come FROM the
+    artifact, a tombstoned query vector stops querying too (unlike the
+    IVF twin, whose queries read the corpus table) — a retracted vector
+    neither serves nor asks.  Rows-only class like every ANN entry; the
+    probe plan is the shared ``_lsh_search``."""
+    from ..operators.ann_index import maintained_lsh_index_for
+
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    bands = maintained_lsh_index_for(spark, sf_dir)
     return _lsh_search(emb, bands)
 
 

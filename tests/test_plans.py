@@ -768,6 +768,8 @@ EXCHANGE_BUDGET = {
     "dedup_incremental_maintained": 5,
     "bm25_search_deleted": 1,
     "ann_ivf_maintained": 1,
+    "ann_lsh_maintained": 2,
+    "ann_pq_maintained": 2,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -954,6 +956,8 @@ BROADCAST_BUDGET = {
     # compacted lifecycles match their indexed twins
     "bm25_search_deleted": 3,
     "ann_ivf_maintained": 1,
+    "ann_lsh_maintained": 1,
+    "ann_pq_maintained": 2,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,
