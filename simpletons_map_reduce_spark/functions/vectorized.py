@@ -44,7 +44,20 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: per-Python-worker model cache — workers are reused across tasks
 #: (spark.python.worker.reuse), so each process reads a model exactly once.
-_MODEL_CACHE: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+#: Keyed on (path, dir mtime_ns), NOT path alone: temp hand-off paths are
+#: uuid-fresh, but ARTIFACT model paths (the PQ codebook inside an index
+#: dir) are FIXED — a retrain/rebuild overwrites the same path, and a
+#: path-only key would serve the stale model for the rest of the worker's
+#: life (round-12 maybe_retrain catch: recall stayed decayed after a
+#: retrain because every worker kept scoring under the old codebook).
+_MODEL_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _model_cache_key(path: str) -> tuple:
+    """(path, mtime_ns of the model directory) — the overwrite-mode
+    rewrite recreates the directory, so its mtime moves and the stale
+    cache entry is simply never hit again.  One stat per kernel task."""
+    return (path, os.stat(path).st_mtime_ns)
 
 
 def write_model(cents: DataFrame) -> str:
@@ -63,7 +76,8 @@ def write_model(cents: DataFrame) -> str:
 def _load_model(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(cent_ids, C, ncv) sorted by cent_id — numpy's first-max tiebreak then
     equals the fold path's lowest-cent_id rule."""
-    m = _MODEL_CACHE.get(path)
+    key = _model_cache_key(path)
+    m = _MODEL_CACHE.get(key)
     if m is None:
         import pyarrow.parquet as pq
 
@@ -74,7 +88,7 @@ def _load_model(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ncv = np.asarray(d["ncv"], dtype=np.float64)[order]
         ncv = np.where(ncv == 0.0, 1.0, ncv)
         m = (cent_ids, C, ncv)
-        _MODEL_CACHE[path] = m
+        _MODEL_CACHE[key] = m
     return m
 
 
@@ -308,8 +322,10 @@ def np_minhash_bands(
 # ||q - x||^2 = 2 - 2cos(q, x), so ascending L2-ADC order is descending
 # cosine order and the exact re-rank stays in cosine space.
 
-_PQ_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-_PQ_QUERY_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+#: keyed on (path, dir mtime_ns) like _MODEL_CACHE — the PQ codebook's
+#: artifact path is fixed across retrains (see _model_cache_key).
+_PQ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_PQ_QUERY_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def pq_train_codebook(
@@ -374,7 +390,8 @@ def write_pq_model(codebook: DataFrame) -> str:
 def _load_pq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
     """(CB[m, k, dsub], cnorm2[m, k]) from the parquet hand-off, cached
     per worker process."""
-    got = _PQ_CACHE.get(path)
+    key = _model_cache_key(path)
+    got = _PQ_CACHE.get(key)
     if got is None:
         import pyarrow.parquet as pq
 
@@ -388,7 +405,7 @@ def _load_pq_model(path: str) -> tuple[np.ndarray, np.ndarray]:
         for i in range(len(sub)):
             CB[sub[i], code[i]] = np.asarray(d["center"][i], dtype=np.float64)
         got = (CB, np.einsum("mkd,mkd->mk", CB, CB))
-        _PQ_CACHE[path] = got
+        _PQ_CACHE[key] = got
     return got
 
 
@@ -402,7 +419,8 @@ def write_pq_queries(queries: DataFrame) -> str:
 
 def _load_pq_queries(path: str) -> tuple[np.ndarray, np.ndarray]:
     """(query_ids, Q unit vectors) cached per worker process."""
-    got = _PQ_QUERY_CACHE.get(path)
+    key = _model_cache_key(path)
+    got = _PQ_QUERY_CACHE.get(key)
     if got is None:
         import pyarrow.parquet as pq
 
@@ -413,7 +431,7 @@ def _load_pq_queries(path: str) -> tuple[np.ndarray, np.ndarray]:
         nq = np.asarray(d["nq"], dtype=np.float64)[order]
         Q = Q / np.where(nq == 0.0, 1.0, nq)[:, None]
         got = (qids, Q)
-        _PQ_QUERY_CACHE[path] = got
+        _PQ_QUERY_CACHE[key] = got
     return got
 
 

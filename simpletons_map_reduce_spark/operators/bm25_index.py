@@ -50,9 +50,8 @@ from .ann_index import (
     _guard_not_tombstoned,
     _load_tombstones,
     _meta_maint,
-    _minus_tombstones,
+    _read_live,
     _seg_path,
-    _segment_paths,
 )
 
 
@@ -93,12 +92,11 @@ def _live_doclen(
     spark: SparkSession, index_dir: str, gen: int, segments: int, tombs: int
 ) -> DataFrame:
     """The LIVE (doc_id, dl) relation: current generation's segment union
-    minus tombstoned documents — the population every scoring constant is
-    defined over."""
-    return _minus_tombstones(
-        spark.read.parquet(*_segment_paths(index_dir, "doclen", segments, gen)),
-        _load_tombstones(spark, index_dir, "bm25", tombs),
-        "doc_id",
+    minus (versioned) tombstoned documents — the population every scoring
+    constant is defined over."""
+    return _read_live(
+        spark, index_dir, "doclen", segments, gen,
+        _load_tombstones(spark, index_dir, "bm25", tombs), "doc_id",
     )
 
 
@@ -198,6 +196,8 @@ def append_bm25_batch(
     batch_docs: DataFrame,
     new_corpus_fp: int | None = None,
     check_disjoint: bool = True,
+    count_as_new: int | None = None,
+    allow_superseded: bool = False,
 ) -> None:
     """Absorb an ingest batch of NEW documents into a standing BM25
     artifact without re-tokenizing the corpus: batch postings/doclen land
@@ -215,13 +215,17 @@ def append_bm25_batch(
     row groups overlapping the batch — O(overlap), zero standing rows
     for a monotone ingest loop.  Disable for trusted ingest paths.
     """
+    from .index_maintenance import _ts_ver
+
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
     gen, tombs, n_deleted = _meta_maint(meta)
-    ts_ver = int(meta.asDict().get("ts_ver") or meta.segments)
-    _guard_not_tombstoned(
-        batch_docs, "doc_id",
-        _load_tombstones(spark, index_dir, "bm25", tombs), index_dir, "bm25",
-    )
+    ts_ver = _ts_ver(meta)
+    if not allow_superseded:
+        _guard_not_tombstoned(
+            batch_docs, "doc_id",
+            _load_tombstones(spark, index_dir, "bm25", tombs), index_dir,
+            "bm25",
+        )
     segs = int(meta.segments)
     seg = segs + 1
     postings = _batch_postings(batch_docs)
@@ -280,7 +284,8 @@ def append_bm25_batch(
     )
     _write_bm25_meta(
         spark, index_dir, seg,
-        int(meta.n_corpus) + batch_docs.count(),
+        int(meta.n_corpus)
+        + (batch_docs.count() if count_as_new is None else count_as_new),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
         gen=gen, tombs=tombs, n_deleted=n_deleted, ts_ver=ts_ver + 1,
     )
@@ -298,23 +303,18 @@ def load_bm25_index(
     ``delete_from_index``'s df decrement, so probes never rescan) —
     refusing a stale artifact on corpus-size or content-fingerprint
     mismatch."""
+    from .index_maintenance import _ts_ver
+
     meta = spark.read.parquet(f"{index_dir}/bm25_meta.parquet").collect()[0]
     _check_fresh(meta, index_dir, "BM25", expect_n, expect_fp, n_attr="n_corpus")
     segs = int(meta.segments)
     gen, tombs, _ = _meta_maint(meta)
-    ts_ver = int(meta.asDict().get("ts_ver") or meta.segments)
+    ts_ver = _ts_ver(meta)
     tomb_df = _load_tombstones(spark, index_dir, "bm25", tombs)
     return (
-        _minus_tombstones(
-            spark.read.parquet(
-                *_segment_paths(index_dir, "postings", segs, gen)
-            ),
-            tomb_df, "doc_id",
-        ),
-        _minus_tombstones(
-            spark.read.parquet(*_segment_paths(index_dir, "doclen", segs, gen)),
-            tomb_df, "doc_id",
-        ),
+        _read_live(spark, index_dir, "postings", segs, gen, tomb_df,
+                   "doc_id"),
+        _read_live(spark, index_dir, "doclen", segs, gen, tomb_df, "doc_id"),
         spark.read.parquet(_termstats_path(index_dir, ts_ver, gen)),
         float(meta.n),
         float(meta.avgdl),
@@ -411,6 +411,87 @@ def deleted_bm25_index_for(
             raise ValueError(
                 f"deleted-BM25 artifact at {index_dir} has no recorded "
                 f"deletions (tombs={tombs}) — lifecycle incomplete, redo"
+            )
+        return out
+
+    return cache_or_build(index_dir, "bm25_meta.parquet", force, _build, _load)
+
+
+def upserted_bm25_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, float, float]:
+    """The UPSERT exercise behind ``bm25_search_upserted`` (round 12 —
+    the O(|batch|) edit path VERDICT r11 named as the top gap): build
+    the postings artifact over the FULL corpus, then
+    ``upsert_into_index`` the ``doc_id % DELETE_MOD == DELETE_RESIDUE``
+    slice with EDITED text (``upsert_text_edit``: the first query term
+    rewritten out, a two-token marker appended) — NO compaction, no
+    rebuild.  The supersession tombstones kill the slice's old
+    postings/doclen rows at load; the replacement rows come from the
+    appended segment; per-term dfs were decremented from the OLD rows
+    and re-incremented from the NEW ones; N/avgdl re-derived over the
+    edited population.  The probe shares bm25_search's oracle over the
+    EDITED corpus (``upsert_case_sql``), so the driver hash gate
+    verifies the entire edit path end-to-end: one surviving old row,
+    one wrong df step, or a stale avgdl moves a BM25 score and breaks
+    the hash.  ``count_as_new=0``: the batch replaces known corpus rows,
+    so corpus coverage (n_corpus, the load staleness check) must not
+    grow — letterless slice docs would otherwise be miscounted as fresh
+    (doclen, the presence relation, omits them by design).
+
+    Family-scoped ``…-ups-bm25`` dir; refuse-and-redo resumability (the
+    load refuses an artifact without the completed upsert shape:
+    outstanding supersession tombstones + the replacement segment, with
+    zero counted deletions).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .ann_index import cache_or_build, index_location
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        upsert_into_index,
+        upsert_text_edit,
+    )
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-ups-bm25"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_bm25_index(docs, index_dir, n_corpus=n, corpus_fp=fp)
+        batch = docs.filter(
+            F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE
+        ).select("doc_id", upsert_text_edit(F.col("text")).alias("text"))
+        res = upsert_into_index(
+            spark, index_dir, "bm25", batch, append_bm25_batch,
+            new_corpus_fp=fp, count_as_new=0, check_disjoint=False,
+        )
+        if res["superseded"] + res["revived"] == 0:
+            raise ValueError(
+                f"upserted-BM25 exercise needs a non-empty doc_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+                f"this corpus has none in the index"
+            )
+
+    def _load():
+        out = load_bm25_index(spark, index_dir, expect_n=n, expect_fp=fp)
+        meta = spark.read.parquet(
+            f"{index_dir}/bm25_meta.parquet"
+        ).collect()[0]
+        _, tombs, n_deleted = _meta_maint(meta)
+        if tombs < 1 or int(meta.segments) < 1 or n_deleted != 0:
+            raise ValueError(
+                f"upserted-BM25 artifact at {index_dir} lacks the "
+                f"completed upsert shape (tombs={tombs}, "
+                f"segments={meta.segments}, n_deleted={n_deleted}) — redo"
             )
         return out
 

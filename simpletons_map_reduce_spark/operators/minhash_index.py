@@ -56,9 +56,8 @@ from .ann_index import (
     _guard_not_tombstoned,
     _load_tombstones,
     _meta_maint,
-    _minus_tombstones,
+    _read_live,
     _seg_path,
-    _segment_paths,
 )
 
 
@@ -132,6 +131,8 @@ def append_minhash_batch(
     index_dir: str,
     batch_docs: DataFrame,
     new_corpus_fp: int | None = None,
+    count_as_new: int | None = None,
+    allow_superseded: bool = False,
 ) -> None:
     """Absorb an ingest batch into a standing MinHash artifact: sign ONLY
     the batch (per-doc signatures are independent of the rest of the
@@ -155,10 +156,11 @@ def append_minhash_batch(
             f"({NUM_PERM}, {BAND_ROWS}) — rebuild, do not append"
         )
     gen, tombs, n_deleted = _meta_maint(meta)
-    _guard_not_tombstoned(
-        batch_docs, "doc_id",
-        _load_tombstones(spark, index_dir, "mh", tombs), index_dir, "mh",
-    )
+    if not allow_superseded:
+        _guard_not_tombstoned(
+            batch_docs, "doc_id",
+            _load_tombstones(spark, index_dir, "mh", tombs), index_dir, "mh",
+        )
     seg = int(meta.segments) + 1
     shs, bands = _minhash_relations(batch_docs)
     (
@@ -173,7 +175,8 @@ def append_minhash_batch(
     )
     _write_mh_meta(
         spark, index_dir,
-        int(meta.n) + batch_docs.count(),
+        int(meta.n)
+        + (batch_docs.count() if count_as_new is None else count_as_new),
         new_corpus_fp if new_corpus_fp is not None else meta.corpus_fp,
         seg, gen=gen, tombs=tombs, n_deleted=n_deleted,
     )
@@ -203,18 +206,10 @@ def load_minhash_index(
     gen, tombs, _ = _meta_maint(meta)
     tomb_df = _load_tombstones(spark, index_dir, "mh", tombs)
     return (
-        _minus_tombstones(
-            spark.read.parquet(
-                *_segment_paths(index_dir, "mh_shingles", segs, gen)
-            ),
-            tomb_df, "doc_id",
-        ),
-        _minus_tombstones(
-            spark.read.parquet(
-                *_segment_paths(index_dir, "mh_bands", segs, gen)
-            ),
-            tomb_df, "doc_id",
-        ),
+        _read_live(spark, index_dir, "mh_shingles", segs, gen, tomb_df,
+                   "doc_id"),
+        _read_live(spark, index_dir, "mh_bands", segs, gen, tomb_df,
+                   "doc_id"),
     )
 
 
@@ -320,6 +315,78 @@ def maintained_minhash_index_for(
                 f"maintained MinHash artifact at {index_dir} is mid-"
                 f"lifecycle (gen={gen}, tombs={tombs}, "
                 f"n_deleted={n_deleted}) — redo"
+            )
+        return out
+
+    return cache_or_build(index_dir, "mh_meta.parquet", force, _build, _load)
+
+
+def upserted_minhash_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The UPSERT exercise behind ``dedup_incremental_upserted`` (round
+    12): build the signature artifact over the FULL corpus, then
+    ``upsert_into_index`` the ``doc_id % DELETE_MOD == DELETE_RESIDUE``
+    slice with EDITED text — O(|slice|), no compaction, no re-sign of
+    the standing corpus.  Supersession tombstones (born_seg-versioned)
+    kill the slice's old shingle/band rows at load while the replacement
+    segment's rows survive; per-doc signatures are corpus-independent,
+    so the loaded relations are EXACTLY a rebuild over the edited corpus
+    (pytest-pinned in tests/test_index_upsert.py).  The probe shares
+    dedup_incremental's oracle over the EDITED corpus text
+    (``upsert_case_sql``), so the driver hash gate verifies the whole
+    edit path — one resurrected old band or one missing replacement
+    shingle moves a candidate pair and breaks the hash.
+
+    Family-scoped ``…-ups-mh`` dir; refuse-and-redo resumability (the
+    load refuses an artifact without the completed upsert shape)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table, spread
+    from .ann_index import cache_or_build, index_location
+    from .index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        upsert_into_index,
+        upsert_text_edit,
+    )
+
+    base_dir, n, fp = index_location(spark, sf_dir, root, "documents")
+    index_dir = base_dir + "-ups-mh"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build():
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_minhash_index(spread(docs), index_dir, corpus_fp=fp)
+        batch = spread(
+            docs.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
+            .select("doc_id", upsert_text_edit(F.col("text")).alias("text"))
+        )
+        res = upsert_into_index(
+            spark, index_dir, "mh", batch, append_minhash_batch,
+            new_corpus_fp=fp, count_as_new=0,
+        )
+        if res["superseded"] + res["revived"] == 0:
+            raise ValueError(
+                f"upserted-MinHash exercise needs a non-empty doc_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir} — "
+                f"this corpus has none in the index"
+            )
+
+    def _load():
+        out = load_minhash_index(spark, index_dir, expect_n=n, expect_fp=fp)
+        meta = spark.read.parquet(f"{index_dir}/mh_meta.parquet").collect()[0]
+        _, tombs, n_deleted = _meta_maint(meta)
+        if tombs < 1 or int(meta.segments) < 1 or n_deleted != 0:
+            raise ValueError(
+                f"upserted MinHash artifact at {index_dir} lacks the "
+                f"completed upsert shape (tombs={tombs}, "
+                f"segments={meta.segments}, n_deleted={n_deleted}) — redo"
             )
         return out
 

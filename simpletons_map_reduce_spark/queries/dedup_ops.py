@@ -158,7 +158,8 @@ def _perms_values_sql() -> str:
 
 
 def _sql_lsh_kept_ctes(
-    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = ""
+    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = "",
+    text_expr: str = "text",
 ) -> str:
     """Shared SQL front half (shingle sets → MinHash bands → capped
     buckets); the symmetric (near_dedup) and asymmetric
@@ -166,10 +167,14 @@ def _sql_lsh_kept_ctes(
     ``doc_where`` restricts the corpus (the maintained-lifecycle oracle
     models deleted documents by filtering them out BEFORE banding, so
     bucket caps are computed over the survivors — exactly what the
-    tombstone/compaction path serves)."""
+    tombstone/compaction path serves); ``text_expr`` edits it (the
+    upserted-lifecycle oracle models replaced documents by tokenizing a
+    CASE over the edited slice — signatures, bands, and bucket caps all
+    reflect the replacement text)."""
     where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents {where}),
+WITH t AS (SELECT doc_id, {sql_tokens(text_expr)} AS toks
+           FROM documents {where}),
 tk AS (SELECT doc_id,
               list_transform(toks, s -> {sql_md5_mod_prime('s')}) AS th
        FROM t),
@@ -367,14 +372,16 @@ def _bucket_verified(
 NEW_BATCH_MOD = 10
 
 def build_dedup_incremental_oracle(
-    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = ""
+    bucket_cap: int = MAX_BAND_BUCKET, doc_where: str = "",
+    text_expr: str = "text",
 ) -> str:
     """DuckDB oracle for the asymmetric new-batch-vs-corpus LSH probe
     with an explicit bucket cap (registry uses the default; fuzzed in
-    tests/test_fuzz_dedup.py) and an optional corpus filter (the
-    maintained-lifecycle entry's deleted slice)."""
+    tests/test_fuzz_dedup.py), an optional corpus filter (the
+    maintained-lifecycle entry's deleted slice), and an optional text
+    edit (the upserted-lifecycle entry's replaced slice)."""
     return f"""
-{_sql_lsh_kept_ctes(bucket_cap, doc_where)},
+{_sql_lsh_kept_ctes(bucket_cap, doc_where, text_expr)},
 cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
          FROM kept x JOIN kept y
            ON x.band = y.band AND x.band_key = y.band_key
@@ -492,6 +499,39 @@ def dedup_incremental_maintained(
     from ..operators.minhash_index import maintained_minhash_index_for
 
     shs, bands = maintained_minhash_index_for(spark, sf_dir)
+    kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+    assigned = _assign_to_bucket(
+        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+    )
+    return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+
+
+def _upserted_oracle() -> str:
+    from ..operators.index_maintenance import upsert_case_sql
+
+    return build_dedup_incremental_oracle(text_expr=upsert_case_sql())
+
+
+@register(
+    "dedup_incremental_upserted", _upserted_oracle(), tags=("dedup",)
+)
+def dedup_incremental_upserted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental served off an artifact whose ``doc_id % 17 ==
+    3`` slice was REPLACED in place by ``upsert_into_index`` (round 12 —
+    the O(|batch|) edit path): supersession tombstones kill the slice's
+    old shingle/band rows at load, the edited text's signatures come
+    from the appended segment, and the standing corpus is never
+    re-signed.  The oracle is dedup_incremental's SQL over the EDITED
+    corpus text, so the driver hash gate verifies the whole edit path —
+    versioned anti-join, segment supersession, bucket caps over the
+    edited population — end-to-end: one resurrected band or one missing
+    replacement shingle moves a candidate pair and breaks the hash.
+    """
+    from ..operators.minhash_index import upserted_minhash_index_for
+
+    shs, bands = upserted_minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
         _incremental_collisions(kept), kept, "new_doc", "corpus_doc"

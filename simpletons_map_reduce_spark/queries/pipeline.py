@@ -147,12 +147,35 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_pairs(docs)
 
 
+def _warn_if_empty_suite(members: DataFrame, desc: str) -> None:
+    """Loud observability for the silent-degenerate case (ADVICE r11): a
+    corpus whose doc_ids miss the fixed suite window makes every
+    contamination op return zero rows, and the oracle AGREES — the hash
+    gate cannot catch a mis-parameterized suite, so warn.  Cost: one
+    take(1) existence probe; the window predicate pushes into the parquet
+    scan, so row-group min/max stats prune it to ~zero IO."""
+    import warnings
+
+    if members.isEmpty():
+        warnings.warn(
+            f"contamination suite {desc} matched ZERO documents — the "
+            f"fixed doc_id window misses this corpus's id range; every "
+            f"contamination row will be empty (re-parameterize the "
+            f"suite windows for this corpus)",
+            stacklevel=3,
+        )
+
+
 def contaminated_pairs(docs: DataFrame) -> DataFrame:
     """The contamination pair relation over any (doc_id, text) relation —
     exposed so pipeline_funnel_fused can run it on an already-persisted
     corpus frame.  The suite is derived from the SAME relation (its
     CONTAM_SUITE_DOCS lowest doc_ids), so a filtered corpus keeps a
     consistent suite definition."""
+    _warn_if_empty_suite(
+        docs.filter(F.col("doc_id") < CONTAM_SUITE_DOCS).select("doc_id"),
+        f"doc_id < {CONTAM_SUITE_DOCS}",
+    )
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
     grams_expr = F.when(
         F.size("toks") >= CONTAM_N,
@@ -276,6 +299,14 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
        bounded by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
+    lo_min = min(lo for _, lo, _ in CONTAM13_SUITES)
+    hi_max = max(hi for _, _, hi in CONTAM13_SUITES)
+    _warn_if_empty_suite(
+        docs.filter(
+            (F.col("doc_id") >= lo_min) & (F.col("doc_id") < hi_max)
+        ).select("doc_id"),
+        f"13-gram windows [{lo_min}, {hi_max})",
+    )
     t = docs.select("doc_id", tokens_lower(F.col("text")).alias("toks"))
     gram_hash = SPARK_MD5_INT60.format(
         e=f"concat_ws(' ', slice(toks, i, {CONTAM13_N}))"

@@ -74,14 +74,17 @@ _CONTRIB_SQL = (
     f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
 )
 
-def build_bm25_search_oracle(doc_where: str = "") -> str:
+def build_bm25_search_oracle(doc_where: str = "", text_expr: str = "text") -> str:
     """The BM25 top-k oracle, optionally over a filtered corpus
     (``bm25_search_deleted`` models tombstoned documents by excluding
     them BEFORE every statistic — dl, avgdl, N, df — exactly the
-    population the delete-maintained artifact serves)."""
+    population the delete-maintained artifact serves) and/or an EDITED
+    corpus (``bm25_search_upserted`` models upserted documents by
+    tokenizing ``text_expr`` — a CASE over the edited slice — so every
+    statistic reflects the replacement text)."""
     where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH e AS (SELECT doc_id, unnest({sql_tokens('text', lower=True)}) AS tok
+WITH e AS (SELECT doc_id, unnest({sql_tokens(text_expr, lower=True)}) AS tok
            FROM documents {where}),
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM e GROUP BY doc_id),
 stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
@@ -359,6 +362,32 @@ def bm25_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bm25_index import deleted_bm25_index_for
 
     return _bm25_index_probe(*deleted_bm25_index_for(spark, sf_dir))
+
+
+def _upserted_oracle() -> str:
+    from ..operators.index_maintenance import upsert_case_sql
+
+    return build_bm25_search_oracle(text_expr=upsert_case_sql())
+
+
+@register("bm25_search_upserted", _upserted_oracle(), tags=("search", "text"))
+def bm25_search_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served off an index whose ``doc_id % 17 == 3`` slice
+    was REPLACED in place by ``upsert_into_index`` (round 12): the old
+    rows die under born_seg-versioned supersession tombstones, the
+    edited text lands as a new segment, dfs decrement-then-increment
+    exactly, and N/avgdl re-derive — all in O(|slice|), with NO
+    compaction and NO rebuild.  This is the edit path a live 100 TB
+    corpus actually needs (fix one document, serve the correction
+    immediately); before round 12 it cost a full-generation compaction.
+    The oracle is bm25_search's SQL over the EDITED corpus text, so the
+    driver hash gate verifies the supersession arithmetic end-to-end:
+    a resurrected old posting, a missed df step, or a stale avgdl moves
+    a score and breaks the hash.
+    """
+    from ..operators.bm25_index import upserted_bm25_index_for
+
+    return _bm25_index_probe(*upserted_bm25_index_for(spark, sf_dir))
 
 
 @register(

