@@ -562,6 +562,154 @@ def _ivf_probe(spark, sf_dir):
     )
 
 
+# Round-12 upsert rows: sweep-owned -usw dirs (NEVER the registered
+# -ups dirs — same hazard as the -msw rule: a sweep mutation would leave
+# a loadable artifact whose content diverges from the registered
+# oracle).  *_u_setup builds the FULL corpus artifact; *_upsert_pure
+# replaces the key % 17 == 3 slice with edited content through
+# upsert_into_index (wall = tombstone write + stats adjust + one-segment
+# append; the count reads only the new segment); *_probe_upserted times
+# a probe against the superseded artifact (the versioned anti-join tax).
+# Compare against the r11 maintenance rows: upsert_pure vs
+# (delete_batch + compact + append) is the edit-path win.
+
+
+def _usw_dir(spark, sf_dir, table, family):
+    import shutil
+
+    from simpletons_map_reduce_spark.operators.ann_index import index_location
+
+    base, n, fp = index_location(spark, sf_dir, None, table)
+    return f"{base}-usw-{family}", n, fp, shutil
+
+
+_U_WRITERS = {
+    "mh": ("simpletons_map_reduce_spark.operators.minhash_index",
+           "write_minhash_index", "append_minhash_batch", "mh_bands"),
+    "bm25": ("simpletons_map_reduce_spark.operators.bm25_index",
+             "write_bm25_index", "append_bm25_batch", "postings"),
+    "ivf": ("simpletons_map_reduce_spark.operators.ann_index",
+            "write_ivf_index", "append_ivf_batch", "assignments"),
+    "pq": ("simpletons_map_reduce_spark.operators.ann_index",
+           "write_pq_index", "append_pq_batch", "pq_codes"),
+    "lsh": ("simpletons_map_reduce_spark.operators.ann_index",
+            "write_lsh_index", "append_lsh_batch", "lsh_bands"),
+}
+
+
+def _u_setup(spark, sf_dir, table, family):
+    import importlib
+
+    d, n, fp, shutil_ = _usw_dir(spark, sf_dir, table, family)
+    shutil_.rmtree(d, ignore_errors=True)
+    mod, writer, _, base = _U_WRITERS[family]
+    write_fn = getattr(importlib.import_module(mod), writer)
+    if table == "documents":
+        rel = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    else:
+        from simpletons_map_reduce_spark.queries.similarity_ops import (
+            _emb_with_norm,
+        )
+
+        rel = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    write_fn(rel, d, corpus_fp=fp)
+    return spark.read.parquet(f"{d}/{base}.parquet")
+
+
+def _edit_slice(spark, sf_dir, table):
+    from pyspark.sql import functions as F
+
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        DELETE_MOD,
+        DELETE_RESIDUE,
+        upsert_text_edit,
+    )
+
+    if table == "documents":
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
+            .select("doc_id", upsert_text_edit(F.col("text")).alias("text"))
+        )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    return (
+        _emb_with_norm(spark, sf_dir)
+        .filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: -x).alias("v"),
+            "nv",
+        )
+    )
+
+
+def _upsert_pure(spark, sf_dir, table, family):
+    import importlib
+
+    from simpletons_map_reduce_spark.operators.ann_index import _seg_path
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        upsert_into_index,
+    )
+
+    d, n, fp, _ = _usw_dir(spark, sf_dir, table, family)
+    mod, _, appender, base = _U_WRITERS[family]
+    append_fn = getattr(importlib.import_module(mod), appender)
+    kw = {"check_disjoint": False} if family == "bm25" else {}
+    upsert_into_index(
+        spark, d, family, _edit_slice(spark, sf_dir, table), append_fn,
+        new_corpus_fp=fp, count_as_new=0, **kw,
+    )
+    meta_file = {
+        "mh": "mh_meta.parquet", "bm25": "bm25_meta.parquet",
+        "ivf": "meta.parquet", "pq": "pq_meta.parquet",
+        "lsh": "lsh_meta.parquet",
+    }[family]
+    meta = spark.read.parquet(f"{d}/{meta_file}").collect()[0]
+    return spark.read.parquet(
+        _seg_path(d, base, int(meta.asDict().get("gen") or 0),
+                  int(meta.segments))
+    )
+
+
+def _u_probe(spark, sf_dir, table, family):
+    d, n, fp, _ = _usw_dir(spark, sf_dir, table, family)
+    if family == "mh":
+        from simpletons_map_reduce_spark.operators.minhash_index import (
+            load_minhash_index,
+        )
+        from simpletons_map_reduce_spark.queries.dedup_ops import (
+            MAX_BAND_BUCKET,
+            _assign_to_bucket,
+            _bucket_verified,
+            _incremental_collisions,
+            kept_from_bands,
+        )
+
+        shs, bands = load_minhash_index(spark, d, expect_n=n, expect_fp=fp)
+        kept = kept_from_bands(bands, MAX_BAND_BUCKET)
+        assigned = _assign_to_bucket(
+            _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        )
+        return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
+    if family == "bm25":
+        from simpletons_map_reduce_spark.operators.bm25_index import (
+            load_bm25_index,
+        )
+        from simpletons_map_reduce_spark.queries.search_ops import (
+            _bm25_index_probe,
+        )
+
+        return _bm25_index_probe(
+            *load_bm25_index(spark, d, expect_n=n, expect_fp=fp)
+        )
+    raise ValueError(family)
+
+
 def _pipeline_funnel_fused_sum(spark, sf_dir):
     # the capstone composition (VERDICT r9 item 8): the fused production
     # pipeline end-to-end at sf100 — aggregate the histogram behind a
@@ -625,6 +773,19 @@ EXTRA_OPS = {
     "lsh_m_setup": lambda s, d: _msw_setup(s, d, "embeddings", "lsh"),
     "lsh_delete_batch": lambda s, d: _delete_table(s, d, "embeddings", "lsh", "vec_id"),
     "lsh_compact": lambda s, d: _compact(s, d, "embeddings", "lsh"),
+    # round 12: upsert timing against sweep-owned -usw dirs
+    "mh_u_setup": lambda s, d: _u_setup(s, d, "documents", "mh"),
+    "mh_upsert_pure": lambda s, d: _upsert_pure(s, d, "documents", "mh"),
+    "mh_probe_upserted": lambda s, d: _u_probe(s, d, "documents", "mh"),
+    "bm25_u_setup": lambda s, d: _u_setup(s, d, "documents", "bm25"),
+    "bm25_upsert_pure": lambda s, d: _upsert_pure(s, d, "documents", "bm25"),
+    "bm25_probe_upserted": lambda s, d: _u_probe(s, d, "documents", "bm25"),
+    "ivf_u_setup": lambda s, d: _u_setup(s, d, "embeddings", "ivf"),
+    "ivf_upsert_pure": lambda s, d: _upsert_pure(s, d, "embeddings", "ivf"),
+    "pq_u_setup": lambda s, d: _u_setup(s, d, "embeddings", "pq"),
+    "pq_upsert_pure": lambda s, d: _upsert_pure(s, d, "embeddings", "pq"),
+    "lsh_u_setup": lambda s, d: _u_setup(s, d, "embeddings", "lsh"),
+    "lsh_upsert_pure": lambda s, d: _upsert_pure(s, d, "embeddings", "lsh"),
 }
 
 
