@@ -46,38 +46,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8 items.  Every query off the window stays exact-oracle-checked by
 # tools/check_oracle.py --all and by pytest on every run.
 _PRIORITY = [
-    # round-11 new ops: index delete + compaction (tombstone arithmetic
-    # and the generation swap hash-gated via filtered shared oracles;
-    # the LSH/PQ lifecycles rows-only with the arithmetic pytest-pinned)
-    "dedup_incremental_maintained", "bm25_search_deleted",
-    "ann_ivf_maintained", "ann_lsh_maintained", "ann_pq_maintained",
+    # round-12 new ops: the O(|batch|) upsert path (supersession
+    # tombstones, hash-gated against EDITED-corpus oracles) and the
+    # maintained-ANN recall report (the r11 rows-only lifecycles now
+    # hash-gated through pinned recall floors)
+    "bm25_search_upserted", "dedup_incremental_upserted",
+    "ann_maintained_recall_report", "ann_retrain_report",
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # freshness tour: the full r7 cohort (oldest remaining evidence)
-    "per_file_count", "file_stats", "text_stats", "ngram_counts",
-    "tfidf_topterms", "token_count", "lang_id", "quality_score",
-    "doc_fingerprint", "repetition_stats", "pii_redact",
-    "quality_calibrate", "exact_dedup", "dedup_incremental",
-    "ngram_jaccard", "simhash", "dedup_apply", "dedup_clusters",
-    "ngram_containment", "dedup_report", "similarity_topk",
-    "embedding_dedup", "ann_recall_report", "embedding_dedup_ann",
-    "semantic_prune", "corpus_filter", "contamination_check",
-    "pipeline_funnel", "stratified_sample", "weighted_sample",
-    "cms_heavy_hitters", "bloom_probe", "pack_sequences",
-    "unigram_logprob", "vocab_coverage", "zipf_fit", "token_fertility",
-    "bm25_search", "zorder_layout",
-    # re-parameterized contamination twins (outputs changed this round)
-    # + the oldest r8 item (two r8 fill slots ceded to the LSH/PQ
-    # maintained lifecycles — first-time driver evidence outranks a
-    # re-check; substring_dedup[_apply] stay covered by check_oracle
-    # and their r8 driver rows)
-    "contamination_13gram", "contamination_apply", "stream_parity_report",
-    # past the 50-slot window (kept for stable ordering of the tail):
-    # the round-10 cohort re-checked last round + the next r8 items
-    "substring_dedup", "substring_dedup_apply",
-    "dedup_incremental_appended", "bm25_search_appended",
-    "ann_ivf_appended", "ann_lsh_appended", "ann_pq_appended",
-    "table_profile_approx", "histogram_equi_depth_approx",
+    # freshness tour: the r8 cohort (oldest remaining driver evidence —
+    # 43 of its 45 stale entries; substring_dedup_apply and
+    # waiting_orders lead the tail for round 13, their families covered
+    # here by substring_dedup / the order-shape cohort)
+    "basket_pairs", "big_orders", "bpe_encode", "bpe_merges",
+    "char_entropy", "churned_customers", "cohort_retention",
+    "corpus_balance", "cumulative_users", "customer_distribution",
+    "disjunctive_filter", "doc_chunks", "event_transitions",
+    "exists_orders", "frame_sample", "funnel_analysis", "hll_rollup",
+    "knn_classify", "knn_classify_ann", "market_share",
+    "min_cost_supplier", "mixture_apply", "mixture_weights",
+    "moving_revenue", "nation_pagerank", "overstocked_suppliers",
+    "perplexity_buckets", "pipeline_funnel_fused", "priority_pivot",
+    "product_profit", "props_extract", "returned_items", "sample_hash",
+    "scalar_avg_filter", "simhash_pairs", "span_dedup", "substring_dedup",
+    "supplier_classes", "top_supplier", "top_value_parts",
+    "triangle_count", "user_trend", "volume_shipping",
+    # past the 50-slot window (stable tail ordering): the r8 leftovers,
+    # then the r9 cohort — next rotation's tour
+    "waiting_orders", "substring_dedup_apply",
+    "ann_ivf_indexed", "ann_lsh_indexed", "ann_pq_indexed",
+    "approx_distinct", "approx_quantiles", "asof_join",
+    "bm25_search_indexed", "click_attribution", "customer_deciles",
+    "dedup_incremental_indexed", "dedup_weights", "dsir_select",
+    "dsir_weights", "embedding_dedup_ann_indexed", "embedding_stats",
+    "event_pivot", "events_hopping", "events_sessionize",
+    "events_tumbling", "gap_fill", "histogram_equi_depth",
+    "hybrid_search", "hybrid_search_indexed", "key_skew_profile",
+    "knn_classify_ann_indexed", "latest_events", "near_dedup_indexed",
+    "peak_concurrency", "pricing_summary", "range_join",
+    "region_revenue", "repetition_signals", "rolling_active_users",
+    "stats_moments", "stream_parity_chained", "stream_parity_extended",
+    "stream_parity_stateful", "substring_dedup_keep_one", "table_checks",
+    "table_profile", "time_rollup", "topk_orders", "value_histogram",
+    "weighted_median", "window_rank", "winnow_fingerprint",
 ]
 
 

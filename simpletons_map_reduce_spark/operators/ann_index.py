@@ -1194,3 +1194,109 @@ def maintained_ivf_index_for(
         )
 
     return cache_or_build(index_dir, "meta.parquet", force, _build, _load)
+
+
+#: sidecar recording the drift-then-retrain exercise's measured scalars;
+#: written LAST (after the retrain completes) so it doubles as the
+#: commit marker — a killed exercise leaves no sidecar and the next
+#: access redoes the whole scenario from scratch.
+RETRAIN_SIDECAR = "retrain_report.parquet"
+
+
+def moved_emb(emb: DataFrame) -> DataFrame:
+    """The drift scenario's re-embedded corpus: deterministic per-id
+    sign flips (component i of vector ``vec_id`` negates when
+    ``(vec_id + i)`` is even) move EVERY vector while norms — and the
+    corpus files, and thus the fingerprint/count staleness gates — stay
+    put.  Exactly the staleness the metadata checks are blind to: a
+    re-embedding with a new encoder.  Same recipe as
+    tests/test_ann_retrain.py and tools/stress_retrain.py."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x, i: F.when((F.col("vec_id") + i) % 2 == 0, -x)
+            .otherwise(x),
+        ).alias("v"),
+        "nv",
+    )
+
+
+def retrained_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    root: str | None = None,
+    force: bool = False,
+):
+    """The drift-then-retrain exercise behind ``ann_retrain_report``:
+    train the ``family`` model ("ivf" | "pq") over the corpus
+    embeddings, re-embed the corpus (``moved_emb`` — metadata gates
+    can't see it), measure the collapsed recall, and let
+    ``maybe_retrain`` relearn the model and re-encode — then sidecar-
+    commit the measured scalars so cache-hit loads replay the same
+    report row.  The artifact this leaves behind is the RETRAINED one
+    (model learned over the moved corpus), which the report live-probes
+    against the moved corpus — the recorded flags and the artifact
+    content are checked together.
+
+    Family-scoped ``…-rtn-{family}`` dir (never the registered
+    per-corpus dirs — the -msw rule).  Refuse-and-redo resumability:
+    the sidecar is written last, a ``retrained=False`` sidecar (drift
+    that failed to trip the floor — a broken scenario) refuses to load,
+    and ``cache_or_build`` redoes the exercise once on any load error.
+
+    Returns ``(index_dir, sidecar_row, index_relations)``.
+    """
+    if family not in ("ivf", "pq"):
+        raise ValueError(
+            f"retrained_index_for: family {family!r} has no trained model "
+            f"to drift (see ann_recall_probe)"
+        )
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = f"{base_dir}-rtn-{family}"
+    writer = write_ivf_index if family == "ivf" else write_pq_index
+    loader = load_ivf_index if family == "ivf" else load_pq_index
+
+    def _build():
+        from pyspark.storagelevel import StorageLevel
+
+        from ..caching import tracked_persist
+
+        emb = _persisted_emb(spark, sf_dir)
+        moved = tracked_persist(
+            moved_emb(emb), level=StorageLevel.DISK_ONLY
+        )
+        shutil.rmtree(index_dir, ignore_errors=True)
+        writer(emb, index_dir, corpus_fp=fp)
+        # maybe_retrain's own probe IS the decay measurement (its
+        # "recall" key) — no separate ann_recall_probe pass needed.
+        res = maybe_retrain(spark, index_dir, family, moved, corpus_fp=fp)
+        spark.createDataFrame(
+            [(
+                family,
+                float(res["recall"]),
+                bool(res["retrained"]),
+                float(res.get("recall_after", res["recall"])),
+            )],
+            "family STRING, recall_decayed DOUBLE, retrained BOOLEAN, "
+            "recall_after DOUBLE",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/{RETRAIN_SIDECAR}"
+        )
+
+    def _load():
+        side = spark.read.parquet(
+            f"{index_dir}/{RETRAIN_SIDECAR}"
+        ).collect()[0]
+        if not side.retrained:
+            raise ValueError(
+                f"retrain exercise at {index_dir} never tripped the "
+                f"recall floor (decayed={side.recall_decayed}) — redo"
+            )
+        return side, loader(spark, index_dir, expect_n=n, expect_fp=fp)
+
+    side, idx = cache_or_build(
+        index_dir, RETRAIN_SIDECAR, force, _build, _load
+    )
+    return index_dir, side, idx

@@ -152,3 +152,72 @@ def test_lsh_has_no_model_to_retrain(spark, tmp_path):
     emb = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
     with pytest.raises(ValueError, match="no trained model"):
         ann_recall_probe(spark, str(tmp_path), "lsh", emb)
+
+
+# ---------------------------------------------------------------------------
+# retrained_index_for + ann_retrain_report (round 12: the exercise and
+# its hash-gated report)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("family", ["ivf", "pq"])
+def test_retrained_index_for_exercise(spark, tmp_path, family):
+    """The drift-then-retrain exercise: sidecar records a genuine decay
+    (below ANN_RECALL_FLOOR), a fired retrain, and a restored recall at
+    or above the report floor; a second call is a pure cache hit (the
+    sidecar commit marker is not rewritten)."""
+    import os
+
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        RETRAIN_SIDECAR,
+        retrained_index_for,
+    )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        RETRAIN_RECALL_FLOORS_PCT,
+    )
+
+    idx_dir, side, _ = retrained_index_for(
+        spark, SF0001, family, root=str(tmp_path)
+    )
+    assert side.retrained is True
+    assert side.recall_decayed < ANN_RECALL_FLOOR, side
+    assert side.recall_after * 100 >= RETRAIN_RECALL_FLOORS_PCT[family], side
+
+    marker = f"{idx_dir}/{RETRAIN_SIDECAR}"
+    mtime = os.path.getmtime(marker)
+    _, side2, _ = retrained_index_for(spark, SF0001, family, root=str(tmp_path))
+    assert os.path.getmtime(marker) == mtime
+    assert side2.recall_decayed == side.recall_decayed
+    assert side2.recall_after == side.recall_after
+
+
+def test_retrained_index_for_rejects_untrained_family(spark, tmp_path):
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        retrained_index_for,
+    )
+
+    with pytest.raises(ValueError, match="no trained model"):
+        retrained_index_for(spark, SF0001, "lsh", root=str(tmp_path))
+
+
+def test_ann_retrain_report_row(spark):
+    """The registered report's full contract at fixture scale: one row,
+    all six lifecycle flags at 1, counts matching the corpus (the
+    re-embedded corpus is a bijection of the embeddings table)."""
+    from simpletons_map_reduce_spark.queries.registry import REGISTRY
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        TOPK_K,
+    )
+
+    row = REGISTRY["ann_retrain_report"].fn(spark, SF0001).collect()
+    assert len(row) == 1
+    r = row[0]
+    n = spark.read.parquet(f"{SF0001}/embeddings.parquet").count()
+    assert r.n_vectors == n
+    assert r.probe_queries == 16
+    assert r.k == TOPK_K
+    assert r.exact_pairs == 16 * min(TOPK_K, n - 1)
+    for fam in ("ivf", "pq"):
+        assert r[f"{fam}_decayed_lt_floor"] == 1, r
+        assert r[f"{fam}_retrained"] == 1, r
+        assert r[f"{fam}_recall_ge_floor"] == 1, r

@@ -169,3 +169,190 @@ def test_lsh_lifecycle_equals_rebuild_over_live(
     )
     assert n_del == len({i for i in dead if i < 40})
     release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# round 12: upsert waves in the fuzz loop (VERDICT r11 item 2's re-add
+# cases) — random edits interleaved with deletes, in BOTH orders, must
+# leave the artifact ≡ a rebuild over the edited live corpus
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def upsert_case(draw):
+    n_docs = draw(st.integers(min_value=6, max_value=16))
+    texts = [
+        " ".join(
+            draw(st.lists(st.sampled_from(VOCAB), min_size=0, max_size=8))
+        )
+        for _ in range(n_docs)
+    ]
+    batch_ids = draw(
+        st.sets(st.integers(0, n_docs - 1), min_size=0, max_size=n_docs // 2)
+    )
+    dead = draw(st.sets(st.integers(0, n_docs + 4), max_size=n_docs - 1))
+    # edit set drawn from a range wider than the corpus: in-corpus ids
+    # are SUPERSEDED (or REVIVED when the delete ran first), ids beyond
+    # it are FRESH inserts arriving through the upsert path
+    edit_ids = draw(
+        st.sets(st.integers(0, n_docs + 4), min_size=0, max_size=n_docs)
+    )
+    edit_texts = {
+        i: " ".join(
+            draw(st.lists(st.sampled_from(VOCAB), min_size=0, max_size=8))
+        )
+        for i in sorted(edit_ids)
+    }
+    upsert_first = draw(st.booleans())
+    do_compact = draw(st.booleans())
+    return texts, batch_ids, dead, edit_texts, upsert_first, do_compact
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=upsert_case())
+def test_bm25_upsert_lifecycle_equals_edited_rebuild(
+    spark, tmp_path_factory, case
+):
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        upsert_into_index,
+    )
+
+    texts, batch_ids, dead, edit_texts, upsert_first, do_compact = case
+    n_docs = len(texts)
+    tmp = tmp_path_factory.mktemp("fuzzups")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    standing = docs.filter(~F.col("doc_id").isin(list(batch_ids) or [-1]))
+    batch = docs.filter(F.col("doc_id").isin(list(batch_ids) or [-1]))
+    edits = spark.createDataFrame(
+        [(i, t) for i, t in sorted(edit_texts.items())] or [(-1, "")],
+        "doc_id BIGINT, text STRING",
+    ).filter(F.col("doc_id") >= 0)
+
+    idx = str(tmp / "inc")
+    ref = str(tmp / "ref")
+    write_bm25_index(standing, idx, corpus_fp=1)
+    append_bm25_batch(spark, idx, batch, new_corpus_fp=2)
+
+    def _delete():
+        delete_from_index(spark, idx, "bm25", sorted(dead))
+
+    def _upsert():
+        upsert_into_index(
+            spark, idx, "bm25", edits, append_bm25_batch, new_corpus_fp=3
+        )
+
+    if upsert_first:
+        _upsert(), _delete()
+        # a delete AFTER the upsert wins for every id it names
+        live_ids = (set(range(n_docs)) | set(edit_texts)) - dead
+    else:
+        _delete(), _upsert()
+        # an upsert AFTER the delete revives the ids it re-adds
+        live_ids = (set(range(n_docs)) | set(edit_texts)) - (
+            dead - set(edit_texts)
+        )
+    if do_compact:
+        compact_index(spark, idx, "bm25")
+
+    final_text = {
+        i: edit_texts.get(i, texts[i] if i < n_docs else "")
+        for i in live_ids
+    }
+    live = spark.createDataFrame(
+        sorted(final_text.items()) or [(-1, "")],
+        "doc_id BIGINT, text STRING",
+    ).filter(F.col("doc_id") >= 0)
+    write_bm25_index(live, ref, corpus_fp=4)
+
+    p_g, dl_g, ts_g, nd_g, avg_g = load_bm25_index(spark, idx)
+    p_r, dl_r, ts_r, nd_r, avg_r = load_bm25_index(spark, ref)
+    assert _rows(p_g, ["tok", "doc_id", "tf"]) == _rows(
+        p_r, ["tok", "doc_id", "tf"]
+    )
+    assert _rows(dl_g, ["doc_id", "dl"]) == _rows(dl_r, ["doc_id", "dl"])
+    assert _rows(ts_g, ["tok", "df"]) == _rows(ts_r, ["tok", "df"])
+    assert (nd_g, avg_g) == (nd_r, avg_r)
+    release_persisted()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch_ids=st.sets(st.integers(0, 39), max_size=15),
+    dead=st.sets(st.integers(0, 45), max_size=25),
+    edit_ids=st.sets(st.integers(0, 45), max_size=20),
+    upsert_first=st.booleans(),
+    do_compact=st.booleans(),
+)
+def test_lsh_upsert_lifecycle_equals_edited_rebuild(
+    spark, tmp_path_factory, batch_ids, dead, edit_ids, upsert_first,
+    do_compact,
+):
+    """Vector-side twin: edited vectors are deterministic sign-flip
+    re-embeddings (content genuinely moves), edit ids 40-45 arrive as
+    fresh inserts from outside the 40-vector standing corpus."""
+    from simpletons_map_reduce_spark.operators.ann_index import moved_emb
+    from simpletons_map_reduce_spark.operators.index_maintenance import (
+        upsert_into_index,
+    )
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        _emb_with_norm,
+    )
+
+    tmp = tmp_path_factory.mktemp("fuzzupslsh")
+    full = _emb_with_norm(spark, SF0001).select("vec_id", "v", "nv")
+    emb = full.filter(F.col("vec_id") < 40)
+    if set(range(40)) <= dead:
+        dead = set(list(dead)[:20])
+    standing = emb.filter(~F.col("vec_id").isin(list(batch_ids) or [-1]))
+    batch = emb.filter(F.col("vec_id").isin(list(batch_ids) or [-1]))
+    edits = moved_emb(
+        full.filter(F.col("vec_id").isin(list(edit_ids) or [-1]))
+    )
+
+    idx = str(tmp / "inc")
+    ref = str(tmp / "ref")
+    write_lsh_index(standing, idx, corpus_fp=1)
+    append_lsh_batch(spark, idx, batch, new_corpus_fp=2)
+
+    def _delete():
+        delete_from_index(spark, idx, "lsh", sorted(dead))
+
+    def _upsert():
+        upsert_into_index(
+            spark, idx, "lsh", edits, append_lsh_batch, new_corpus_fp=3
+        )
+
+    if upsert_first:
+        _upsert(), _delete()
+        live_ids = (set(range(40)) | edit_ids) - dead
+    else:
+        _delete(), _upsert()
+        live_ids = (set(range(40)) | edit_ids) - (dead - edit_ids)
+    if do_compact:
+        compact_index(spark, idx, "lsh")
+
+    surviving_edits = live_ids & edit_ids
+    live = emb.filter(
+        F.col("vec_id").isin(list(live_ids - surviving_edits) or [-1])
+    ).unionByName(
+        moved_emb(
+            full.filter(F.col("vec_id").isin(list(surviving_edits) or [-1]))
+        )
+    )
+    write_lsh_index(live, ref, corpus_fp=4)
+
+    cols = ["vec_id", "band", "bkey"]
+    assert _rows(load_lsh_index(spark, idx), cols) == _rows(
+        load_lsh_index(spark, ref), cols
+    )
+    release_persisted()

@@ -778,6 +778,7 @@ EXCHANGE_BUDGET = {
     # round 12: three artifact probes + one exact top-k in one plan — an
     # observability report, not a hot-path operator (measured 17)
     "ann_maintained_recall_report": 17,
+    "ann_retrain_report": 13,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -980,6 +981,7 @@ BROADCAST_BUDGET = {
     # the N_QUERIES query set (4x), the k-row centroid model, and five
     # 1-row count aggregates crossed into the report row (measured 12)
     "ann_maintained_recall_report": 12,
+    "ann_retrain_report": 10,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,

@@ -26,10 +26,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
+    # --only NAME[,NAME…]: measure just the listed queries (new-op flow)
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     spark = get_session()
     counts: dict[str, int] = {}
     hints: dict[str, int] = {}
     for name, q in sorted(REGISTRY.items()):
+        if only is not None and name not in only:
+            continue
         try:
             df = q.fn(spark, SF_DIR)
             counts[name] = count_exchanges(df)
