@@ -52,12 +52,13 @@ _PRIORITY = [
     # hash-gated through pinned recall floors)
     "bm25_search_upserted", "dedup_incremental_upserted",
     "ann_maintained_recall_report", "ann_retrain_report",
+    "ann_upserted_recall_report",
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
     # freshness tour: the r8 cohort (oldest remaining driver evidence —
-    # 43 of its 45 stale entries; substring_dedup_apply and
-    # waiting_orders lead the tail for round 13, their families covered
-    # here by substring_dedup / the order-shape cohort)
+    # 42 of its 45 stale entries; volume_shipping, waiting_orders, and
+    # substring_dedup_apply lead the tail for round 13, their families
+    # covered here by the order-shape cohort / substring_dedup)
     "basket_pairs", "big_orders", "bpe_encode", "bpe_merges",
     "char_entropy", "churned_customers", "cohort_retention",
     "corpus_balance", "cumulative_users", "customer_distribution",
@@ -70,10 +71,10 @@ _PRIORITY = [
     "product_profit", "props_extract", "returned_items", "sample_hash",
     "scalar_avg_filter", "simhash_pairs", "span_dedup", "substring_dedup",
     "supplier_classes", "top_supplier", "top_value_parts",
-    "triangle_count", "user_trend", "volume_shipping",
+    "triangle_count", "user_trend",
     # past the 50-slot window (stable tail ordering): the r8 leftovers,
     # then the r9 cohort — next rotation's tour
-    "waiting_orders", "substring_dedup_apply",
+    "volume_shipping", "waiting_orders", "substring_dedup_apply",
     "ann_ivf_indexed", "ann_lsh_indexed", "ann_pq_indexed",
     "approx_distinct", "approx_quantiles", "asof_join",
     "bm25_search_indexed", "click_attribution", "customer_deciles",

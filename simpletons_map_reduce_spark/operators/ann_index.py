@@ -1300,3 +1300,77 @@ def retrained_index_for(
         index_dir, RETRAIN_SIDECAR, force, _build, _load
     )
     return index_dir, side, idx
+
+
+def upserted_vector_index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    root: str | None = None,
+    force: bool = False,
+):
+    """The vector-side UPSERT exercise behind ``ann_upserted_recall_report``
+    (round 12): build the ``family`` artifact over the full corpus, then
+    ``upsert_into_index`` the ``vec_id % DELETE_MOD == DELETE_RESIDUE``
+    slice RE-EMBEDDED (``moved_emb`` sign flips — every upserted vector
+    genuinely moves) — one supersession-tombstone write plus one
+    appended segment, no compaction.  The loaded artifact must then
+    serve the EDITED corpus: old rows for the slice dead under the
+    supersession anti-join, new rows live in the appended segment,
+    models frozen (the FAISS add-after-train shape).  Document-side
+    twins (MinHash/BM25) are hash-gated directly via
+    ``dedup_incremental_upserted`` / ``bm25_search_upserted``; this
+    exercise gives the three vector families the same driver-visible
+    lifecycle through a recall report.
+
+    Family-scoped ``…-ups-{family}`` dir; refuse-and-redo resumability
+    (the load refuses an artifact the upsert never reached: no appended
+    segment or no tombstone version yet)."""
+    fam_io = {
+        "ivf": (write_ivf_index, append_ivf_batch, "meta.parquet",
+                load_ivf_index),
+        "lsh": (write_lsh_index, append_lsh_batch, "lsh_meta.parquet",
+                load_lsh_index),
+        "pq": (write_pq_index, append_pq_batch, "pq_meta.parquet",
+               load_pq_index),
+    }
+    if family not in fam_io:
+        raise ValueError(f"upserted_vector_index_for: unknown {family!r}")
+    writer, appender, meta_file, loader = fam_io[family]
+    base_dir, n, fp = index_location(spark, sf_dir, root, "embeddings")
+    index_dir = f"{base_dir}-ups-{family}"
+
+    def _build():
+        from .index_maintenance import (
+            DELETE_MOD,
+            DELETE_RESIDUE,
+            upsert_into_index,
+        )
+
+        emb = _persisted_emb(spark, sf_dir)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        writer(emb, index_dir, corpus_fp=fp)
+        res = upsert_into_index(
+            spark, index_dir, family,
+            moved_emb(
+                emb.filter(F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE)
+            ),
+            appender, new_corpus_fp=fp,
+        )
+        if res["superseded"] == 0:
+            raise ValueError(
+                f"upserted-{family} exercise needs a non-empty vec_id % "
+                f"{DELETE_MOD} == {DELETE_RESIDUE} slice in {sf_dir}"
+            )
+
+    def _load():
+        meta = spark.read.parquet(f"{index_dir}/{meta_file}").collect()[0]
+        _, tombs, _ = _meta_maint(meta)
+        if tombs < 1 or int(meta.segments) < 1:
+            raise ValueError(
+                f"upserted artifact at {index_dir} is mid-lifecycle "
+                f"(segments={int(meta.segments)}, tombs={tombs}) — redo"
+            )
+        return loader(spark, index_dir, expect_n=n, expect_fp=fp)
+
+    return cache_or_build(index_dir, meta_file, force, _build, _load)

@@ -1490,6 +1490,165 @@ def ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ann_upserted_recall_report: the vector upsert lifecycle under the hash gate
+# ---------------------------------------------------------------------------
+
+#: per-family recall@k floors for the UPSERTED artifacts (probed against
+#: the exact answer over the EDITED corpus — the vec_id % 17 == 3 slice
+#: re-embedded via sign flips), measured round 12 at sf0.001/0.01/0.1:
+#: IVF 0.82-0.92, LSH 0.92-0.96, PQ 0.78-1.0.  PQ sits lowest at sf0.1
+#: by mechanism: the upserted vectors re-encode under codebooks FROZEN
+#: on the pre-edit distribution, so their ADC ranks degrade — the
+#: small-dose version of the drift ``maybe_retrain`` exists to catch.
+#: Same margin discipline as MAINTAINED_RECALL_FLOORS_PCT: well below
+#: every measured value, far above a broken lifecycle (a surviving
+#: superseded row or a lost replacement segment serves STALE vectors
+#: for the edited slice and drags recall toward the decayed regime).
+UPSERTED_RECALL_FLOORS_PCT = {"ivf": 60, "lsh": 80, "pq": 60}
+
+
+def _upserted_recall_oracle() -> str:
+    from ..operators.index_maintenance import DELETE_MOD, DELETE_RESIDUE
+
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id,
+             CASE WHEN vec_id % {DELETE_MOD} = {DELETE_RESIDUE} THEN
+                 list_transform(
+                     generate_series(1, array_length(v)),
+                     i -> CASE WHEN (vec_id + i - 1) % 2 = 0
+                          THEN -v[i] ELSE v[i] END)
+             ELSE v END AS v
+      FROM e0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {sql_rn(sql_cosine('q.qv', 'e.v'), 6)} AS score
+    FROM q CROSS JOIN e
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       CAST({TOPK_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS exact_pairs,
+       CAST(1 AS BIGINT) AS ivf_recall_ge_floor,
+       CAST(1 AS BIGINT) AS lsh_recall_ge_floor,
+       CAST(1 AS BIGINT) AS pq_recall_ge_floor
+FROM ranked WHERE rk <= {TOPK_K}
+"""
+
+
+@register(
+    "ann_upserted_recall_report", _upserted_recall_oracle(),
+    tags=("similarity",),
+)
+def ann_upserted_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-family UPSERT lifecycle under the OFFICIAL hash gate —
+    the round-12 edit path's third leg.  ``upserted_vector_index_for``
+    builds each family's artifact over the full corpus, then upserts the
+    ``vec_id % 17 == 3`` slice RE-EMBEDDED (sign flips — every upserted
+    vector genuinely moves); this report probes each artifact's top-k
+    against the exact cosine answer over the EDITED corpus and pins the
+    recall floors at 1.  A superseded row surviving the anti-join, a
+    lost replacement segment, or a frozen-model assignment bug serves
+    the OLD embedding for an edited vector — its neighbors are wrong,
+    recall drops, the bit flips, the driver hash goes red.  Document-
+    side upserts are gated directly (``bm25_search_upserted``,
+    ``dedup_incremental_upserted``); this closes the same loop for
+    IVF/LSH/PQ, so every lifecycle stage (build, append, delete,
+    compact, upsert, retrain) now has driver-visible evidence for every
+    family it applies to.
+
+    Cost: three cached-artifact probes + ONE exact top-k over the
+    edited corpus; the edit is computed in-plan from the raw table
+    (``moved_emb`` on the slice), all counts fold to 1-row broadcast-
+    crossed aggregates, corpus-scale vector relations DISK_ONLY.
+    """
+    from ..functions.vectorized import np_pq_scan, write_pq_queries
+    from ..operators.ann_index import (
+        moved_emb,
+        upserted_vector_index_for,
+    )
+    from ..operators.index_maintenance import DELETE_MOD, DELETE_RESIDUE
+
+    raw = _emb_with_norm(spark, sf_dir).select("vec_id", "v", "nv")
+    slice_ = F.col("vec_id") % DELETE_MOD == DELETE_RESIDUE
+    emb = tracked_persist(
+        raw.filter(~slice_).unionByName(moved_emb(raw.filter(slice_))),
+        level=StorageLevel.DISK_ONLY,
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rn(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("nq"), F.col("nv")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    exact = tracked_persist(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    cents, assigned, kk = upserted_vector_index_for(spark, sf_dir, "ivf")
+    ap_ivf = _ivf_search(queries, cents, assigned, max(MIN_NPROBE, kk // 5))
+    ap_lsh = _lsh_search(emb, upserted_vector_index_for(spark, sf_dir, "lsh"))
+    cb_path, codes = upserted_vector_index_for(spark, sf_dir, "pq")
+    cand = np_pq_scan(codes, cb_path, write_pq_queries(queries), PQ_TOP_C)
+    ap_pq = _pq_rank(emb, queries, cand)
+
+    def _hits(ap: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(
+                ap.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).agg(F.count("*").alias(name))
+        )
+
+    nq = queries.agg(F.count("*").cast("long").alias("n_queries"))
+    total = exact.agg(F.count("*").alias("exact_pairs"))
+    out = nq.crossJoin(F.broadcast(total))
+    for fam, ap in (("ivf", ap_ivf), ("lsh", ap_lsh), ("pq", ap_pq)):
+        out = out.crossJoin(F.broadcast(_hits(ap, f"_h_{fam}")))
+    return out.select(
+        "n_queries",
+        F.lit(TOPK_K).cast("long").alias("k"),
+        F.col("exact_pairs").cast("long").alias("exact_pairs"),
+        *[
+            (
+                F.col(f"_h_{fam}") * 100
+                >= F.lit(UPSERTED_RECALL_FLOORS_PCT[fam])
+                * F.col("exact_pairs")
+            )
+            .cast("long")
+            .alias(f"{fam}_recall_ge_floor")
+            for fam in ("ivf", "lsh", "pq")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # knn_classify: exact-kNN majority-vote labeling over the embedding corpus
 # ---------------------------------------------------------------------------
 

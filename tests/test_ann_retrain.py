@@ -200,6 +200,56 @@ def test_retrained_index_for_rejects_untrained_family(spark, tmp_path):
         retrained_index_for(spark, SF0001, "lsh", root=str(tmp_path))
 
 
+@pytest.mark.parametrize("family", ["ivf", "lsh", "pq"])
+def test_upserted_vector_index_for_exercise(spark, tmp_path, family):
+    """The vector upsert exercise leaves a loadable artifact whose meta
+    records the supersession (tombstone version ≥ 1, replacement
+    segment present, nothing COUNTED deleted), and a second call is a
+    pure cache hit."""
+    import os
+
+    from simpletons_map_reduce_spark.operators.ann_index import (
+        _meta_maint,
+        upserted_vector_index_for,
+    )
+
+    meta_file = {
+        "ivf": "meta.parquet", "lsh": "lsh_meta.parquet",
+        "pq": "pq_meta.parquet",
+    }[family]
+    upserted_vector_index_for(spark, SF0001, family, root=str(tmp_path))
+    import glob
+
+    idx_dir = glob.glob(str(tmp_path / f"*-ups-{family}"))[0]
+    meta = spark.read.parquet(f"{idx_dir}/{meta_file}").collect()[0]
+    _, tombs, n_deleted = _meta_maint(meta)
+    assert tombs >= 1 and int(meta.segments) >= 1
+    assert n_deleted == 0  # supersessions are edits, not deletes
+    mtime = os.path.getmtime(f"{idx_dir}/{meta_file}")
+    upserted_vector_index_for(spark, SF0001, family, root=str(tmp_path))
+    assert os.path.getmtime(f"{idx_dir}/{meta_file}") == mtime
+
+
+def test_ann_upserted_recall_report_row(spark):
+    """All three vector families clear their floors through the
+    upserted artifact, probed against the exact answer over the EDITED
+    corpus."""
+    from simpletons_map_reduce_spark.queries.registry import REGISTRY
+    from simpletons_map_reduce_spark.queries.similarity_ops import (
+        N_QUERIES,
+        TOPK_K,
+    )
+
+    rows = REGISTRY["ann_upserted_recall_report"].fn(spark, SF0001).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_queries == N_QUERIES
+    assert r.k == TOPK_K
+    assert r.exact_pairs == N_QUERIES * TOPK_K
+    for fam in ("ivf", "lsh", "pq"):
+        assert r[f"{fam}_recall_ge_floor"] == 1, r
+
+
 def test_ann_retrain_report_row(spark):
     """The registered report's full contract at fixture scale: one row,
     all six lifecycle flags at 1, counts matching the corpus (the

@@ -779,6 +779,7 @@ EXCHANGE_BUDGET = {
     # observability report, not a hot-path operator (measured 17)
     "ann_maintained_recall_report": 17,
     "ann_retrain_report": 13,
+    "ann_upserted_recall_report": 17,
     # round 10: approximate profiling scale paths — the sketch boundary
     # agg adds one shuffle over the exact twin's reused one, but removes
     # the per-group ntile serialization; HLL profile drops the exact
@@ -982,6 +983,7 @@ BROADCAST_BUDGET = {
     # 1-row count aggregates crossed into the report row (measured 12)
     "ann_maintained_recall_report": 12,
     "ann_retrain_report": 10,
+    "ann_upserted_recall_report": 16,
     # round 10: the equi-depth boundary relation is bounded by contract —
     # |event_type enum| × (EQUI_DEPTH_K − 1) rows at any corpus size
     "histogram_equi_depth_approx": 1,
