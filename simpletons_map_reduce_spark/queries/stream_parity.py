@@ -91,16 +91,29 @@ def stream_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     their batch semantics in one hash-checked row (see module docstring)."""
     # Imported lazily: the streaming package needs no registry and the
     # registry needs no streaming machinery until this query actually runs.
-    from ..streaming import run_to_memory
     from ..streaming.dedup_stream import dedup_stream
-    from ..streaming.events_stream import hopping_stream, tumbling_stream
+    from ..streaming.events_stream import (
+        hopping_stream,
+        run_all_to_memory,
+        scaled_state_partitions,
+        tumbling_stream,
+    )
 
     def fresh(name: str) -> str:
         return _fresh(spark, name)
 
-    tw = run_to_memory(tumbling_stream(spark, sf_dir), fresh("spr_tumbling"))
-    hw = run_to_memory(hopping_stream(spark, sf_dir), fresh("spr_hopping"))
-    dw = run_to_memory(dedup_stream(spark, sf_dir), fresh("spr_dedup"))
+    # The three twins are independent pipelines — drive them concurrently
+    # (guide §2.6) so micro-batch planning/commit tails overlap.
+    tw, hw, dw = run_all_to_memory(
+        [
+            (tumbling_stream(spark, sf_dir), fresh("spr_tumbling"), None),
+            (hopping_stream(spark, sf_dir), fresh("spr_hopping"), None),
+            (dedup_stream(spark, sf_dir), fresh("spr_dedup"), None),
+        ],
+        state_partitions=scaled_state_partitions(
+            spark, sf_dir, "events", "documents"
+        ),
+    )
 
     n_tumb = tw.agg(F.count("*").cast("long").alias("n_tumbling_windows"))
     m_tumb = _window_mismatch(tw, events_tumbling(spark, sf_dir)).select(
@@ -198,19 +211,38 @@ def stream_parity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded (fixed tuple per user; capped members per bucket).
     """
     from ..sources.tables import load_table as _lt
-    from ..streaming import run_to_memory
+    from ..streaming.events_stream import (
+        run_all_to_memory,
+        scaled_state_partitions,
+    )
     from ..streaming.funnel_stream import funnel_stream
     from ..streaming.near_dedup_stream import near_dedup_stream
     from ..streaming.stateful import running_user_totals
     from .behavior import funnel_user_anchors
     from .dedup_ops import near_dedup
 
-    # --- funnel: final streamed anchors vs the batch window mins -------
-    fw = run_to_memory(
-        funnel_stream(spark, sf_dir),
-        _fresh(spark, "sps_funnel"),
-        mode="update",
-    )
+    # Unlike the other three parity reports, these twins do NOT overlap:
+    # all three are applyInPandasWithState pipelines whose Python worker
+    # demand is a full task-width each, and driving them concurrently
+    # oversubscribes the host (measured 12 s → 20-25 s with heavy
+    # hypervisor steal).  The two light per-user state machines instead
+    # start NARROW (input-scaled state partitioning — each micro-batch
+    # then runs 4 state tasks, not 32); the near-dedup twin keeps the
+    # session width on purpose, its state machine is COMPUTE-bound
+    # (MinHash verify — measured 12 s → 55 s when starved to 2).
+    _nparts = scaled_state_partitions(spark, sf_dir, "events")
+    fw = run_all_to_memory(
+        [(funnel_stream(spark, sf_dir), _fresh(spark, "sps_funnel"),
+          "update", _nparts)]
+    )[0]
+    tw = run_all_to_memory(
+        [(running_user_totals(spark, sf_dir), _fresh(spark, "sps_totals"),
+          "update", _nparts)]
+    )[0]
+    nw = run_all_to_memory(
+        [(near_dedup_stream(spark, sf_dir), _fresh(spark, "sps_neardup"),
+          None, None)]
+    )[0]
     f_final = fw.groupBy("user_id").agg(
         F.max("mv").alias("s_mv"),
         F.max("mc").alias("s_mc"),
@@ -233,11 +265,6 @@ def stream_parity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- totals: final streamed (count, sum) vs the batch groupBy ------
-    tw = run_to_memory(
-        running_user_totals(spark, sf_dir),
-        _fresh(spark, "sps_totals"),
-        mode="update",
-    )
     t_final = tw.groupBy("user_id").agg(
         F.max("n_events").alias("s_n"),
         F.max_by("sum_value", "n_events").alias("s_sum"),
@@ -268,9 +295,6 @@ def stream_parity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- near-dup: distinct streamed pairs vs the batch LSH output -----
-    nw = run_to_memory(
-        near_dedup_stream(spark, sf_dir), _fresh(spark, "sps_neardup")
-    )
     n_pairs = nw.select("doc_a", "doc_b", "jaccard").distinct()
     b_pairs = near_dedup(spark, sf_dir).select(
         "doc_a", "doc_b", F.col("jaccard").alias("b_jaccard")
@@ -363,14 +387,30 @@ def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins bounded relations: days, attribution pairs, a ≤ d×w-row
     sketch.
     """
-    from ..streaming import run_to_memory
-    from ..streaming.events_stream import dau_stream
+    from ..streaming.events_stream import (
+        dau_stream,
+        run_all_to_memory,
+        scaled_state_partitions,
+    )
     from ..streaming.join_stream import attribution_stream
     from ..streaming.sketch_stream import cms_stream, cms_stream_from
     from .temporal import click_attribution
 
-    # --- chained dedup → daily distinct-user aggregate ------------------
-    dw = run_to_memory(dau_stream(spark, sf_dir), _fresh(spark, "spc_dau"))
+    # Three independent twins, driven concurrently (guide §2.6).
+    dw, aw, cw = run_all_to_memory(
+        [
+            (dau_stream(spark, sf_dir), _fresh(spark, "spc_dau"), None),
+            (
+                attribution_stream(spark, sf_dir),
+                _fresh(spark, "spc_attr"),
+                None,
+            ),
+            (cms_stream(spark, sf_dir), _fresh(spark, "spc_cms"), None),
+        ],
+        state_partitions=scaled_state_partitions(
+            spark, sf_dir, "events", "documents"
+        ),
+    )
     ev = load_table(spark, sf_dir, "events")
     b_dau = (
         ev.select("user_id", F.window("ts", "1 day").alias("w"))
@@ -391,9 +431,6 @@ def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- stream-stream interval join ------------------------------------
-    aw = run_to_memory(
-        attribution_stream(spark, sf_dir), _fresh(spark, "spc_attr")
-    )
     b_attr = click_attribution(spark, sf_dir).select(
         "user_id", "click_id", "purchase_id",
         F.col("lag_us").alias("b_lag_us"),
@@ -412,7 +449,6 @@ def stream_parity_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- streaming Count-Min sketch --------------------------------------
-    cw = run_to_memory(cms_stream(spark, sf_dir), _fresh(spark, "spc_cms"))
     b_cms = cms_stream_from(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("depth", "bucket", F.col("c").alias("b_c"))
@@ -483,17 +519,33 @@ def stream_parity_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival-order contracts with no batch-equal output by design, pinned
     by dedicated pytest differentials.
     """
-    from ..streaming import run_to_memory
-    from ..streaming.events_stream import sessionize_stream
+    from ..streaming.events_stream import (
+        run_all_to_memory,
+        scaled_state_partitions,
+        sessionize_stream,
+    )
     from ..streaming.join_stream import enrich_stream
     from ..streaming.media_stream import media_stream
     from .events import events_sessionize
     from .multimodal_ops import N_FEATS, media_features
 
-    # --- session windows -------------------------------------------------
-    sw = run_to_memory(
-        sessionize_stream(spark, sf_dir), _fresh(spark, "spe_session")
+    # Three independent twins, driven concurrently (guide §2.6).
+    sw, ew, mw = run_all_to_memory(
+        [
+            (
+                sessionize_stream(spark, sf_dir),
+                _fresh(spark, "spe_session"),
+                None,
+            ),
+            (enrich_stream(spark, sf_dir), _fresh(spark, "spe_enrich"), None),
+            (media_stream(spark, sf_dir), _fresh(spark, "spe_media"), None),
+        ],
+        state_partitions=scaled_state_partitions(
+            spark, sf_dir, "events", "documents"
+        ),
     )
+
+    # --- session windows -------------------------------------------------
     s_final = sw.select(
         "user_id", "session_start", F.col("n_events").alias("s_n")
     )
@@ -512,9 +564,6 @@ def stream_parity_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- stream-static enrichment ----------------------------------------
-    ew = run_to_memory(
-        enrich_stream(spark, sf_dir), _fresh(spark, "spe_enrich")
-    )
     b_enrich = (
         load_table(spark, sf_dir, "events")
         .join(
@@ -544,9 +593,6 @@ def stream_parity_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- media decode -----------------------------------------------------
-    mw = run_to_memory(
-        media_stream(spark, sf_dir), _fresh(spark, "spe_media")
-    )
     s_media = mw.select(
         "media_id",
         F.struct(

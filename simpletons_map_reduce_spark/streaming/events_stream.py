@@ -151,6 +151,66 @@ def sessionize_stream(
     )
 
 
+#: per-state-partition input-bytes target for the local parity twins —
+#: mirrors the session's 64 MB split intent (session.py maxPartitionBytes).
+_STATE_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def scaled_state_partitions(
+    spark: SparkSession, sf_dir: str, *tables: str
+) -> int:
+    """Input-size-derived state-store partition count for a streaming twin.
+
+    A streaming stateful operator's shuffle/state partitioning is frozen at
+    query start from ``spark.sql.shuffle.partitions`` — AQE never touches
+    it, so the batch-side remedy ("let AQE coalesce tiny shuffles", guide
+    §2.2) does not exist in streams.  Scale-adaptive instead: one state
+    partition per 64 MB of source input, clamped to the session's
+    configured shuffle partitions (a 100 TB source keeps the full
+    configured width; the local parity fixtures collapse to a handful of
+    partitions instead of spinning 32 state stores per stateful operator
+    per micro-batch — measured 2.3 s → 1.5 s on one tumbling twin at
+    sf0.1).  Floor of 2 keeps the plan shape (a real exchange) identical
+    in kind to production.
+    """
+    import os as _os
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(p):
+            for root, _dirs, files in _os.walk(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f)) for f in files
+                )
+        elif _os.path.exists(p):
+            total += _os.path.getsize(p)
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    by_bytes = (total + _STATE_PARTITION_BYTES - 1) // _STATE_PARTITION_BYTES
+    # floor 4: below it the per-micro-batch task savings flatten out
+    # (measured: 8 and 4 partitions time identically on one twin, 2 starves
+    # the concurrent twins), while the plan keeps a real exchange.
+    return max(4, min(configured, int(by_bytes)))
+
+
+class _state_partitions_conf:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` while streaming
+    queries START (each StreamExecution clones the session at start, so the
+    restored value never reaches a running query)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DF to completion into an in-memory table and return
     the result as a batch DataFrame (local test harness).
@@ -168,6 +228,61 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
     finally:
         q.stop()
     return df.sparkSession.table(name)
+
+
+def run_all_to_memory(
+    specs: list[tuple],
+    state_partitions: int | None = None,
+) -> list[DataFrame]:
+    """Drive several INDEPENDENT streaming DFs to completion concurrently
+    and return their memory tables, in input order.
+
+    The parity-report queries each execute three unrelated streaming
+    twins; running them back-to-back leaves the cluster idle through each
+    twin's micro-batch planning/commit tail.  Spark's scheduler runs
+    concurrent jobs fine (optimization guide §2.6 — actions are only
+    sequential because driver code calls them sequentially), so the twins
+    are driven from a small thread pool and their micro-batches back-fill
+    each other's idle capacity.  Output-mode inference, sink tables, and
+    ``processAllAvailable`` semantics are exactly ``run_to_memory``'s —
+    per-twin results are bit-identical, only the wall-clock overlaps.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Output-mode inference probes the analyzed plan; do it on the caller
+    # thread so worker threads only await the queries.  All queries START
+    # under the (optionally) pinned state-partition conf — StreamExecution
+    # clones the session at start, so restoring the conf afterwards never
+    # reaches a running query.
+    spark = specs[0][0].sparkSession
+    started = []
+    for spec in specs:
+        df, name, mode = spec[0], spec[1], spec[2]
+        # optional per-spec state-partition override (4th element): a
+        # compute-bound state machine keeps the session width while its
+        # light siblings start narrow
+        nparts = spec[3] if len(spec) > 3 else state_partitions
+        with _state_partitions_conf(spark, nparts):
+            q = (
+                df.writeStream.outputMode(
+                    mode or ("complete" if _has_agg(df) else "append")
+                )
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        started.append((df, name, q))
+
+    def drive(item) -> DataFrame:
+        df, name, q = item
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return df.sparkSession.table(name)
+
+    with ThreadPoolExecutor(max_workers=len(started)) as pool:
+        return list(pool.map(drive, started))
 
 
 def _has_agg(df: DataFrame) -> bool:
