@@ -289,8 +289,10 @@ def near_dedup_pairs(
 
 
 def _band_collisions(kept: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, band) bucket-collision rows, pre-distinct — the raw
-    LSH self-join output with the band retained for bucket assignment."""
+    """(doc_a, doc_b, band, band_key) bucket-collision rows, pre-distinct —
+    the raw LSH self-join output with the bucket identity retained so
+    ``_assign_to_bucket`` can fold it through its aggregate without a
+    join back to ``kept``."""
     left = kept.alias("x")
     right = kept.alias("y")
     return left.join(
@@ -302,6 +304,7 @@ def _band_collisions(kept: DataFrame) -> DataFrame:
         F.col("x.doc_id").alias("doc_a"),
         F.col("y.doc_id").alias("doc_b"),
         F.col("x.band").alias("band"),
+        F.col("x.band_key").alias("band_key"),
     )
 
 
@@ -309,22 +312,19 @@ def _assign_to_bucket(
     collisions: DataFrame, kept: DataFrame, a: str, b: str
 ) -> DataFrame:
     """Deduplicate collision rows to one row per pair, assigned to the
-    pair's MINIMUM colliding band, and recover that bucket's band_key from
-    ``kept`` (cheaper than carrying the ~40-byte key through the pair
-    dedup exchange: the key rides (docs × bands) rows instead of
-    (collisions) rows)."""
-    pairs = collisions.groupBy(a, b).agg(F.min("band").alias("band")).alias("p")
-    # both sides descend from `kept` — explicit aliases keep the analyzer
-    # from seeing band/band_key as ambiguous self-join columns
-    keys = kept.select(F.col("doc_id").alias(a), "band", "band_key").alias("k")
-    return pairs.join(
-        keys,
-        (F.col(f"p.{a}") == F.col(f"k.{a}")) & (F.col("p.band") == F.col("k.band")),
-    ).select(
-        F.col(f"p.{a}").alias(a),
-        F.col(f"p.{b}").alias(b),
-        F.col("p.band").alias("band"),
-        F.col("k.band_key").alias("band_key"),
+    pair's MINIMUM colliding band, carrying that bucket's band_key
+    through the aggregate as ``min(struct(band, band_key))`` — band_key
+    is functionally determined by (doc, band), so the struct-min picks
+    the minimum band AND its key in one partial/final aggregate.  The
+    previous shape aggregated min(band) and then JOINED back to ``kept``
+    to recover the key, paying a pair-mass exchange plus a (docs×bands)
+    exchange; the struct-min's only cost is ~40 extra bytes per
+    partially-aggregated pair row in the one exchange that remains."""
+    return (
+        collisions.groupBy(a, b)
+        .agg(F.min(F.struct("band", "band_key")).alias("bk"))
+        .select(a, b, F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
     )
 
 
@@ -554,6 +554,7 @@ def _incremental_collisions(kept: DataFrame) -> DataFrame:
         F.col("x.doc_id").alias("new_doc"),
         F.col("y.doc_id").alias("corpus_doc"),
         F.col("x.band").alias("band"),
+        F.col("x.band_key").alias("band_key"),
     )
 
 
