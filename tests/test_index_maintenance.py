@@ -270,6 +270,10 @@ def test_multi_batch_ingest_loop(spark, tmp_path):
             F.col("x.doc_id").alias("new_doc"),
             F.col("y.doc_id").alias("corpus_doc"),
             F.col("x.band").alias("band"),
+            # r12: _assign_to_bucket folds the bucket key through its
+            # aggregate (min(struct(band, band_key))) instead of joining
+            # back to `kept`, so collisions carry the key
+            F.col("x.band_key").alias("band_key"),
         )
         assigned = _assign_to_bucket(colls, kept, "new_doc", "corpus_doc")
         hits = _bucket_verified(assigned, shs_i, "new_doc", "corpus_doc")
