@@ -31,54 +31,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Priority order for the driver's correctness window.  The driver checks
-# queries in dict insertion order and truncates at entry 50, so the window
-# ROTATES each round to extend cumulative driver evidence: rounds 1-10
-# covered all 183 then-registered queries (see CORRECTNESS_r*.json), and
-# after round 10 no query's latest driver row predates round 4.
-# Round 11's window (VERDICT r10 item 7) leads with the three new
-# maintenance-lifecycle ops (first-time evidence outranks re-checks; two
-# of them hash-gate the round's delete/compaction arithmetic), keeps the
-# three long-lived sentinels, then re-tours the full 39-query r7 cohort
-# (the oldest remaining evidence: text/LM battery, dedup family, inline
-# similarity, sampling, sketches, search) and spends the last five slots
-# on the re-parameterized contamination ops (their outputs CHANGED this
-# round — bounded-suite benchmark, VERDICT r10 item 4) plus the oldest
-# r8 items.  Every query off the window stays exact-oracle-checked by
+# queries in dict insertion order and truncates at entry 50.  Rounds 1-12
+# ROTATED the whole window each round to extend cumulative driver
+# evidence (every registered query has at least one driver row; see
+# CORRECTNESS_r*.json), but a fully-rotated window breaks the driver's
+# round-over-round comparison — PERF_r12.json came back with n_common: 0
+# and an empty per-query table (VERDICT r12 item 2).  From round 13 on
+# the window is FIXED CORE + ROTATION:
+#
+# - ``_FIXED_CORE`` (21 slots) is PERMANENT: the three long-lived
+#   sentinels plus the most expensive query families in the battery
+#   (streaming parity reports, the funnel pair, the five dedup
+#   composites, the BPE pair, the four ANN recall reports,
+#   table_profile).  These are the queries whose perf trend matters
+#   most, so they anchor every future round's common set — do not
+#   rotate them out.
+# - ``_ROTATION`` (29 slots) changes each round: round 13 keeps 15
+#   re-checks from round 12's window (so PERF_r13 sees n_common ≥ 20
+#   against the r12 window) and spends the rest on the next tour
+#   (the r12 upsert ops stay fresh, then the oldest r8/r9 leftovers).
+#
+# Every query off the window stays exact-oracle-checked by
 # tools/check_oracle.py --all and by pytest on every run.
-_PRIORITY = [
-    # round-12 new ops: the O(|batch|) upsert path (supersession
-    # tombstones, hash-gated against EDITED-corpus oracles) and the
-    # maintained-ANN recall report (the r11 rows-only lifecycles now
-    # hash-gated through pinned recall floors)
-    "bm25_search_upserted", "dedup_incremental_upserted",
-    "ann_maintained_recall_report", "ann_retrain_report",
-    "ann_upserted_recall_report",
+_FIXED_CORE = [
     # sentinels: framework core + flagship LSH dedup
     "wordcount", "mr_wordcount", "near_dedup",
-    # freshness tour: the r8 cohort (oldest remaining driver evidence —
-    # 42 of its 45 stale entries; volume_shipping, waiting_orders, and
-    # substring_dedup_apply lead the tail for round 13, their families
-    # covered here by the order-shape cohort / substring_dedup)
-    "basket_pairs", "big_orders", "bpe_encode", "bpe_merges",
-    "char_entropy", "churned_customers", "cohort_retention",
-    "corpus_balance", "cumulative_users", "customer_distribution",
-    "disjunctive_filter", "doc_chunks", "event_transitions",
-    "exists_orders", "frame_sample", "funnel_analysis", "hll_rollup",
-    "knn_classify", "knn_classify_ann", "market_share",
-    "min_cost_supplier", "mixture_apply", "mixture_weights",
-    "moving_revenue", "nation_pagerank", "overstocked_suppliers",
-    "perplexity_buckets", "pipeline_funnel_fused", "priority_pivot",
-    "product_profit", "props_extract", "returned_items", "sample_hash",
-    "scalar_avg_filter", "simhash_pairs", "span_dedup", "substring_dedup",
-    "supplier_classes", "top_supplier", "top_value_parts",
-    "triangle_count", "user_trend",
-    # past the 50-slot window (stable tail ordering): the r8 leftovers,
-    # then the r9 cohort — next rotation's tour
+    # streaming parity family (the battery's most expensive queries)
+    "stream_parity_report", "stream_parity_stateful",
+    "stream_parity_chained", "stream_parity_extended",
+    # pipeline funnel pair
+    "pipeline_funnel", "pipeline_funnel_fused",
+    # dedup composites over the near-dup pair relation
+    "dedup_clusters", "dedup_apply", "dedup_report", "dedup_weights",
+    "leakage_safe_split",
+    # tokenizer-induction pair
+    "bpe_merges", "bpe_encode",
+    # ANN recall-report family (lifecycle hash gates)
+    "ann_recall_report", "ann_maintained_recall_report",
+    "ann_upserted_recall_report", "ann_retrain_report",
+    # profiling family seat
+    "table_profile",
+]
+
+_ROTATION = [
+    # 15 re-checks from round 12's window → n_common ≥ 20 with r12
+    "char_entropy", "knn_classify_ann", "mixture_apply", "simhash_pairs",
+    "substring_dedup", "span_dedup", "hll_rollup", "nation_pagerank",
+    "triangle_count", "funnel_analysis", "doc_chunks", "props_extract",
+    "sample_hash", "perplexity_buckets", "user_trend",
+    # the r12 upsert lifecycle ops stay fresh one more round
+    "bm25_search_upserted", "dedup_incremental_upserted",
+    # next tour: the r8 leftovers, then the oldest r9 cohort entries
     "volume_shipping", "waiting_orders", "substring_dedup_apply",
     "ann_ivf_indexed", "ann_lsh_indexed", "ann_pq_indexed",
     "approx_distinct", "approx_quantiles", "asof_join",
     "bm25_search_indexed", "click_attribution", "customer_deciles",
-    "dedup_incremental_indexed", "dedup_weights", "dsir_select",
+]
+
+_PRIORITY = _FIXED_CORE + _ROTATION + [
+    # past the 50-slot window (stable tail ordering): the rest of the
+    # r9 cohort — later rotations' tours
+    "dedup_incremental_indexed", "dsir_select",
     "dsir_weights", "embedding_dedup_ann_indexed", "embedding_stats",
     "event_pivot", "events_hopping", "events_sessionize",
     "events_tumbling", "gap_fill", "histogram_equi_depth",
@@ -86,9 +99,8 @@ _PRIORITY = [
     "knn_classify_ann_indexed", "latest_events", "near_dedup_indexed",
     "peak_concurrency", "pricing_summary", "range_join",
     "region_revenue", "repetition_signals", "rolling_active_users",
-    "stats_moments", "stream_parity_chained", "stream_parity_extended",
-    "stream_parity_stateful", "substring_dedup_keep_one", "table_checks",
-    "table_profile", "time_rollup", "topk_orders", "value_histogram",
+    "stats_moments", "substring_dedup_keep_one", "table_checks",
+    "time_rollup", "topk_orders", "value_histogram",
     "weighted_median", "window_rank", "winnow_fingerprint",
 ]
 
