@@ -247,11 +247,24 @@ def near_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every dedup/incremental-probe query reads them as ordinary
     parquet relations.
     """
+    return near_dedup_pairs_indexed(spark, sf_dir)
+
+
+def near_dedup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair relation served off the persisted MinHash
+    artifact — shared by ``near_dedup_indexed`` and every COMPOSITE that
+    consumes the pair relation (``dedup_clusters`` and, through it,
+    dedup_apply/report/weights, leakage_safe_split, the funnel pair).
+    Output is identical to ``near_dedup_pairs`` by construction (the
+    artifact is a materialization, not an approximation), so all
+    consumers keep their oracles; the inline twins (``near_dedup``,
+    ``dedup_incremental``) stay on the recompute path as the semantics
+    evidence for the signature pipeline itself."""
     from ..operators.minhash_index import minhash_index_for
 
     shs, bands = minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
-    assigned = _assign_to_bucket(_band_collisions(kept), kept, "doc_a", "doc_b")
+    assigned = _assign_to_bucket(_band_collisions(kept), "doc_a", "doc_b")
     return _bucket_verified(assigned, shs, "doc_a", "doc_b")
 
 
@@ -284,7 +297,7 @@ def near_dedup_pairs(
     """
     shs = _shingle_sets(docs)
     kept = _lsh_kept(shs, bucket_cap)
-    assigned = _assign_to_bucket(_band_collisions(kept), kept, "doc_a", "doc_b")
+    assigned = _assign_to_bucket(_band_collisions(kept), "doc_a", "doc_b")
     return _bucket_verified(assigned, shs, "doc_a", "doc_b")
 
 
@@ -308,18 +321,17 @@ def _band_collisions(kept: DataFrame) -> DataFrame:
     )
 
 
-def _assign_to_bucket(
-    collisions: DataFrame, kept: DataFrame, a: str, b: str
-) -> DataFrame:
+def _assign_to_bucket(collisions: DataFrame, a: str, b: str) -> DataFrame:
     """Deduplicate collision rows to one row per pair, assigned to the
     pair's MINIMUM colliding band, carrying that bucket's band_key
     through the aggregate as ``min(struct(band, band_key))`` — band_key
     is functionally determined by (doc, band), so the struct-min picks
     the minimum band AND its key in one partial/final aggregate.  The
-    previous shape aggregated min(band) and then JOINED back to ``kept``
-    to recover the key, paying a pair-mass exchange plus a (docs×bands)
-    exchange; the struct-min's only cost is ~40 extra bytes per
-    partially-aggregated pair row in the one exchange that remains."""
+    previous shape aggregated min(band) and then JOINED back to the
+    kept-bands relation to recover the key, paying a pair-mass exchange
+    plus a (docs×bands) exchange; the struct-min's only cost is ~40
+    extra bytes per partially-aggregated pair row in the one exchange
+    that remains."""
     return (
         collisions.groupBy(a, b)
         .agg(F.min(F.struct("band", "band_key")).alias("bk"))
@@ -441,7 +453,7 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs, bands = minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
-        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        _incremental_collisions(kept), "new_doc", "corpus_doc"
     )
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
@@ -465,7 +477,7 @@ def dedup_incremental_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     shs, bands = appended_minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
-        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        _incremental_collisions(kept), "new_doc", "corpus_doc"
     )
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
@@ -501,7 +513,7 @@ def dedup_incremental_maintained(
     shs, bands = maintained_minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
-        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        _incremental_collisions(kept), "new_doc", "corpus_doc"
     )
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
@@ -534,7 +546,7 @@ def dedup_incremental_upserted(
     shs, bands = upserted_minhash_index_for(spark, sf_dir)
     kept = kept_from_bands(bands, MAX_BAND_BUCKET)
     assigned = _assign_to_bucket(
-        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        _incremental_collisions(kept), "new_doc", "corpus_doc"
     )
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
@@ -571,7 +583,7 @@ def dedup_incremental_pairs(
     shs = _shingle_sets(docs)
     kept = _lsh_kept(shs, bucket_cap)
     assigned = _assign_to_bucket(
-        _incremental_collisions(kept), kept, "new_doc", "corpus_doc"
+        _incremental_collisions(kept), "new_doc", "corpus_doc"
     )
     return _bucket_verified(assigned, shs, "new_doc", "corpus_doc")
 
@@ -1317,8 +1329,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration (SCALE.md round 8).  On a real cluster broadcasting the
     corpus-sized side is wrong regardless of heap: shuffle cost is the
     honest per-round price of label propagation.
+
+    Pair source (round 13, guide §6): the PERSISTED MinHash artifact
+    (``near_dedup_pairs_indexed``), not an inline re-signing of the
+    corpus — the production pipeline computes signatures once at ingest,
+    and every composite that consumes the pair relation (this one plus,
+    through it, dedup_apply/report/weights, leakage_safe_split,
+    pipeline_funnel) reads them as parquet.  Output is identical by
+    construction and the oracle is unchanged; ``near_dedup`` itself
+    stays inline as the signature pipeline's semantics evidence.
     """
-    pairs = near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dedup_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
     return clusters_from_pairs(pairs)
 
 

@@ -535,10 +535,13 @@ def pipeline_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered operators evaluate (imported from text_ops), and the
     oracle is the SAME nested-SQL funnel oracle, so fused vs composed is
     oracle-checked equal (plus pinned directly in tests/test_pipeline.py).
-    The expensive relations keep their pipelines — near-dup losers
-    (near_dedup_pairs → clusters_from_pairs) and contamination run off
-    the SAME persisted (doc_id, text) frame, so the parquet scan happens
-    once and every consumer reads the cached relation.
+    The expensive relations keep their pipelines — contamination runs
+    off the SAME persisted (doc_id, text) frame, and the near-dup losers
+    come from the persisted MinHash artifact's pair relation
+    (``near_dedup_pairs_indexed`` → clusters_from_pairs, round 13 —
+    identical pairs by construction, signatures computed once at ingest
+    instead of re-derived from the cached frame; same routing as the
+    composed funnel's dedup_clusters).
 
     Scale bound (round-10 sf100 sweep): as ONE query, every stage's
     shuffle files coexist until the job ends (Spark reclaims a shuffle
@@ -554,7 +557,7 @@ def pipeline_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..caching import tracked_persist
     from ..sources.tables import spread
-    from .dedup_ops import clusters_from_pairs, near_dedup_pairs
+    from .dedup_ops import clusters_from_pairs, near_dedup_pairs_indexed
     from .text_ops import lang_hit_expr, quality_exprs, token_count_expr
     from ..functions.rounding import rn
 
@@ -575,7 +578,9 @@ def pipeline_funnel_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_exact"),
     )
     near_losers = (
-        clusters_from_pairs(near_dedup_pairs(docs).select("doc_a", "doc_b"))
+        clusters_from_pairs(
+            near_dedup_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
+        )
         .filter(F.col("cluster_id") != F.col("doc_id"))
         .select("doc_id", F.lit(True).alias("is_near_loser"))
     )

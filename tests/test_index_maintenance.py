@@ -275,7 +275,7 @@ def test_multi_batch_ingest_loop(spark, tmp_path):
             # back to `kept`, so collisions carry the key
             F.col("x.band_key").alias("band_key"),
         )
-        assigned = _assign_to_bucket(colls, kept, "new_doc", "corpus_doc")
+        assigned = _assign_to_bucket(colls, "new_doc", "corpus_doc")
         hits = _bucket_verified(assigned, shs_i, "new_doc", "corpus_doc")
         found += [
             tuple(sorted((r.new_doc, r.corpus_doc)))
